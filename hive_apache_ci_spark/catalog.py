@@ -1,0 +1,71 @@
+"""Catalog: load the testdata star schema and register temp views.
+
+Mirrors Hive's metastore-backed table access (SURVEY.md §1.1 — Database ->
+Table hierarchy, schema-on-read) with Spark's file-source tables: parquet
+footers are the schema authority, partition/column pruning is Catalyst's.
+
+Scale note: each table is a single parquet file locally, but nothing here
+assumes that — ``spark.read.parquet(dir_or_file)`` works identically over a
+multi-thousand-file partitioned layout, and all downstream operators go
+through the DataFrame API so pruning/pushdown survive a 100 TB layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with Hive-compatible typing.
+
+    ``events.ts`` arrives as int64 nanoseconds (because of
+    ``spark.sql.legacy.parquet.nanosAsLong`` — FIXTURES.md); convert with
+    *integer* division to microseconds so no double-precision loss occurs
+    (ns epoch ~1.7e18 exceeds double's 53-bit mantissa).
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register: bool = False
+) -> dict[str, DataFrame]:
+    """Load all 10 tables; optionally register each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def run_sql(spark: SparkSession, sql: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Entry point mirroring Hive's ``Driver.run(sql)`` (SURVEY.md §3.4):
+    register the catalog as views, then hand the text to Spark SQL
+    (parse/analyze/optimize/execute all Catalyst-owned)."""
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(sql)

@@ -1,0 +1,189 @@
+"""Scan / filter / project / sort / limit / distinct.
+
+Hive operators covered (SURVEY.md §2.1): TableScanOperator (#1),
+FilterOperator (#2), SelectOperator (#3), LimitOperator (#13) with top-K
+pushdown (§2.6), ORDER BY single-total-order semantics (ReduceSink
+numReducers=1 in Hive → range-partitioned sort in Spark), NULL ordering.
+
+Scale notes: every query here is a declarative DataFrame plan — filters and
+projections reach the parquet scan (PushedFilters / ReadSchema in
+``.explain``), and ``orderBy().limit(n)`` compiles to
+``TakeOrderedAndProject`` (no global sort materialization), which is exactly
+the 100 TB-safe shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..helpers import T, r2, ts_lit
+from ..registry import query
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Flagship: TPC-H Q1-shaped pricing summary (scan→filter→agg→sort).
+
+    Exercises the Hive pipeline TableScan→Filter→GroupBy(partial)→
+    ReduceSink→GroupBy(final)→Select→FileSink in one declarative plan;
+    Catalyst gives partial aggregation (map-side combine) automatically.
+    """
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= ts_lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_price"
+            ),
+            r2(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+           round(l_extendedprice * l_tax, 4)            AS tax_amount,
+           l_quantity * 2.0                             AS double_qty
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+    """,
+)
+def filter_project(spark, sf_dir):
+    """Row-level filter + computed projection (FilterOperator+SelectOperator).
+
+    The three predicates and the 5-column projection must reach the parquet
+    scan as PushedFilters/ReadSchema — verified in tests/test_plans.py.
+    """
+    l = T(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+        & (F.col("l_shipdate") >= ts_lit("1996-01-01"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        F.round(F.col("l_extendedprice") * F.col("l_tax"), 4).alias("tax_amount"),
+        (F.col("l_quantity") * F.lit(2.0)).alias("double_qty"),
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def distinct_rows(spark, sf_dir):
+    """SELECT DISTINCT — Hive rewrites to group-by-all-columns; Spark's
+    HashAggregate does the same with partial aggregation."""
+    return T(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "sort_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def sort_topk(spark, sf_dir):
+    """ORDER BY + LIMIT → top-K. Hive: LimitPushdownOptimizer pushes the
+    limit into ReduceSink; Spark compiles to TakeOrderedAndProject (per-
+    partition heaps + merge — no global sort, the scalable shape)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@query(
+    "sort_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS status_nullable,
+           o_totalprice
+    FROM orders
+    ORDER BY status_nullable ASC NULLS FIRST, o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def sort_nulls(spark, sf_dir):
+    """NULL ordering semantics: Hive default = NULLS FIRST ascending (same
+    as Spark). A nullable key is derived so the ordering is observable."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("string"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status_nullable"),
+            "o_totalprice",
+        )
+        .orderBy(
+            F.col("status_nullable").asc_nulls_first(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey"),
+        )
+        .limit(50)
+    )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100 OFFSET 50
+    """,
+)
+def limit_offset(spark, sf_dir):
+    """LIMIT/OFFSET pagination over a unique total order (deterministic)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .offset(50)
+        .limit(100)
+    )

@@ -1,0 +1,93 @@
+"""SparkSession factory with Hive-compatible semantics.
+
+The reference engine (Apache Hive 2.3.x — SURVEY.md §1.3) has a permissive,
+non-ANSI SQL dialect: implicit string<->numeric coercion, ``int/int -> double``,
+silent NULL on bad casts. Spark 4 defaults ``spark.sql.ansi.enabled=true``,
+so we flip it off to match Hive semantics (the DuckDB oracle side compensates
+with explicit casts — see SURVEY.md §7 risk 1).
+
+Scale posture (100 TB north star): everything here is a *session* default
+that also makes sense on a 1000-executor cluster — AQE on (runtime join
+conversion, skew-join splitting, partition coalescing), broadcast threshold
+sized for dimension tables, shuffle partitions tuned per deployment (32 for
+the local[32] test rig; a real cluster overrides via ``extra_conf`` or
+spark-defaults).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are *runtime-settable* and required for correct reads of the
+# testdata regardless of who created the SparkSession (the driver harness
+# creates its own session and passes it to ``__spark_entry__.entry``).
+RUNTIME_CONFS: dict[str, str] = {
+    # Hive dialect: permissive casts, int/int -> double (SURVEY.md §1.3).
+    "spark.sql.ansi.enabled": "false",
+    # Deterministic timestamp semantics on both the Spark and DuckDB side.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet `ts` is parquet TIMESTAMP(NANOS); Spark 4 rejects it
+    # unless read as raw int64 nanoseconds (FIXTURES.md gotcha).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE: runtime broadcast conversion, skew-join handling, partition
+    # coalescing — the scale levers Hive implemented as SkewJoinResolver /
+    # CommonJoinResolver / SetReducerParallelism (SURVEY.md §4.1).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/customer/supplier/part) broadcast;
+    # 64 MB covers TPC-H dims at ~SF1k while staying executor-memory safe.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for any pandas_udf / toPandas path (vectorized, not row-at-a-time).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+# Confs that must be set at session-build time (ignored via try/except when
+# applied to an already-running session).
+BUILD_CONFS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.driver.memory": "8g",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply Hive-semantics confs to an externally created session.
+
+    Safe to call repeatedly; used by ``catalog.load_tables`` so that even the
+    driver's own SparkSession reads the testdata correctly.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Non-settable on this build — keep going; reads may still work.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "hive-apache-ci-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``)
+    for the test rig; on a real cluster pass ``None`` after setting the
+    master in spark-submit / spark-defaults.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for key, value in {**BUILD_CONFS, **RUNTIME_CONFS}.items():
+        builder = builder.config(key, value)
+    if extra_conf:
+        for key, value in extra_conf.items():
+            builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)

@@ -1,0 +1,23 @@
+"""Differential gate: every registered query must MATCH its DuckDB oracle
+(or be explicitly rows-only) at sf0.001 — the same comparison the driver
+runs at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_apache_ci_spark.registry import all_queries
+from hive_apache_ci_spark.verify import compare_one
+
+from .conftest import SF_DIR
+
+
+def _names():
+    return sorted(all_queries().keys())
+
+
+@pytest.mark.parametrize("name", _names())
+def test_query_matches_oracle(spark, duck, name):
+    res = compare_one(spark, duck, name, SF_DIR)
+    assert res["status"] in ("MATCH", "ROWS_ONLY"), res
+    assert res["rows"] >= 0
