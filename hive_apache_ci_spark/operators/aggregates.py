@@ -1,1 +1,349 @@
-"""(stub — populated in this round)"""
+"""Aggregation surface (SURVEY.md §2.4 — GroupByOperator + the UDAF catalog).
+
+Hive mechanics replicated declaratively: hash aggregation with map-side
+partial agg (Spark does partial/final split automatically — PARTIAL1/FINAL
+evaluator modes in Hive's GenericUDAFEvaluator), DISTINCT aggregates,
+grouping sets / ROLLUP / CUBE with grouping_id (expanded inside Hive's
+GroupByOperator; Catalyst ``Expand`` node here), the variance/covariance/
+regression UDAF family, collect_list/collect_set, exact percentile.
+
+Determinism: collect_* outputs are sorted then string-joined; floating
+aggregates rounded (2dp sums / 4dp ratios) so cross-engine accumulation
+order cannot flip the hash.
+
+Scale notes: every groupBy here partial-aggregates map-side before the
+shuffle; DISTINCT aggs rewrite to two-phase Expand+agg in Catalyst (same
+trick as Hive's distinct-keys-into-shuffle-key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..helpers import T, r2, r4
+from ..registry import query
+
+
+@query(
+    "agg_basic",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                                   AS n_rows,
+           count(l_quantity)                          AS n_qty,
+           round(sum(l_quantity), 2)                  AS sum_qty,
+           round(avg(l_extendedprice), 4)             AS avg_price,
+           round(min(l_extendedprice), 2)             AS min_price,
+           round(max(l_extendedprice), 2)             AS max_price,
+           CAST(sum(l_linenumber) AS BIGINT)          AS sum_linenum
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_basic(spark, sf_dir):
+    """count/sum/avg/min/max (GenericUDAFCount/Sum/Average/Min/Max).
+    Note DuckDB sum(int) yields HUGEINT — oracle casts to BIGINT to match
+    Spark's LongType."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("l_quantity").alias("n_qty"),
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            r2(F.min("l_extendedprice")).alias("min_price"),
+            r2(F.max("l_extendedprice")).alias("max_price"),
+            F.sum("l_linenumber").alias("sum_linenum"),
+        )
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_linestatus,
+           round(var_pop(l_quantity), 4)     AS var_pop_qty,
+           round(var_samp(l_quantity), 4)    AS var_samp_qty,
+           round(stddev_pop(l_quantity), 4)  AS stddev_pop_qty,
+           round(stddev_samp(l_quantity), 4) AS stddev_samp_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """Variance family (GenericUDAFVariance/VarianceSample/Std/StdSample)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            r4(F.var_pop("l_quantity")).alias("var_pop_qty"),
+            r4(F.var_samp("l_quantity")).alias("var_samp_qty"),
+            r4(F.stddev_pop("l_quantity")).alias("stddev_pop_qty"),
+            r4(F.stddev_samp("l_quantity")).alias("stddev_samp_qty"),
+        )
+    )
+
+
+@query(
+    "agg_corr_regr",
+    oracle="""
+    SELECT o_orderstatus,
+           round(corr(o_totalprice, o_custkey), 4)        AS corr_pc,
+           round(covar_pop(o_totalprice, o_custkey), 2)   AS covar_pop_pc,
+           round(covar_samp(o_totalprice, o_custkey), 2)  AS covar_samp_pc,
+           round(regr_slope(o_totalprice, o_custkey), 4)  AS slope,
+           round(regr_intercept(o_totalprice, o_custkey), 2) AS intercept,
+           round(regr_r2(o_totalprice, o_custkey), 4)     AS r2,
+           CAST(regr_count(o_totalprice, o_custkey) AS BIGINT) AS n,
+           round(regr_avgx(o_totalprice, o_custkey), 4)   AS avgx,
+           round(regr_avgy(o_totalprice, o_custkey), 4)   AS avgy
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_corr_regr(spark, sf_dir):
+    """corr/covar + the 9-function regression family
+    (GenericUDAFCorrelation/Covariance/BinarySetFunctions)."""
+    y, x = F.col("o_totalprice"), F.col("o_custkey")
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            r4(F.corr(y, x)).alias("corr_pc"),
+            r2(F.covar_pop(y, x)).alias("covar_pop_pc"),
+            r2(F.covar_samp(y, x)).alias("covar_samp_pc"),
+            r4(F.regr_slope(y, x)).alias("slope"),
+            r2(F.regr_intercept(y, x)).alias("intercept"),
+            r4(F.regr_r2(y, x)).alias("r2"),
+            F.regr_count(y, x).alias("n"),
+            r4(F.regr_avgx(y, x)).alias("avgx"),
+            r4(F.regr_avgy(y, x)).alias("avgy"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)  AS n_parts,
+           count(DISTINCT l_suppkey)  AS n_supps,
+           count(DISTINCT l_quantity) AS n_qtys,
+           count(*)                   AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    """Multi-column DISTINCT aggregates (Hive: distinct keys folded into the
+    shuffle key; Catalyst: RewriteDistinctAggregates → Expand)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct("l_quantity").alias("n_qtys"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(CAST(c_custkey AS VARCHAR), ','
+                      ORDER BY CAST(c_custkey AS VARCHAR)) AS custkeys,
+           count(*) AS n
+    FROM customer
+    WHERE c_acctbal > 9500
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_collect(spark, sf_dir):
+    """collect_list (GenericUDAFCollectList) — order-nondeterministic in a
+    distributed agg, so the engine sorts the array then joins to a string
+    (the canonical determinism recipe from SURVEY.md §5.2)."""
+    return (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("c_custkey").cast("string"))), ","
+            ).alias("custkeys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_collect_set(spark, sf_dir):
+    """collect_set (GenericUDAFCollectSet) — dedup + sort + join."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+                "statuses"
+            )
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderstatus,
+           count(*)                      AS n,
+           round(sum(o_totalprice), 2)   AS total
+    FROM orders
+    GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderstatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """WITH ROLLUP (expanded inside Hive's GroupByOperator; Catalyst Expand)."""
+    o = T(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
+    return o.rollup("order_year", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), r2(F.sum("o_totalprice")).alias("total")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                    AS n,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """WITH CUBE — all 4 grouping combinations."""
+    return (
+        T(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.avg("o_totalprice")).alias("avg_price"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS + GROUPING__ID (Hive registry names
+    ``grouping``/``grouping_id``; same bit encoding in DuckDB's GROUPING)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4)        AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 4)  AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.75), 4)  AS p75_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4)  AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    """Exact percentile (Hive bridge UDAF ``percentile``) — linear
+    interpolation, same definition as DuckDB quantile_cont."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            r4(F.percentile("l_quantity", 0.5)).alias("median_qty"),
+            r4(F.percentile("l_extendedprice", 0.25)).alias("p25_price"),
+            r4(F.percentile("l_extendedprice", 0.75)).alias("p75_price"),
+            r4(F.percentile("l_extendedprice", 0.95)).alias("p95_price"),
+        )
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           bool_and(o_totalprice > 0)        AS all_positive,
+           bool_or(o_totalprice > 500000)    AS any_huge
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_minmax_by(spark, sf_dir):
+    """min_by/max_by + bool_and/bool_or (Spark-native additions covering
+    Hive's max-struct idiom). o_totalprice is continuous → ties absent."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 500000).alias("any_huge"),
+        )
+    )
+
+
+@query("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++) — Spark's upgrade over Hive 2.3's
+    exact-only count distinct; approximate → rows-only check (tests bound
+    the error vs exact in tests/test_aggregates.py)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+@query("agg_histogram", oracle=None)
+def agg_histogram(spark, sf_dir):
+    """histogram_numeric (GenericUDAFHistogramNumeric) — heuristic bin
+    placement differs per engine → rows-only check."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("histogram_numeric(l_quantity, 5)").alias("qty_hist"))
+        .select(
+            "l_returnflag",
+            F.expr("transform(qty_hist, b -> round(b.x, 2))").alias("bin_centers"),
+        )
+    )

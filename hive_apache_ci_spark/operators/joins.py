@@ -1,1 +1,352 @@
-"""(stub — populated in this round)"""
+"""Every HiveQL join variant (SURVEY.md §2.3).
+
+Hive physical strategies covered and their Spark owners:
+
+- shuffle (reduce-side) join  — ``JoinOperator``/``CommonJoinOperator``
+  (ql/exec/JoinOperator.java) → SortMergeJoinExec;
+- broadcast hash (map join)   — ``MapJoinOperator`` (ql/exec/MapJoinOperator.java)
+  → ``F.broadcast`` / autoBroadcastJoinThreshold / AQE runtime conversion;
+- semi/anti                   — ``LEFT SEMI JOIN`` + Calcite ``HiveSemiJoinRule``
+  NOT IN/EXISTS rewrites → 'left_semi'/'left_anti';
+- cross + residual theta      — ``CrossProductCheck`` + residual ON filters →
+  crossJoin / non-equi join conditions (BroadcastNestedLoopJoin);
+- null-safe ``<=>``           — ``GenericUDFOPEqualNS`` → ``eqNullSafe``;
+- skew join                   — ``SkewJoinOptimizer`` → AQE skew-join (session conf).
+
+Scale notes (100 TB): dimension sides (region/nation/supplier/part at TPC-H
+ratios) are explicitly broadcast — no shuffle of the fact table for star
+joins. Fact-fact joins (lineitem⋈orders) shuffle on the join key; AQE
+handles skew and partition coalescing. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..helpers import T, r2, ts_lit
+from ..registry import query
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def join_inner(spark, sf_dir):
+    """Inner equi-join (shuffle join in Hive; Spark picks broadcast for the
+    filtered side automatically under AQE)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = T(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           count(o.o_orderkey)                      AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left(spark, sf_dir):
+    """LEFT OUTER join with an extra ON-clause predicate (Hive: null-padding
+    in CommonJoinOperator; the non-key predicate stays in the join, not the
+    WHERE — a classic semantic trap both engines must agree on)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    joined = c.join(
+        o, (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "F"), "left"
+    )
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        r2(F.coalesce(F.sum("o_totalprice"), F.lit(0))).alias("total_spent"),
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT n.n_name, s.s_suppkey, s.s_name
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def join_right(spark, sf_dir):
+    """RIGHT OUTER join — nations with no suppliers survive null-padded."""
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "n_name", "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    WITH big_cust AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
+    ),
+    big_orders AS (
+        SELECT o_custkey, count(*) AS n_big
+        FROM orders WHERE o_totalprice > 450000 GROUP BY o_custkey
+    )
+    SELECT bc.c_custkey, bc.c_name, bo.o_custkey, bo.n_big
+    FROM big_cust bc FULL JOIN big_orders bo ON bc.c_custkey = bo.o_custkey
+    """,
+)
+def join_full(spark, sf_dir):
+    """FULL OUTER join of two partially-overlapping key sets — exercises
+    null padding on both sides (Hive CommonJoinOperator outer path)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    big_cust = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_name")
+    big_orders = (
+        o.filter(F.col("o_totalprice") > 450000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    return big_cust.join(
+        big_orders, big_cust.c_custkey == big_orders.o_custkey, "full"
+    ).select("c_custkey", "c_name", "o_custkey", "n_big")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+)
+def join_semi(spark, sf_dir):
+    """LEFT SEMI JOIN (HiveQL keyword; probe side deduplicated)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """Anti join — Hive has no ANTI keyword in 2.3; Calcite rewrites
+    NOT EXISTS into it (HiveSemiJoinRule). Spark: 'left_anti'."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, seg.c_mktsegment
+    FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+    """,
+)
+def join_cross(spark, sf_dir):
+    """Explicit CROSS JOIN (Hive warns via CrossProductCheck) over two tiny
+    inputs — the only scale-safe cartesian shape."""
+    r = T(spark, sf_dir, "region").select("r_name")
+    seg = T(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return r.crossJoin(seg)
+
+
+@query(
+    "join_nonequi",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, p.p_size, l.l_quantity
+    FROM lineitem l JOIN part p
+      ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size + 38
+    """,
+)
+def join_nonequi(spark, sf_dir):
+    """Equi-key + residual non-equi predicate in ON (Hive: residual filter
+    inside CommonJoinOperator). The equi key keeps it hash-joinable."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    return l.join(
+        p,
+        (l.l_partkey == p.p_partkey) & (l.l_quantity > p.p_size + 38),
+        "inner",
+    ).select("l_orderkey", "l_linenumber", "p_partkey", "p_size", "l_quantity")
+
+
+@query(
+    "join_nullsafe",
+    oracle="""
+    WITH cn AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nkey
+        FROM customer
+    ),
+    sn AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_nationkey END AS nkey
+        FROM supplier
+    )
+    SELECT cn.nkey AS nkey, count(*) AS n_pairs
+    FROM cn JOIN sn ON cn.nkey IS NOT DISTINCT FROM sn.nkey
+    GROUP BY cn.nkey
+    """,
+)
+def join_nullsafe(spark, sf_dir):
+    """Null-safe equality join ``<=>`` (GenericUDFOPEqualNS): NULL keys on
+    both sides pair up instead of dropping."""
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nkey"),
+    )
+    s = T(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("s_nationkey"))
+        .alias("nkey"),
+    )
+    return (
+        c.join(s, c["nkey"].eqNullSafe(s["nkey"]), "inner")
+        .select(c["nkey"].alias("nkey"))
+        .groupBy("nkey")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "join_broadcast_star",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def join_broadcast_star(spark, sf_dir):
+    """Star join: fact (lineitem) joined to orders then down the dimension
+    chain, dimensions explicitly broadcast (Hive MapJoinOperator; auto via
+    ``hive.auto.convert.join``). At 100 TB only lineitem⋈orders shuffles —
+    customer/nation/region ride the broadcast path."""
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o  ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1996-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 adapted to the testdata schema (shipping priority)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < ts_lit("1996-03-15"))
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > ts_lit("1996-03-15"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+)
+def tpch_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 adapted: local-supplier volume — a 5-way join with a
+    two-column equi condition (l_suppkey AND nation co-location)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1997-01-01"))
+    )
+    l = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc())
+    )

@@ -1,1 +1,124 @@
-"""(stub — populated in this round)"""
+"""Subquery surface: IN / NOT IN / EXISTS / scalar / correlated.
+
+Hive decorrelates these in Calcite (HiveSubQueryRemoveRule +
+HiveRelDecorrelator — SURVEY.md §4.2); Catalyst owns the same rewrites
+(RewritePredicateSubquery, RewriteCorrelatedScalarSubquery). We express the
+queries in Spark SQL so the subquery *syntax* itself is exercised, not a
+hand-rewritten join. NOT IN three-valued-logic with NULLs is the classic
+semantic trap and gets its own query.
+"""
+
+from __future__ import annotations
+
+from ..catalog import load_tables
+from ..registry import query
+
+
+def _sql(spark, sf_dir, text):
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(text)
+
+
+_IN_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+  AND o_totalprice > 300000
+"""
+
+
+@query("subquery_in", oracle=_IN_SQL)
+def subquery_in(spark, sf_dir):
+    """Uncorrelated IN subquery → left semi join after decorrelation."""
+    return _sql(spark, sf_dir, _IN_SQL)
+
+
+_NOT_IN_SQL = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 430000)
+  AND c_acctbal > 8000
+"""
+
+
+@query("subquery_not_in", oracle=_NOT_IN_SQL)
+def subquery_not_in(spark, sf_dir):
+    """NOT IN over a non-NULL subquery → null-aware anti join."""
+    return _sql(spark, sf_dir, _NOT_IN_SQL)
+
+
+_NOT_IN_NULL_SQL = """
+SELECT c_custkey
+FROM customer
+WHERE c_custkey NOT IN
+      (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END
+       FROM orders)
+"""
+
+
+@query("subquery_not_in_null", oracle=_NOT_IN_NULL_SQL)
+def subquery_not_in_null(spark, sf_dir):
+    """NOT IN where the subquery yields NULLs: three-valued logic makes the
+    predicate never-true, so the result must be EMPTY — both engines have to
+    agree on this trap (SURVEY.md §7 build-plan P1 calls it out)."""
+    return _sql(spark, sf_dir, _NOT_IN_NULL_SQL)
+
+
+_EXISTS_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+"""
+
+
+@query("subquery_exists", oracle=_EXISTS_SQL)
+def subquery_exists(spark, sf_dir):
+    """Correlated EXISTS → semi join after decorrelation."""
+    return _sql(spark, sf_dir, _EXISTS_SQL)
+
+
+_SCALAR_SQL = """
+SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.8 FROM customer)
+"""
+
+
+@query("subquery_scalar", oracle=_SCALAR_SQL)
+def subquery_scalar(spark, sf_dir):
+    """Uncorrelated scalar subquery in a predicate."""
+    return _sql(spark, sf_dir, _SCALAR_SQL)
+
+
+_CORR_SCALAR_SQL = """
+SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS totalprice
+FROM orders o
+WHERE o.o_totalprice >
+      (SELECT avg(o2.o_totalprice) * 2.2 FROM orders o2
+       WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@query("subquery_corr_scalar", oracle=_CORR_SCALAR_SQL)
+def subquery_corr_scalar(spark, sf_dir):
+    """Correlated scalar subquery (per-customer average) — decorrelated by
+    Catalyst into an aggregate + join (HiveRelDecorrelator's job in Hive)."""
+    return _sql(spark, sf_dir, _CORR_SCALAR_SQL)
+
+
+_IN_SELECT_SQL = """
+SELECT o_orderkey,
+       o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500)
+           AS from_rich_customer
+FROM orders
+WHERE o_totalprice > 440000
+"""
+
+
+@query("subquery_in_select", oracle=_IN_SELECT_SQL)
+def subquery_in_select(spark, sf_dir):
+    """IN subquery used as a projected boolean (not a filter) — exercises
+    the existence-join plan shape."""
+    return _sql(spark, sf_dir, _IN_SELECT_SQL)

@@ -1,1 +1,270 @@
-"""(stub — populated in this round)"""
+"""Window function / PTF surface (SURVEY.md §2.5).
+
+Hive architecture being replicated: PTFOperator partitions+sorts via the
+shuffle and buffers each partition (PTFRowContainer); WindowingTableFunction
+(ql/udf/ptf/WindowingTableFunction.java) evaluates ranking/analytic/UDAF
+functions over ROWS/RANGE frames (WindowFrameDef/BoundaryDef;
+ValueBoundaryScanner for RANGE). Spark's WindowExec is the direct owner —
+same partition/sort shuffle, same frame semantics, plus O(1) streaming
+evaluation for prefix frames (Hive's GenericUDAFStreamingEvaluator).
+
+Determinism: every ORDER BY inside a window spec carries a unique tiebreak
+key so row_number/lead/lag/frames agree across engines.
+
+Scale note: a window over ``partitionBy(user_id)`` shuffles once on
+user_id; all frames evaluate within partitions — no driver materialization.
+Skewed partition keys (one giant user) are the known hazard; AQE cannot
+split a window partition, so high-cardinality partition keys are the design
+rule for 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..helpers import T, r2, r4
+from ..registry import query
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           row_number() OVER w AS rn
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank(spark, sf_dir):
+    """rank / dense_rank / row_number per partition."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        r2(F.col("c_acctbal")).alias("acctbal"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@query(
+    "window_leadlag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS totalprice,
+           round(lag(o_totalprice)  OVER w, 2)       AS prev_price,
+           round(lead(o_totalprice) OVER w, 2)       AS next_price,
+           round(lag(o_totalprice, 2, -1.0) OVER w, 2) AS prev2_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_leadlag(spark, sf_dir):
+    """lead/lag with offset + default (GenericUDFLeadLag in Hive)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        r2(F.col("o_totalprice")).alias("totalprice"),
+        r2(F.lag("o_totalprice").over(w)).alias("prev_price"),
+        r2(F.lead("o_totalprice").over(w)).alias("next_price"),
+        r2(F.lag("o_totalprice", 2, -1.0).over(w)).alias("prev2_price"),
+    )
+
+
+@query(
+    "window_moving_rows",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS moving_sum,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS moving_avg
+    FROM events
+    """,
+)
+def window_moving_rows(spark, sf_dir):
+    """ROWS-frame moving aggregate (WindowFrameDef ROWS 2 PRECEDING..CURRENT)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        r4(F.sum("value").over(w)).alias("moving_sum"),
+        r4(F.avg("value").over(w)).alias("moving_avg"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+               AS n_within_50k
+    FROM orders
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame on a numeric order key (Hive's ValueBoundaryScanner —
+    DoubleValueBoundaryScanner here). Count of orders within $50k below."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, Window.currentRow)
+    )
+    return T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        r2(F.col("o_totalprice")).alias("totalprice"),
+        F.count(F.lit(1)).over(w).alias("n_within_50k"),
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_total(spark, sf_dir):
+    """Running total — the prefix frame Hive streams in O(1) memory
+    (GenericUDAFStreamingEvaluator); explicit ROWS frame + unique tiebreak
+    (default RANGE frame would sum peer groups)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        r2(F.sum("o_totalprice").over(w)).alias("running_total"),
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4)  OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+    FROM customer
+    """,
+)
+def window_ntile(spark, sf_dir):
+    """ntile bucketing over a global order (single-partition window — the
+    one shape that does NOT scale; kept for parity, large-scale variant is
+    window_percent's per-segment form)."""
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@query(
+    "window_firstlast",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS last_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_firstlast(spark, sf_dir):
+    """first_value / last_value / nth_value over the full-partition frame
+    (last_value over the default frame is the classic gotcha — frame pinned
+    to UNBOUNDED FOLLOWING here)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@query(
+    "window_first_ignore_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           first_value(big_key IGNORE NULLS) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS first_big_order
+    FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+                 CASE WHEN o_totalprice > 300000 THEN o_orderkey END AS big_key
+          FROM orders)
+    """,
+)
+def window_first_ignore_nulls(spark, sf_dir):
+    """first_value(... IGNORE NULLS) — Hive supports IGNORE NULLS on
+    first/last (WindowingTableFunction); running 'first big order seen'."""
+    o = T(spark, sf_dir, "orders").withColumn(
+        "big_key", F.when(F.col("o_totalprice") > 300000, F.col("o_orderkey"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.first("big_key", ignorenulls=True).over(w).alias("first_big_order"),
+    )
+
+
+@query(
+    "window_percent",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           round(c_acctbal / sum(c_acctbal) OVER (PARTITION BY c_mktsegment), 8)
+               AS share_of_segment
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_percent(spark, sf_dir):
+    """percent_rank / cume_dist + an unordered partition aggregate
+    (share-of-total) in one pass."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wp = Window.partitionBy("c_mktsegment")
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.col("c_acctbal") / F.sum("c_acctbal").over(wp), 8).alias(
+            "share_of_segment"
+        ),
+    )
