@@ -1,1 +1,179 @@
-"""(stub — populated in this round)"""
+"""Oracle-paired queries exercising the Hive-compat shims (§2.8-③)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..helpers import T
+from ..registry import query
+from . import hive_compat as hc
+
+
+@query(
+    "hive_floor_dates",
+    oracle="""
+    SELECT event_id,
+           strftime(date_trunc('hour', ts),    '%Y-%m-%d %H:%M:%S') AS fl_hour,
+           strftime(date_trunc('day', ts),     '%Y-%m-%d %H:%M:%S') AS fl_day,
+           strftime(date_trunc('week', ts),    '%Y-%m-%d %H:%M:%S') AS fl_week,
+           strftime(date_trunc('month', ts),   '%Y-%m-%d %H:%M:%S') AS fl_month,
+           strftime(date_trunc('quarter', ts), '%Y-%m-%d %H:%M:%S') AS fl_quarter,
+           strftime(date_trunc('year', ts),    '%Y-%m-%d %H:%M:%S') AS fl_year
+    FROM events WHERE event_id < 300
+    """,
+)
+def hive_floor_dates(spark, sf_dir):
+    """floor_hour/day/week/month/quarter/year shims (UDFDateFloor family)."""
+    e = T(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        F.date_format(hc.floor_hour(ts), fmt).alias("fl_hour"),
+        F.date_format(hc.floor_day(ts), fmt).alias("fl_day"),
+        F.date_format(hc.floor_week(ts), fmt).alias("fl_week"),
+        F.date_format(hc.floor_month(ts), fmt).alias("fl_month"),
+        F.date_format(hc.floor_quarter(ts), fmt).alias("fl_quarter"),
+        F.date_format(hc.floor_year(ts), fmt).alias("fl_year"),
+    )
+
+
+@query(
+    "hive_field_fn",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 WHEN 'P' THEN 3
+                ELSE 0 END AS status_idx,
+           CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                ELSE 0 END AS prio_idx
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def hive_field_fn(spark, sf_dir):
+    """field(x, v1, v2, ...) shim (GenericUDFField)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        hc.field(F.col("o_orderstatus"), "O", "F", "P").alias("status_idx"),
+        hc.field(F.col("o_orderpriority"), "1-URGENT", "2-HIGH").alias("prio_idx"),
+    )
+
+
+@query(
+    "hive_mask_fns",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked,
+           concat(left(c_name, 9),
+                  regexp_replace(regexp_replace(regexp_replace(substr(c_name, 10),
+                      '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g'))
+               AS show_first9,
+           md5(c_name) AS hashed
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def hive_mask_fns(spark, sf_dir):
+    """mask / mask_show_first_n / mask_hash shims (GenericUDFMask*)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        hc.mask(F.col("c_name")).alias("masked"),
+        hc.mask_show_first_n(F.col("c_name"), 9).alias("show_first9"),
+        hc.mask_hash(F.col("c_name")).alias("hashed"),
+    )
+
+
+@query(
+    "hive_replicate_rows",
+    oracle="""
+    SELECT n_nationkey, n_name FROM (
+      SELECT n_nationkey, n_name, unnest(range(0, n_regionkey + 1)) AS i
+      FROM nation
+    )
+    """,
+)
+def hive_replicate_rows(spark, sf_dir):
+    """replicate_rows UDTF shim (used by Hive's INTERSECT/EXCEPT ALL
+    Calcite rewrites) → explode(sequence(1, n))."""
+    n = T(spark, sf_dir, "nation")
+    return hc.replicate_rows(
+        n, F.col("n_regionkey") + 1, ["n_nationkey", "n_name"]
+    )
+
+
+@query(
+    "hive_ngrams_top",
+    oracle="""
+    SELECT ngram, CAST(n AS DOUBLE) AS estfrequency FROM (
+      SELECT g AS ngram, count(*) AS n, min(g) AS tie
+      FROM (
+        SELECT unnest(list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                      i -> concat(a[i], ' ', a[i+1]))) AS g
+        FROM (SELECT string_split_regex(lower(text), '\\s+') AS a FROM documents)
+      )
+      WHERE g <> ''
+      GROUP BY g
+      ORDER BY n DESC, g
+      LIMIT 15
+    )
+    """,
+)
+def hive_ngrams_top(spark, sf_dir):
+    """ngrams UDAF shim (GenericUDAFnGrams): top-15 bigrams across the
+    documents corpus — exact counts via explode→partial agg→top-k (the
+    scalable shape; Hive's version is a driver-side estimator)."""
+    return hc.ngrams(T(spark, sf_dir, "documents"), "text", 2, 15)
+
+
+@query(
+    "hive_sort_array_by",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list(n_name ORDER BY n_nationkey DESC), ',')
+               AS nations_by_key_desc
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def hive_sort_array_by(spark, sf_dir):
+    """sort_array_by(array<struct>, field) shim — array_sort + comparator
+    lambda over collected structs (sorted by descending nationkey)."""
+    n = T(spark, sf_dir, "nation")
+    grouped = n.groupBy("n_regionkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")))
+        ).alias("arr")
+    )
+    sorted_arr = hc.sort_array_by(F.col("arr"), "k", asc=False)
+    return grouped.select(
+        "n_regionkey",
+        F.array_join(
+            F.transform(sorted_arr, lambda s: s.getField("name")), ","
+        ).alias("nations_by_key_desc"),
+    )
+
+
+@query(
+    "hive_parse_url_tuple",
+    oracle="""
+    SELECT p_partkey,
+           'example.com'                                        AS host,
+           concat('/catalog/', lower(replace(p_brand, '#', ''))) AS path,
+           CAST(p_partkey AS VARCHAR)                            AS query_id
+    FROM part WHERE p_partkey <= 300
+    """,
+)
+def hive_parse_url_tuple(spark, sf_dir):
+    """parse_url_tuple UDTF shim → multi parse_url projection (HOST, PATH,
+    QUERY:id) over synthesized URLs."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    url = F.concat(
+        F.lit("http://example.com/catalog/"),
+        F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit(""))),
+        F.lit("?id="),
+        F.col("p_partkey").cast("string"),
+    )
+    p = p.withColumn("url", url)
+    return p.select(
+        "p_partkey", *hc.parse_url_tuple(F.col("url"), "HOST", "PATH", "QUERY:id")
+    )
