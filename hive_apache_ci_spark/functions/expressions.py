@@ -261,7 +261,7 @@ def expr_hash_funcs(spark, sf_dir):
            count(*)                                               AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
                AS sum_k,
-           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) + 1e-9, 4)
                AS avg_k
     FROM events
     GROUP BY event_type
@@ -278,7 +278,7 @@ def expr_json(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.round(F.avg("k") + F.lit(1e-9), 4).alias("avg_k"),
         )
     )
 

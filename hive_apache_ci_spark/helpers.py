@@ -24,6 +24,16 @@ def r4(c: Column) -> Column:
     return F.round(c, 4)
 
 
+def ravg(c: Column, nd: int = 4) -> Column:
+    """Epsilon-shifted rounding for averages/ratios of decimal-quantized
+    data: their true values can land EXACTLY on a rounding boundary (e.g.
+    avg of 8 four-decimal values = x.xxxx5), where cross-engine accumulation
+    noise (~1e-12) flips the round differently per engine. Shifting by
+    1e-9 ≫ noise moves boundary-exact values consistently off the boundary
+    on both sides; the oracle mirrors with ``round(x + 1e-9, nd)``."""
+    return F.round(c + F.lit(1e-9), nd)
+
+
 def ts_lit(s: str) -> Column:
     """Timestamp literal (testdata 'date' columns are parquet timestamps)."""
     return F.lit(s).cast("timestamp")

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..helpers import T, r2, r4
+from ..helpers import T, r2, r4, ravg
 from ..registry import query
 
 
@@ -31,7 +31,7 @@ from ..registry import query
            count(*)                                   AS n_rows,
            count(l_quantity)                          AS n_qty,
            round(sum(l_quantity), 2)                  AS sum_qty,
-           round(avg(l_extendedprice), 4)             AS avg_price,
+           round(avg(l_extendedprice) + 1e-9, 4)      AS avg_price,
            round(min(l_extendedprice), 2)             AS min_price,
            round(max(l_extendedprice), 2)             AS max_price,
            CAST(sum(l_linenumber) AS BIGINT)          AS sum_linenum
@@ -50,7 +50,7 @@ def agg_basic(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
             F.count("l_quantity").alias("n_qty"),
             r2(F.sum("l_quantity")).alias("sum_qty"),
-            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            ravg(F.avg("l_extendedprice")).alias("avg_price"),
             r2(F.min("l_extendedprice")).alias("min_price"),
             r2(F.max("l_extendedprice")).alias("max_price"),
             F.sum("l_linenumber").alias("sum_linenum"),
@@ -224,7 +224,7 @@ def agg_rollup(spark, sf_dir):
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*)                    AS n,
-           round(avg(o_totalprice), 4) AS avg_price
+           round(avg(o_totalprice) + 1e-9, 4) AS avg_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -234,7 +234,7 @@ def agg_cube(spark, sf_dir):
     return (
         T(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), r4(F.avg("o_totalprice")).alias("avg_price"))
+        .agg(F.count(F.lit(1)).alias("n"), ravg(F.avg("o_totalprice")).alias("avg_price"))
     )
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..helpers import T, r2, ts_lit
+from ..helpers import T, r2, ravg, ts_lit
 from ..registry import query
 
 
@@ -28,9 +28,9 @@ from ..registry import query
            round(sum(l_extendedprice), 2)                               AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                    AS avg_qty,
-           round(avg(l_extendedprice), 4)                               AS avg_price,
-           round(avg(l_discount), 4)                                    AS avg_disc,
+           round(avg(l_quantity) + 1e-9, 4)                             AS avg_qty,
+           round(avg(l_extendedprice) + 1e-9, 4)                        AS avg_price,
+           round(avg(l_discount) + 1e-9, 4)                             AS avg_disc,
            count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -62,9 +62,9 @@ def q1_pricing_summary(spark, sf_dir):
                     * (1 + F.col("l_tax"))
                 )
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            ravg(F.avg("l_quantity")).alias("avg_qty"),
+            ravg(F.avg("l_extendedprice")).alias("avg_price"),
+            ravg(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

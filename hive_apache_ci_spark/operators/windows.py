@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..helpers import T, r2, r4
+from ..helpers import T, r2, r4, ravg
 from ..registry import query
 
 
@@ -84,10 +84,10 @@ def window_leadlag(spark, sf_dir):
     oracle="""
     SELECT user_id, event_id,
            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 1e-9, 4)
                AS moving_sum,
            round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 1e-9, 4)
                AS moving_avg
     FROM events
     """,
@@ -102,8 +102,8 @@ def window_moving_rows(spark, sf_dir):
     return T(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        r4(F.sum("value").over(w)).alias("moving_sum"),
-        r4(F.avg("value").over(w)).alias("moving_avg"),
+        ravg(F.sum("value").over(w)).alias("moving_sum"),
+        ravg(F.avg("value").over(w)).alias("moving_avg"),
     )
 
 

@@ -1,1 +1,278 @@
-"""(stub — populated in this round)"""
+"""Deduplication operators over ``documents`` (SURVEY.md §2.11).
+
+The full near-dup ladder a training-data pipeline needs:
+
+1. exact        — group on content hash, keep min doc_id (one shuffle);
+2. normalized   — same after lowercase/whitespace canonicalization;
+3. MinHash+LSH  — shingle → k hash-mins → banded signatures → bucket
+   self-join → candidate pairs. md5-based so the DuckDB oracle can compute
+   the *identical* signatures (cross-engine-verifiable LSH, rather than a
+   rows-only approximation);
+4. n-gram Jaccard — exact pairwise similarity via a shared-shingle join
+   (verifies what LSH candidates mean; keyed by shingle so it never
+   materializes the n² cross product);
+5. SimHash      — per-bit majority vote fingerprint.
+
+Scale notes: every operator is shuffle-bounded by (hash) or (band,
+signature) keys; nothing is pairwise over the corpus except *within* LSH
+buckets — the standard web-scale dedup topology.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.hive_compat import ngram_array
+from ..helpers import T
+from ..registry import query
+
+N_HASHES = 16
+BAND_ROWS = 2  # 8 bands x 2 rows
+N_BANDS = N_HASHES // BAND_ROWS
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT h AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           count(*)                    AS n_copies
+    FROM (SELECT doc_id, md5(text) AS h FROM documents)
+    GROUP BY h
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, representative = min doc_id.
+    One shuffle on the hash key; at 100 TB the hash is the shard key."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_normalized",
+    oracle="""
+    SELECT h AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM (SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+          FROM documents)
+    GROUP BY h
+    HAVING count(*) >= 1
+    """,
+)
+def dedup_normalized(spark, sf_dir):
+    """Dedup after canonicalization (lowercase + whitespace collapse) —
+    catches trivially-reformatted copies exact dedup misses."""
+    d = T(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        d.select("doc_id", F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingles(text_col):
+    """Distinct 2-token shingles of the lowercased text."""
+    return F.array_distinct(ngram_array(F.split(F.lower(text_col), r"\s+"), 2))
+
+
+def minhash_signatures(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, seed, minhash) — md5-based MinHash: h_s(doc) = min over shingles
+    of md5(seed || '|' || shingle). String-min is a valid hash-min and is
+    reproducible in any engine with md5."""
+    sh = df.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col))).alias("shingle")
+    ).filter(F.col("shingle") != "")
+    seeded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed"),
+        "shingle",
+    )
+    return seeded.groupBy(id_col, "seed").agg(
+        F.min(
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
+        ).alias("minhash")
+    )
+
+
+def lsh_bands(sig, id_col: str = "doc_id"):
+    """(id, band, band_sig) — concatenate each band's rows (ordered by seed)
+    and re-hash into one signature per band."""
+    banded = sig.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
+                    ),
+                    lambda s: s.getField("minhash"),
+                ),
+                "|",
+            )
+        ).alias("band_sig")
+    )
+
+
+_MINHASH_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                              i -> concat(a[i], ' ', a[i+1])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+            FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id, seed,
+             min(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS minhash
+      FROM sh, unnest(range(0, {N_HASHES})) AS s(seed)
+      WHERE shingle <> ''
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(seed / {BAND_ROWS}) AS INTEGER) AS band,
+             md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+      FROM sig GROUP BY doc_id, 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs ({N_HASHES} hashes, {N_BANDS} bands x
+    {BAND_ROWS} rows): documents sharing any full band signature. The
+    oracle recomputes identical md5-based signatures in SQL — this is a
+    fully-verified LSH, not a rows-only approximation."""
+    d = T(spark, sf_dir, "documents")
+    bands = lsh_bands(minhash_signatures(d))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                              i -> concat(a[i], ' ', a[i+1])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+            FROM documents WHERE doc_id < 120)
+      ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.12
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact pairwise n-gram Jaccard over a doc subset, keyed by shared
+    shingle (never materializes the full n^2 cross product) — the
+    verification layer for MinHash candidates."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jacc >= 0.12)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS t
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             CASE WHEN CAST(('0x' || substr(md5(t), j + 1, 1)) AS INTEGER) % 2 = 1
+                  THEN 1 ELSE -1 END AS vote
+      FROM tok, unnest(range(0, {_SIMHASH_BITS})) AS u(j)
+      WHERE t <> ''
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END * (1 << CAST(j AS INTEGER))) AS BIGINT)
+               AS simhash
+    FROM (SELECT doc_id, j, sum(vote) AS s FROM bits GROUP BY doc_id, j)
+    GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprint ({_SIMHASH_BITS}-bit, md5-nibble parity votes):
+    per-bit majority over the document's distinct tokens. Near-dups land at
+    small Hamming distance; the fingerprint doubles as a dedup shard key."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), r"\s+"))).alias("t"),
+    ).filter(F.col("t") != "")
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("j"),
+        "t",
+    ).withColumn(
+        "vote",
+        F.when(
+            F.conv(F.substring(F.md5("t"), F.col("j") + 1, 1), 16, 10).cast("int") % 2
+            == 1,
+            1,
+        ).otherwise(-1),
+    )
+    per_bit = bits.groupBy("doc_id", "j").agg(F.sum("vote").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.expr("IF(s > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))"))
+        .cast("bigint")
+        .alias("simhash")
+    )

@@ -1,1 +1,146 @@
-"""(stub — populated in this round)"""
+"""Multimodal column plumbing (SURVEY.md §2.11).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata
+structs; the Spark-side machinery — schema, partitioning, Arrow batch
+transfer, UDF signatures — is real and tested, while the actual codec step
+is a deterministic STUB (no image/audio libraries exist in this
+environment): ``fake_decode_features`` derives stable pseudo-features from
+the md5 of the payload bytes. Swapping in a real decoder changes only the
+function body, not the pipeline topology.
+
+Scale notes: ``mapInPandas`` processes Arrow record batches (vectorized
+transfer, bounded memory per batch); binary payloads never pass through
+Python row-at-a-time. At 100 TB the payloads live in their own parquet
+column chunks, so metadata-only queries never read the bytes (columnar
+pruning), and ``spark.read.format('binaryFile')`` ingests raw media dirs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as Ty
+
+from ..helpers import T
+from ..registry import query
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize an opaque binary payload + typed metadata from text (the
+    testdata has no real media; payload bytes stand in for an image blob)."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.octet_length(F.encode(F.col(text_col), "utf-8")).alias("n_bytes"),
+            F.md5(F.col(text_col)).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text)                  AS checksum,
+           'image/png'                AS mime
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Metadata-only scan over a binary-payload table: reads the meta
+    struct, never the payload column (columnar pruning is the point)."""
+    d = with_binary_payload(T(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+_FEATURES_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("width", Ty.IntegerType()),
+        Ty.StructField("height", Ty.IntegerType()),
+        Ty.StructField("mean_intensity", Ty.DoubleType()),
+        Ty.StructField("n_bytes", Ty.IntegerType()),
+    ]
+)
+
+
+def fake_decode_features(payload: bytes) -> tuple[int, int, float]:
+    """STUB decoder: derives (width, height, mean_intensity) deterministically
+    from the payload's md5. A real implementation would be e.g.
+    ``PIL.Image.open(io.BytesIO(payload))`` — unavailable in this container.
+    """
+    h = hashlib.md5(payload).digest()
+    width = 64 + h[0] % 192          # 64..255
+    height = 64 + h[1] % 192
+    mean_intensity = round(sum(h) / (len(h) * 255.0), 6)
+    return width, height, mean_intensity
+
+
+def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow record batches in, feature frames out."""
+    for pdf in batches:
+        feats = pdf["payload"].map(fake_decode_features)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": [f[0] for f in feats],
+                "height": [f[1] for f in feats],
+                "mean_intensity": [f[2] for f in feats],
+                "n_bytes": pdf["payload"].map(len),
+            }
+        )
+
+
+@query("multimodal_decode_stub", oracle=None)
+def multimodal_decode_stub(spark, sf_dir):
+    """Decode/feature-extract over binary payloads via Arrow-batched
+    ``mapInPandas`` (deterministic stub codec). Rows-only check; the
+    feature determinism + batch shape are asserted in tests."""
+    d = with_binary_payload(T(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(
+        decode_batch, schema=_FEATURES_SCHEMA
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, frame_idx,
+           md5(concat(text, '#', CAST(frame_idx AS VARCHAR))) AS frame_key
+    FROM (
+      SELECT doc_id, text, unnest(range(0, 1 + n_chars % 4)) AS frame_idx
+      FROM documents WHERE doc_id < 100
+    )
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling topology for video-like payloads: one row per sampled
+    frame index (payload-derived count), frame keys for downstream joins.
+    The explode happens before any decode — at scale you sample indices
+    first and decode only sampled frames."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    frames = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_chars") % 4).cast("int"))
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(
+            F.concat(F.col("text"), F.lit("#"), F.col("frame_idx").cast("string"))
+        ).alias("frame_key"),
+    )

@@ -1,1 +1,241 @@
-"""(stub — populated in this round)"""
+"""Embedding similarity search over ``embeddings`` (SURVEY.md §2.11).
+
+Cosine arithmetic is written so both engines compute *bitwise-identical*
+doubles: each float is cast to double before multiplying, and products are
+summed sequentially in array order (Spark ``F.aggregate`` left-fold ==
+DuckDB ``list_sum(list_transform(list_zip(...)))`` — verified bitwise-equal
+against a Python fold). That makes brute-force top-k rank-stable across
+engines with no tolerance games.
+
+Scale notes: brute-force is the *oracle baseline* (O(Q·N) — fine for a
+bounded query set against a broadcastable index shard). The scale path is
+``knn_lsh_topk``: deterministic random-hyperplane buckets cut the candidate
+set, turning the cross join into a bucket-keyed equi-join — at 100 TB the
+bucket is the shuffle key and each bucket's candidates fit an executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..helpers import T
+from ..registry import query
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+
+def dot_fold(a, b):
+    """Sequential double-precision dot product of two float arrays."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a, b):
+    return dot_fold(a, b) / (F.sqrt(dot_fold(a, a)) * F.sqrt(dot_fold(b, b)))
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT_SQL.format(a=a, b=b)} / "
+        f"(sqrt({_DOT_SQL.format(a=a, b=a)}) * sqrt({_DOT_SQL.format(a=b, b=b)})))"
+    )
+
+
+@query(
+    "knn_topk_cosine",
+    oracle=f"""
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cos_sql('q.embedding', 'c.embedding')} AS sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.vec_id
+             ) AS rank
+      FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def knn_topk_cosine(spark, sf_dir):
+    """Brute-force top-k cosine neighbors for the first {N_QUERIES} vectors
+    — the exact-ANN baseline. Query side is broadcast (tiny); ranking is a
+    per-query window with vec_id tiebreak."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    sims = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("ce")).alias("sim_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+@query(
+    "embeddings_label_stats",
+    oracle=f"""
+    SELECT label,
+           count(*)                        AS n,
+           round(avg(norm), 6)             AS avg_norm,
+           round(min(norm), 6)             AS min_norm,
+           round(max(norm), 6)             AS max_norm
+    FROM (SELECT label, sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
+          FROM embeddings)
+    GROUP BY label
+    """,
+)
+def embeddings_label_stats(spark, sf_dir):
+    """Per-label L2-norm statistics — the embedding-space sanity profile."""
+    e = T(spark, sf_dir, "embeddings")
+    norm = F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+    return (
+        e.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )
+
+
+N_TABLES = 4       # independent LSH tables (recall lever: L tables)
+PLANES_PER_TABLE = 4  # 16 buckets per table (precision lever: k planes)
+
+
+def _plane_sign(plane: int, dim: int) -> int:
+    """Deterministic pseudo-random ±1 from md5 parity (engine-agnostic)."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 else -1
+
+
+def lsh_bucket_expr(emb, table: int, n_planes: int = PLANES_PER_TABLE):
+    """Random-hyperplane bucket id for one LSH table: bit p =
+    sign(emb · plane_{table,p}), planes are ±1 vectors derived from md5 (the
+    index is reproducible on any engine/cluster with no stored model)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        signs = [_plane_sign(table * n_planes + p, d) for d in range(64)]
+        signed = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(float(s)) for s in signs]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(signed > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_table_buckets(df, emb_col: str = "embedding"):
+    """(… , table, bucket) — one row per LSH table per vector. Multi-table
+    LSH: a pair is a candidate if it collides in ANY table; recall =
+    1-(1-p^k)^L with p = 1-angle/pi (Charikar's SimHash LSH)."""
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket_expr(F.col(emb_col), t).alias("bucket"),
+            )
+            for t in range(N_TABLES)
+        ]
+    )
+    return df.withColumn("tb", F.explode(tables)).select(
+        *df.columns, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+@query("knn_lsh_topk", oracle=None)
+def knn_lsh_topk(spark, sf_dir):
+    """Approximate top-k: candidates = vectors sharing any LSH-table bucket
+    with the query (multi-table random hyperplanes), ranked by exact cosine.
+    Rows-only check; tests/test_pipeline.py bounds recall vs the
+    brute-force baseline. The scale path: (table, bucket) is the shuffle
+    key, so candidate generation is an equi-join, not a cross join."""
+    from pyspark.sql import Window
+
+    e = lsh_table_buckets(T(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "table",
+        "bucket",
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        "table",
+        "bucket",
+    )
+    cands = (
+        F.broadcast(q)
+        .join(c, ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qe", "ce")
+        .distinct()
+    )
+    sims = cands.select(
+        "query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("sim_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+@query(
+    "similar_pairs_threshold",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM (SELECT * FROM embeddings WHERE vec_id < 120) a
+    JOIN (SELECT * FROM embeddings WHERE vec_id < 120) b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} > 0.28
+    """,
+)
+def similar_pairs_threshold(spark, sf_dir):
+    """All-pairs similarity above a threshold on a bounded slice — the
+    embedding-dedup primitive (at scale this runs per-LSH-bucket, never
+    globally)."""
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(sim > 0.28)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
+    )

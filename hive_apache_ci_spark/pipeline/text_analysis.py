@@ -1,1 +1,164 @@
-"""(stub — populated in this round)"""
+"""Text analysis operators over ``documents`` (SURVEY.md §2.11).
+
+All expressions are JVM-side (split / HOF / regexp) — no Python UDFs — so
+they pipeline inside whole-stage codegen and scale linearly with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..helpers import T
+from ..registry import query
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+_STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
+
+
+def tokens_col(text="text"):
+    return F.split(F.lower(F.col(text)), r"\s+")
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           (length(text) = n_chars)                       AS chars_ok,
+           len(string_split_regex(lower(text), '\\s+'))   AS n_tokens,
+           len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS n_unique,
+           round(length(replace(text, ' ', '')) * 1.0
+                 / len(string_split_regex(lower(text), '\\s+')) + 1e-9, 6) AS avg_tok_len,
+           round(len(list_distinct(string_split_regex(lower(text), '\\s+'))) * 1.0
+                 / len(string_split_regex(lower(text), '\\s+')) + 1e-9, 6) AS ttr
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Per-document token statistics: counts, uniques, average token
+    length, type-token ratio; validates the n_chars metadata column."""
+    d = T(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_tok = F.size(toks)
+    n_uni = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.length("text") == F.col("n_chars")).alias("chars_ok"),
+        n_tok.alias("n_tokens"),
+        n_uni.alias("n_unique"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * 1.0 / n_tok
+            + F.lit(1e-9),
+            6,
+        ).alias("avg_tok_len"),
+        F.round(n_uni * 1.0 / n_tok + F.lit(1e-9), 6).alias("ttr"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(0.4 * least(n_tokens / 60.0, 1.0)
+                 + 0.3 * least(stop_ratio * 5.0, 1.0)
+                 + 0.3 * ttr + 1e-9, 6) AS quality
+    FROM (
+      SELECT doc_id,
+             len(a) AS n_tokens,
+             len(list_filter(a, t -> t IN {_STOP_SQL})) * 1.0 / len(a) AS stop_ratio,
+             len(list_distinct(a)) * 1.0 / len(a) AS ttr
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+            FROM documents)
+    )
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Composite quality score (length + stopword-ratio + lexical-diversity
+    bands) — the pre-training filter archetype; weights are illustrative."""
+    d = T(spark, sf_dir, "documents")
+    toks = tokens_col()
+    d = d.withColumn("a", toks)
+    n = F.size("a")
+    stop_ratio = (
+        F.size(F.filter("a", lambda t: t.isin(*STOPWORDS))) * 1.0 / n
+    )
+    ttr = F.size(F.array_distinct("a")) * 1.0 / n
+    quality = (
+        0.4 * F.least(n / 60.0, F.lit(1.0))
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + 0.3 * ttr
+    )
+    return d.select("doc_id", F.round(quality + F.lit(1e-9), 6).alias("quality"))
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     t -> t IN {_STOP_SQL})) >= 2
+                THEN 'en' ELSE 'unknown' END AS pred_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-count language-ID heuristic (n-gram-free variant; the corpus
+    vocabulary is English-ish so the detector is en/unknown). Demonstrates
+    the deterministic classifier shape — swap the stopword sets per language
+    for a real multi-language corpus."""
+    d = T(spark, sf_dir, "documents")
+    n_stop = F.size(F.filter(tokens_col(), lambda t: t.isin(*STOPWORDS)))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(n_stop >= 2, "en").otherwise("unknown").alias("pred_lang"),
+    )
+
+
+@query(
+    "text_token_regex",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(lower(text), '\\s+'))        AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+               AS bpe_ish_tokens,
+           len(regexp_extract_all(lower(text), '[0-9]+'))      AS num_tokens
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def text_token_regex(spark, sf_dir):
+    """Token counting two ways: whitespace split vs a BPE-ish regex
+    lexer ([a-z]+ | digits | single punctuation) — the token-budget
+    estimator for training-data accounting."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    low = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.split(low, r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.size(F.regexp_extract_all(low, F.lit(r"[0-9]+"), 0)).alias("num_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text)))                          AS fp,
+           CAST(('0x' || substr(md5(lower(trim(text))), 1, 8)) AS BIGINT) AS fp_bucket
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of normalized text + a 32-bit integer
+    bucket (the shard key a 100 TB dedup pipeline partitions by)."""
+    d = T(spark, sf_dir, "documents")
+    norm = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.select(
+        "doc_id",
+        norm.alias("fp"),
+        F.conv(F.substring(norm, 1, 8), 16, 10).cast("bigint").alias("fp_bucket"),
+    )

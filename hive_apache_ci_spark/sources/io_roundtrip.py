@@ -1,1 +1,208 @@
-"""(stub — populated in this round)"""
+"""File-format round-trips (SURVEY.md §2.2 — FileSinkOperator + SerDes).
+
+Verification trick: each query WRITES a table to scratch in the target
+format, READS it back, and aggregates; the DuckDB oracle computes the same
+aggregate from the *original* table — so a hash match proves the write+read
+pipeline is lossless for the exercised types.
+
+Hive features mirrored: dynamic-partition writes (``partitionBy`` ≙
+``hive.exec.dynamic.partition``), INSERT OVERWRITE (``mode('overwrite')``
+with ``partitionOverwriteMode=dynamic``), ORC/Text(CSV)/JSON SerDes, and
+``TRANSFORM ... USING`` as an Arrow-batched ``mapInPandas`` pipe.
+
+Scale notes: writes repartition by the partition column first so each task
+writes one directory (Hive's SortedDynPartitionOptimizer does exactly
+this); small-file compaction ≙ a pre-write ``repartition(n)``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..helpers import T, r2, ravg
+from ..registry import query
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "hive_apache_ci_spark_io")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_SCRATCH, tag, name)
+
+
+_ORDERS_AGG_ORACLE = """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderstatus,
+           count(*)                    AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1, 2
+"""
+
+
+@query("io_parquet_partitioned", oracle=_ORDERS_AGG_ORACLE)
+def io_parquet_partitioned(spark, sf_dir):
+    """Dynamic-partition parquet write (partitionBy year) + readback with
+    partition discovery; aggregate must equal the source table's."""
+    out = _scratch(sf_dir, "orders_by_year")
+    o = T(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
+    (
+        o.repartition("order_year")  # one writer task per partition dir
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("order_year", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("o_totalprice")).alias("total"))
+        .select(
+            F.col("order_year").cast("int").alias("order_year"),
+            "o_orderstatus",
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "io_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(avg(l_quantity) + 1e-9, 4) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def io_orc_roundtrip(spark, sf_dir):
+    """ORC write + readback (Hive's flagship columnar format — OrcSerde /
+    VectorizedOrcInputFormat; Spark's native vectorized ORC reader)."""
+    out = _scratch(sf_dir, "lineitem_orc")
+    T(spark, sf_dir, "lineitem").write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        r2(F.sum("l_extendedprice")).alias("sum_price"),
+        ravg(F.avg("l_quantity")).alias("avg_qty"),
+    )
+
+
+@query(
+    "io_json_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def io_json_roundtrip(spark, sf_dir):
+    """JSON-lines write + schema-on-read back (JsonSerDe ≙ spark.read.json
+    with explicit schema — no inference nondeterminism)."""
+    out = _scratch(sf_dir, "customer_json")
+    c = T(spark, sf_dir, "customer")
+    c.write.mode("overwrite").json(out)
+    back = spark.read.schema(c.schema).json(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), r2(F.sum("c_acctbal")).alias("total_bal")
+    )
+
+
+@query(
+    "io_csv_roundtrip",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def io_csv_roundtrip(spark, sf_dir):
+    """CSV (LazySimpleSerDe / OpenCSVSerde role) write + typed readback +
+    join — exercises the text SerDe path including headers and quoting."""
+    out_s = _scratch(sf_dir, "supplier_csv")
+    out_n = _scratch(sf_dir, "nation_csv")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    s.write.mode("overwrite").option("header", True).csv(out_s)
+    n.write.mode("overwrite").option("header", True).csv(out_n)
+    s2 = spark.read.schema(s.schema).option("header", True).csv(out_s)
+    n2 = spark.read.schema(n.schema).option("header", True).csv(out_n)
+    return (
+        s2.join(F.broadcast(n2), s2.s_nationkey == n2.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+@query(
+    "io_insert_overwrite_dynamic",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def io_insert_overwrite_dynamic(spark, sf_dir):
+    """INSERT OVERWRITE with dynamic partition overwrite: write all
+    partitions, then overwrite ONLY the >=1996 slice; untouched partitions
+    must survive (Hive ``hive.exec.dynamic.partition.mode=nonstrict`` ≙
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``)."""
+    out = _scratch(sf_dir, "orders_dynpart")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    o = T(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
+    # full write, then dynamic-overwrite the 1996+ years with the same rows
+    o.write.mode("overwrite").partitionBy("order_year").parquet(out)
+    (
+        o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("order_year") >= 1996)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "transform_pipe",
+    oracle="""
+    SELECT doc_id, upper(source) AS src_upper,
+           length(text) * 2      AS double_len
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def transform_pipe(spark, sf_dir):
+    """Hive ``TRANSFORM ... USING 'script'`` (ScriptOperator) as an
+    Arrow-batched mapInPandas pipe — the per-row external-process semantics
+    without the process (the oracle verifies the pipe is lossless)."""
+    from pyspark.sql import types as Ty
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+
+    def pipe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_upper": pdf["source"].str.upper(),
+                    "double_len": pdf["text"].str.len() * 2,
+                }
+            )
+
+    schema = Ty.StructType(
+        [
+            Ty.StructField("doc_id", Ty.LongType()),
+            Ty.StructField("src_upper", Ty.StringType()),
+            Ty.StructField("double_len", Ty.LongType()),
+        ]
+    )
+    return d.select("doc_id", "source", "text").mapInPandas(pipe, schema=schema)

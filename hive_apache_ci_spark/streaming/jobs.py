@@ -1,1 +1,131 @@
-"""(stub — populated in this round)"""
+"""Structured Streaming topologies (SURVEY.md §2.10 — north-star superset).
+
+Hive 2.3 has no continuous-query engine (its 'streaming' is ACID ingest
+only), so these are engine additions with no oracle: the driver records
+rows-only checks, and tests/test_streaming.py asserts stream-vs-batch
+equivalence (the streaming result of a tumbling aggregation must equal the
+batch aggregation of the same files).
+
+Mechanics: the parquet file source replays ``events.parquet`` with
+``Trigger.AvailableNow``, results land in a memory sink, and the finished
+table is returned as a DataFrame. On a real cluster the same topology runs
+unbounded with ``maxFilesPerTrigger`` pacing + checkpointing; watermarks
+bound the aggregation state exactly as they do here.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+
+from ..helpers import r4, ravg
+from ..registry import query
+
+_EVENTS_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("event_id", Ty.LongType()),
+        Ty.StructField("ts", Ty.LongType()),  # nanosAsLong raw int64
+        Ty.StructField("user_id", Ty.LongType()),
+        Ty.StructField("event_type", Ty.StringType()),
+        Ty.StructField("value", Ty.DoubleType()),
+        Ty.StructField("props", Ty.StringType()),
+    ]
+)
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """The file stream source requires a *directory*; stage events.parquet
+    into a scratch dir (testdata itself is read-only). Idempotent per sf."""
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join("/tmp", "hive_apache_ci_spark_stream", tag, "events")
+    marker = os.path.join(out, "events.parquet")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), marker)
+    return out
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded stream (file source; schema must be
+    explicit for streaming reads). ts: int64 ns → timestamp, as in catalog."""
+    from ..session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_events_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming aggregation to completion (AvailableNow) into a
+    memory sink and return the materialized table."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+@query("stream_tumbling_counts", oracle=None)
+def stream_tumbling_counts(spark, sf_dir):
+    """Streaming tumbling-window aggregation with a 10-minute watermark —
+    the Structured Streaming form of events_tumbling_hour."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), ravg(F.sum("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@query("stream_dedup_watermark", oracle=None)
+def stream_dedup_watermark(spark, sf_dir):
+    """Streaming deduplication on event_id within a watermark
+    (``dropDuplicatesWithinWatermark`` — the streaming form of exact dedup)
+    followed by per-type counts."""
+    s = events_stream(spark, sf_dir)
+    deduped = s.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _run_to_memory(agg, "complete")
+
+
+@query("stream_session_counts", oracle=None)
+def stream_session_counts(spark, sf_dir):
+    """Streaming session windows (30-minute gap) per user — stateful
+    session assignment with watermark-bounded state."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")

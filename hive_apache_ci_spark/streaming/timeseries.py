@@ -1,1 +1,189 @@
-"""(stub — populated in this round)"""
+"""Batch time-series window aggregations over ``events`` (SURVEY.md §2.10).
+
+Buckets are surfaced as *epoch seconds* (bigint) on both engines so the
+driver's hash compares integers, not engine-specific timestamp renderings.
+Spark's ``F.window`` is epoch-aligned (origin 1970-01-01), which the DuckDB
+oracles reproduce with integer arithmetic on ``floor(epoch(ts))``.
+
+Scale notes: tumbling/session aggregation shuffles once on (bucket, key) /
+(user) — the partial-agg shape; the sliding window fans each row into
+window/slide buckets (4× here) *before* the partial agg, identical to
+Spark's own Expand-based implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..helpers import T, r4, ravg
+from ..registry import query
+
+
+@query(
+    "events_tumbling_hour",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_start,
+           event_type,
+           count(*)             AS n,
+           round(sum(value) + 1e-9, 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hour(spark, sf_dir):
+    """Tumbling 1-hour window aggregation (``F.window``)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), ravg(F.sum("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_hour",
+    oracle="""
+    SELECT bucket_start, count(*) AS n, round(avg(value) + 1e-9, 4) AS avg_value
+    FROM (
+      SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k * 900 AS bucket_start,
+             value
+      FROM events, unnest([0, 1, 2, 3]) AS u(k)
+    )
+    GROUP BY bucket_start
+    """,
+)
+def events_sliding_hour(spark, sf_dir):
+    """Sliding window: 1-hour length, 15-minute slide — every event lands in
+    exactly 4 buckets (oracle expands the 4 offsets arithmetically)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), ravg(F.avg("value")).alias("avg_value"))
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"), "n", "avg_value"
+        )
+    )
+
+
+@query(
+    "events_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*)             AS n_events,
+           round(sum(value) + 1e-9, 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark, sf_dir):
+    """Session window, 30-minute gap (``F.session_window`` — the stateful
+    operator Hive cannot express; batch form is oracle-able via
+    gaps-and-islands SQL)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), ravg(F.sum("value")).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_hourly_to_daily_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+             event_type,
+             count(*)      AS n,
+             sum(value)    AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(floor(h / 86400) AS BIGINT) * 86400 AS day_start,
+           event_type,
+           CAST(sum(n) AS BIGINT)  AS n,
+           round(sum(sv) + 1e-9, 4)  AS sum_value,
+           count(*)                AS n_hours
+    FROM hourly
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_to_daily_rollup(spark, sf_dir):
+    """Hypertable-style hierarchical rollup: hourly partials re-aggregated
+    to daily (the continuous-aggregate pattern — at 100 TB the hourly layer
+    is materialized once and the daily layer reads it, not the raw data)."""
+    e = T(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .select(F.col("w.start").cast("long").alias("h"), "event_type", "n", "sv")
+    )
+    return (
+        hourly.groupBy(
+            (F.floor(F.col("h") / 86400) * 86400).cast("long").alias("day_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            ravg(F.sum("sv")).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+    )
+
+
+@query(
+    "events_gap_analysis",
+    oracle="""
+    SELECT user_id,
+           count(*)                                              AS n_events,
+           CAST(max(gap_s) AS BIGINT)                            AS max_gap_s,
+           CAST(min(gap_s) AS BIGINT)                            AS min_gap_s
+    FROM (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+               AS gap_s
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+)
+def events_gap_analysis(spark, sf_dir):
+    """Inter-event gap statistics per user (lag over time order) — the
+    time-series idiom behind retention/heartbeat analyses."""
+    e = T(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.withColumn(
+        "gap_s",
+        F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.min("gap_s").alias("min_gap_s"),
+    )

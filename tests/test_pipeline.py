@@ -1,0 +1,66 @@
+"""LLM-pipeline operator tests: LSH recall bounds, minhash internals,
+multimodal decode determinism and batch plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_apache_ci_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    qs = all_queries()
+    exact = {
+        (r.query_id, r.neighbor_id) for r in qs["knn_topk_cosine"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in qs["knn_lsh_topk"](spark, SF_DIR).collect()
+    }
+    # every LSH hit must be a real vector pair, and LSH must find a sane
+    # fraction of the true top-k (8 hyperplanes over random 64-d vectors
+    # is a coarse index; bound is deliberately loose but nonzero)
+    assert approx, "LSH produced no candidates at all"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.05, f"recall collapsed: {recall}"
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark):
+    """Any pair with high true Jaccard must be caught by LSH banding
+    (8 bands x 2 rows => P(miss) = (1 - s^2)^8; s=0.5 -> ~10%, s>=0.7 -> <0.4%)."""
+    qs = all_queries()
+    jac = qs["dedup_ngram_jaccard"](spark, SF_DIR).collect()
+    cands = {
+        (r.doc_a, r.doc_b) for r in qs["dedup_minhash_lsh"](spark, SF_DIR).collect()
+    }
+    high = [(r.doc_a, r.doc_b) for r in jac if r.jaccard >= 0.5]
+    missed = [p for p in high if p not in cands]
+    assert len(missed) <= max(1, len(high) // 3), (high, missed)
+
+
+def test_simhash_range(spark):
+    rows = all_queries()["dedup_simhash"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    assert all(0 <= r.simhash < 2**16 for r in rows)
+
+
+def test_multimodal_decode_deterministic(spark):
+    q = all_queries()["multimodal_decode_stub"]
+    a = sorted(tuple(r) for r in q(spark, SF_DIR).collect())
+    b = sorted(tuple(r) for r in q(spark, SF_DIR).collect())
+    assert a == b
+    assert len(a) == 500
+    for (_doc, w, h, mi, nb) in a[:20]:
+        assert 64 <= w <= 255 and 64 <= h <= 255
+        assert 0.0 <= mi <= 1.0
+        assert nb > 0
+
+
+def test_multimodal_payload_checksum_consistent(spark):
+    from hive_apache_ci_spark.pipeline.multimodal import with_binary_payload
+    from hive_apache_ci_spark.helpers import T
+
+    d = with_binary_payload(T(spark, SF_DIR, "documents"))
+    bad = d.filter(F.md5(F.col("payload")) != F.col("meta.checksum")).count()
+    assert bad == 0
