@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Protocol matches BASELINE.md: warm timing (2nd run, same process), session
+startup excluded, ANSI off / UTC / nanosAsLong configs identical to the
+recorded baseline. ``value`` is the sum of the three baseline-comparable
+queries (q1-agg-shaped, 4-way-join-shaped, window-shaped); further
+engine-specific headliners (dedup/LSH/knn/session windows) are reported in
+``queries`` for trend tracking.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# The three names comparable to BASELINE.md's q1_agg / q3_join / qw_window:
+BASELINE_COMPARABLE = ("q1_pricing_summary", "join_broadcast_star", "window_moving_rows")
+EXTRA_HEADLINERS = (
+    "tpch_q5_local_supplier",
+    "events_session_window",
+    "dedup_minhash_lsh",
+    "knn_topk_cosine",
+    "text_quality_score",
+)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from hive_apache_ci_spark.registry import all_queries
+    from hive_apache_ci_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    for name in (*BASELINE_COMPARABLE, *EXTRA_HEADLINERS):
+        fn = queries[name]
+        fn(spark, sf_dir).collect()  # cold run: plan + JIT + page cache
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()  # warm run: the recorded number
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(timings[n] for n in BASELINE_COMPARABLE), 4)
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_warm_total (q1_agg+q3_join+qw_window shapes)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
