@@ -235,3 +235,52 @@ def context_ngrams(df: DataFrame, text_col: str, context: list[str | None], k: i
         .orderBy(F.col("estfrequency").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# matchpath — Hive PTF (ql/udf/ptf/MatchPath.java): row-sequence regex per
+# partition. Fixed-length patterns decompose into lead() comparisons (see
+# operators/extensions.matchpath_sessions); this is the general
+# variable-length form (e.g. "A.B*.C") as a grouped-map pandas function.
+# ---------------------------------------------------------------------------
+
+
+def matchpath(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: list[str],
+    symbol_col: str,
+    pattern: str,
+    out_schema: str = "part bigint, start_idx int, match_len int",
+):
+    """Match a regex over the per-partition sequence of symbols.
+
+    ``pattern`` is a regex over single-character symbol codes; callers map
+    their symbol column to one char per row (the classic MatchPath encoding).
+    Returns one row per (non-overlapping, leftmost) match:
+    (partition value, 0-based start index in the ordered sequence, length).
+
+    Scale: ``applyInPandas`` shuffles once on the partition key and streams
+    each group through Arrow — a partition's rows must fit in worker memory,
+    the same constraint Hive's PTFRowContainer spills under.
+    """
+    import re
+
+    import pandas as pd  # noqa: F401  (re-exported for workers)
+
+    rx = re.compile(pattern)
+
+    def find(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        seq = "".join(pdf[symbol_col].astype(str))
+        rows = []
+        for m in rx.finditer(seq):
+            if m.end() > m.start():
+                rows.append(
+                    (pdf[partition_col].iloc[0], m.start(), m.end() - m.start())
+                )
+        return pd.DataFrame(rows, columns=["part", "start_idx", "match_len"])
+
+    return df.groupBy(partition_col).applyInPandas(find, schema=out_schema)

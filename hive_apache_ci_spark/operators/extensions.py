@@ -1,0 +1,259 @@
+"""UDF / UDAF / UDTF extension surface (SURVEY.md §2.9) + pivot/sample.
+
+Hive extension points and their Spark owners, each exercised by a query:
+
+- legacy ``UDF`` + ``GenericUDF``  → ``spark.udf.register`` / ``@F.udf``
+  (kept OUT of hot paths — here a vectorized ``@pandas_udf`` instead);
+- ``GenericUDTF``                  → Python ``@F.udtf``;
+- ``TRANSFORM ... USING 'cmd'``    → Spark SQL TRANSFORM with a real
+  external process (ScriptOperator parity, /bin/cat identity pipe);
+- ``CREATE TEMPORARY MACRO``       → a Python helper returning a Column;
+- ``reflect``/``java_method``      → JVM reflection call;
+- ``TABLESAMPLE``                  → ``df.sample`` (seeded, rows-only);
+- ``.pivot()``                     → Spark bonus surface (no Hive
+  equivalent), oracle via conditional aggregation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..helpers import T, r2
+from ..registry import query
+
+
+@query(
+    "pandas_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * 1.07 * 10000 + 0.5) / 10000
+               AS priced
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+)
+def pandas_udf_scalar(spark, sf_dir):
+    """Vectorized scalar pandas UDF (Arrow batches — the GenericUDF
+    replacement that doesn't abandon columnar transfer)."""
+
+    @F.pandas_udf("double")
+    def priced(price: pd.Series, disc: pd.Series) -> pd.Series:
+        # explicit half-away rounding: pandas .round() is half-even, which
+        # diverges from SQL round() exactly on the half-boundaries this
+        # product lands on; the oracle mirrors this same formula bitwise
+        import numpy as np
+
+        return np.floor(price * (1 - disc) * 1.07 * 10000 + 0.5) / 10000
+
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        priced("l_extendedprice", "l_discount").alias("priced"),
+    )
+
+
+@query(
+    "python_udf_registered",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 400000 THEN 'XL'
+                WHEN o_totalprice >= 200000 THEN 'L'
+                ELSE 'S' END AS size_band
+    FROM orders WHERE o_orderkey <= 400
+    """,
+)
+def python_udf_registered(spark, sf_dir):
+    """``spark.udf.register`` + use from SQL text — the ``CREATE FUNCTION``
+    path (row-at-a-time Python; deliberately tiny input, see §2.9 note)."""
+
+    def band(p: float) -> str:
+        return "XL" if p >= 400000 else ("L" if p >= 200000 else "S")
+
+    spark.udf.register("size_band_udf", band, "string")
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(
+        "SELECT o_orderkey, size_band_udf(o_totalprice) AS size_band "
+        "FROM orders WHERE o_orderkey <= 400"
+    )
+
+
+@query(
+    "python_udtf",
+    oracle="""
+    SELECT r_regionkey, part FROM (
+      SELECT r_regionkey, unnest(string_split(r_name, ' ')) AS part FROM region
+    )
+    """,
+)
+def python_udtf(spark, sf_dir):
+    """Python ``@udtf`` (GenericUDTF parity: 1 row → N rows via forward())."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="r_regionkey int, part string")
+    class SplitName:
+        def eval(self, key: int, name: str):
+            for part in name.split(" "):
+                yield key, part
+
+    spark.udtf.register("split_name", SplitName)
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(
+        "SELECT s.r_regionkey, s.part FROM region, "
+        "LATERAL split_name(r_regionkey, r_name) s"
+    )
+
+
+@query(
+    "transform_using_script",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS k, c_mktsegment AS seg
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def transform_using_script(spark, sf_dir):
+    """Hive ``TRANSFORM ... USING 'cmd'`` with a REAL external process
+    (/bin/cat identity pipe) — ScriptOperator parity including the
+    tab-delimited row codec both directions."""
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(
+        """
+        SELECT TRANSFORM (c_custkey, c_mktsegment)
+               USING 'cat'
+               AS (k string, seg string)
+        FROM customer WHERE c_custkey <= 200
+        """
+    )
+
+
+def discount_value_macro(price, discount):
+    """``CREATE TEMPORARY MACRO discount_value(p, d) p*(1-d)`` — Hive macros
+    are expression templates; in Python-first Spark that's exactly a helper
+    returning a Column expression (GenericUDFMacro parity)."""
+    return price * (1 - discount)
+
+
+@query(
+    "macro_expression",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS discounted
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
+def macro_expression(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            discount_value_macro(F.col("l_extendedprice"), F.col("l_discount")), 4
+        ).alias("discounted"),
+    )
+
+
+@query(
+    "java_method_reflect",
+    oracle="""
+    SELECT p_partkey,
+           CAST(greatest(p_size, 25) AS VARCHAR) AS max_sz,
+           lower(to_hex(p_size))                 AS size_hex
+    FROM part WHERE p_partkey <= 300
+    """,
+)
+def java_method_reflect(spark, sf_dir):
+    """``reflect``/``java_method`` — JVM reflection UDF (Hive
+    GenericUDFReflect): static Math.max and Integer.toHexString via reflection (java_method resolves static methods only)."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.java_method(
+            F.lit("java.lang.Math"), F.lit("max"), F.col("p_size"), F.lit(25)
+        ).alias("max_sz"),
+        F.java_method(
+            F.lit("java.lang.Integer"), F.lit("toHexString"), F.col("p_size")
+        ).alias("size_hex"),
+    )
+
+
+@query(
+    "pivot_segments",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN o_totalprice END), 2) AS automobile,
+           round(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN o_totalprice END), 2) AS building,
+           round(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN o_totalprice END), 2) AS machinery
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def pivot_segments(spark, sf_dir):
+    """``.pivot()`` — Spark bonus surface (Hive has no pivot); oracle is the
+    equivalent conditional aggregation."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("c_mktsegment", ["AUTOMOBILE", "BUILDING", "MACHINERY"])
+        .agg(r2(F.sum("o_totalprice")))
+        .select(
+            "order_year",
+            F.col("AUTOMOBILE").alias("automobile"),
+            F.col("BUILDING").alias("building"),
+            F.col("MACHINERY").alias("machinery"),
+        )
+    )
+
+
+@query("tablesample_seeded", oracle=None)
+def tablesample_seeded(spark, sf_dir):
+    """TABLESAMPLE (n PERCENT) ≙ df.sample(fraction, seed) — deterministic
+    for a fixed seed+partitioning but not SQL-reproducible → rows-only
+    (Hive's SplitSample has the same engine-specific granularity)."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "matchpath_sessions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             lead(event_type)    OVER w AS next_type,
+             lead(event_type, 2) OVER w AS next2_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS start_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, start_s
+    FROM seq
+    WHERE event_type = 'signup' AND next_type = 'view' AND next2_type = 'purchase'
+    """,
+)
+def matchpath_sessions(spark, sf_dir):
+    """Hive ``matchpath`` PTF (ql/udf/ptf/MatchPath.java): row-sequence
+    pattern matching per partition. The common fixed-length pattern
+    (signup → view → purchase) decomposes exactly into lead() comparisons —
+    no Python needed; variable-length patterns (A.B*.C) use the
+    applyInPandas matcher in tests/test_extensions.py."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("start_s"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("event_type", 2).over(w).alias("next2_type"),
+    )
+    return seq.filter(
+        (F.col("event_type") == "signup")
+        & (F.col("next_type") == "view")
+        & (F.col("next2_type") == "purchase")
+    ).select("user_id", "start_s")

@@ -268,3 +268,38 @@ def window_percent(spark, sf_dir):
             "share_of_segment"
         ),
     )
+
+
+@query(
+    "window_range_interval",
+    oracle="""
+    SELECT user_id, event_id,
+           count(*) OVER w AS n_last_2h,
+           round(sum(value) OVER w + 1e-9, 4) AS sum_last_2h
+    FROM (SELECT user_id, event_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                 RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_interval(spark, sf_dir):
+    """Time-interval RANGE frame (Hive TimestampValueBoundaryScanner):
+    per-user rolling 2-hour window over event time — the time-series
+    sliding-aggregate idiom that needs no bucket alignment."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    # rangeBetween needs a numeric order key for interval offsets in the
+    # DataFrame API: order by epoch seconds (cast is exact integer seconds).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-2 * 3600, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_2h"),
+        ravg(F.sum("value").over(w)).alias("sum_last_2h"),
+    )

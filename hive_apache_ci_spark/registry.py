@@ -65,7 +65,16 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .operators import aggregates, joins, lateral, relational, setops, subqueries, windows  # noqa: F401
+    from .operators import (  # noqa: F401
+        aggregates,
+        extensions,
+        joins,
+        lateral,
+        relational,
+        setops,
+        subqueries,
+        windows,
+    )
     from .functions import expressions, hive_compat_queries  # noqa: F401
     from .sources import io_roundtrip  # noqa: F401
     from .streaming import timeseries, jobs  # noqa: F401

@@ -51,6 +51,9 @@ BUILD_CONFS: dict[str, str] = {
     "spark.driver.memory": "8g",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # managed-table location for bucketed saveAsTable (SMB joins) — keep the
+    # repo clean and scratch-resident
+    "spark.sql.warehouse.dir": "/tmp/hive_apache_ci_spark_warehouse",
 }
 
 
