@@ -367,3 +367,57 @@ def expr_struct_nested(spark, sf_dir):
         F.col("info.name").alias("nm"),
         F.col("info.region").alias("reg"),
     )
+
+
+@query(
+    "expr_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_size & 15                                  AS and15,
+           p_size | 16                                  AS or16,
+           xor(p_size, 5)                               AS xor5,
+           ~p_size                                      AS notv,
+           p_size << 2                                  AS shl2,
+           p_size >> 1                                  AS shr1
+    FROM part WHERE p_partkey <= 400
+    """,
+)
+def expr_bitwise(spark, sf_dir):
+    """Bitwise operator family (& | ^ ~ shiftleft shiftright — all in the
+    Hive registry)."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    return p.select(
+        "p_partkey",
+        F.expr("p_size & 15").alias("and15"),
+        F.expr("p_size | 16").alias("or16"),
+        F.expr("p_size ^ 5").alias("xor5"),
+        F.expr("~p_size").alias("notv"),
+        F.expr("shiftleft(p_size, 2)").alias("shl2"),
+        F.expr("shiftright(p_size, 1)").alias("shr1"),
+    )
+
+
+@query(
+    "expr_elt_choose",
+    oracle="""
+    SELECT o_orderkey,
+           CASE (o_orderkey % 3) + 1 WHEN 1 THEN 'gold' WHEN 2 THEN 'silver'
+                WHEN 3 THEN 'bronze' END                        AS tier,
+           CASE WHEN o_orderstatus = 'O' THEN 'open'
+                WHEN o_orderstatus = 'F' THEN 'final'
+                ELSE 'other' END                                AS status_name
+    FROM orders WHERE o_orderkey <= 400
+    """,
+)
+def expr_elt_choose(spark, sf_dir):
+    """elt(n, v1, v2, ...) — 1-based list pick (Hive UDFElt), plus its
+    decode-style CASE cousin."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    return o.select(
+        "o_orderkey",
+        F.expr("elt((o_orderkey % 3) + 1, 'gold', 'silver', 'bronze')").alias("tier"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "final")
+        .otherwise("other")
+        .alias("status_name"),
+    )

@@ -347,3 +347,30 @@ def agg_histogram(spark, sf_dir):
             F.expr("transform(qty_hist, b -> round(b.x, 2))").alias("bin_centers"),
         )
     )
+
+
+@query(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_dec,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS qty_dec
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact(spark, sf_dir):
+    """Exact DECIMAL aggregation (Hive decimal(p,s) semantics, §1.3):
+    summing as decimal is order-insensitive and exact, so no rounding or
+    epsilon games are needed — the final cast to double is purely for a
+    type-stable comparison (Spark sum(decimal(18,2))→decimal(28,2) vs
+    DuckDB →decimal(38,2))."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_dec"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("qty_dec"),
+    )

@@ -108,3 +108,35 @@ def set_except_all(spark, sf_dir):
     return _year_slice(spark, sf_dir, "1995-01-01", "1996-01-01").exceptAll(
         _year_slice(spark, sf_dir, "1996-01-01", "1997-01-01")
     )
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT k, v, src FROM (
+      SELECT c_custkey AS k, round(c_acctbal, 2) AS v, 'cust' AS src
+      FROM customer WHERE c_custkey <= 100
+      UNION ALL
+      SELECT s_suppkey AS k, round(s_acctbal, 2) AS v, 'supp' AS src
+      FROM supplier
+    )
+    """,
+)
+def set_union_by_name(spark, sf_dir):
+    """unionByName with allowMissingColumns — schema-aligned union (Hive
+    requires positional UNION; Spark's by-name form is the safe superset)."""
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.round("c_acctbal", 2).alias("v"),
+            F.lit("cust").alias("src"),
+        )
+    )
+    s = T(spark, sf_dir, "supplier").select(
+        F.lit("supp").alias("src"),
+        F.round("s_acctbal", 2).alias("v"),
+        F.col("s_suppkey").alias("k"),
+    )  # deliberately different column ORDER — unionByName must align
+    return c.unionByName(s)

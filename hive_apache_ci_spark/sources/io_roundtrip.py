@@ -206,3 +206,57 @@ def transform_pipe(spark, sf_dir):
         ]
     )
     return d.select("doc_id", "source", "text").mapInPandas(pipe, schema=schema)
+
+
+@query(
+    "io_hive_text_delimited",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n, string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def io_hive_text_delimited(spark, sf_dir):
+    """Hive's default text SerDe (LazySimpleSerDe, \\x01 field delimiter):
+    write nation as ctrl-A-separated text, read it back with an explicit
+    schema, aggregate — proves the delimited-text codec both directions."""
+    out = _scratch(sf_dir, "nation_x01")
+    n = T(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("sep", "\x01").csv(out)
+    back = spark.read.schema(n.schema).option("sep", "\x01").csv(out)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("names"),
+    )
+
+
+@query(
+    "io_regex_serde",
+    oracle="""
+    SELECT CAST(regexp_extract(line, '^\\[(\\d+)\\]', 1) AS BIGINT) AS key,
+           regexp_extract(line, 'seg=(\\w+)', 1)  AS seg,
+           CAST(regexp_extract(line, 'bal=(-?\\d+)', 1) AS BIGINT) AS bal_int
+    FROM (SELECT concat('[', CAST(c_custkey AS VARCHAR), '] seg=', c_mktsegment,
+                        ' bal=', CAST(CAST(trunc(c_acctbal) AS BIGINT) AS VARCHAR)) AS line
+          FROM customer)
+    """,
+)
+def io_regex_serde(spark, sf_dir):
+    """RegexSerDe role (SURVEY.md §2.2): log-style lines written to text,
+    re-parsed at scan time by regexp_extract projection — schema-on-read
+    over unstructured text."""
+    out = _scratch(sf_dir, "customer_log")
+    c = T(spark, sf_dir, "customer")
+    lines = c.select(
+        F.concat(
+            F.lit("["), F.col("c_custkey").cast("string"), F.lit("] seg="),
+            F.col("c_mktsegment"), F.lit(" bal="),
+            F.col("c_acctbal").cast("bigint").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.select(
+        F.regexp_extract("value", r"^\[(\d+)\]", 1).cast("bigint").alias("key"),
+        F.regexp_extract("value", r"seg=(\w+)", 1).alias("seg"),
+        F.regexp_extract("value", r"bal=(-?\d+)", 1).cast("bigint").alias("bal_int"),
+    )
