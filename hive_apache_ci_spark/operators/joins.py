@@ -494,3 +494,128 @@ def tpch_q18_large_orders(spark, sf_dir):
         )
         .limit(25)
     )
+
+
+@query(
+    "tpch_q12_priority_bands",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS finished_count,
+           CAST(sum(CASE WHEN o.o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS open_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l.l_quantity > 45
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q12_priority_bands(spark, sf_dir):
+    """TPC-H Q12 adapted: conditional-sum banding after a selective
+    fact-side filter (the CASE-inside-SUM aggregation pattern)."""
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+    )
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "finished_count"
+            ),
+            F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)).alias(
+                "open_count"
+            ),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def tpch_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 adapted: promo revenue share — a global (single-group)
+    conditional ratio with a broadcast dimension join."""
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = T(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+                / F.sum(rev)
+                + F.lit(1e-9),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q19_or_chain",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def tpch_q19_or_chain(spark, sf_dir):
+    """TPC-H Q19 adapted: disjunctive multi-branch predicate spanning both
+    join sides (Hive's PointLookupOptimizer / Catalyst OptimizeIn +
+    predicate-split territory — the OR-chain must still permit the equi
+    hash join on partkey with residual disjunction)."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -187,3 +187,39 @@ def limit_offset(spark, sf_dir):
         .offset(50)
         .limit(100)
     )
+
+
+_SLICE = "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey <= 2000"
+
+
+@query("hive_sort_by", oracle=_SLICE)
+def hive_sort_by(spark, sf_dir):
+    """HiveQL ``SORT BY`` — per-reducer (per-partition) order only
+    (ReduceSinkOperator without a total order). The row multiset is
+    unchanged, so the order-insensitive oracle is the plain selection."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select("o_orderkey", "o_custkey", "o_orderstatus").sortWithinPartitions(
+        "o_custkey", "o_orderkey"
+    )
+
+
+@query("hive_distribute_by", oracle=_SLICE)
+def hive_distribute_by(spark, sf_dir):
+    """HiveQL ``DISTRIBUTE BY`` — hash-partition rows by expression
+    (ReduceSink partition columns) with no ordering guarantee."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select("o_orderkey", "o_custkey", "o_orderstatus").repartition(
+        8, "o_custkey"
+    )
+
+
+@query("hive_cluster_by", oracle=_SLICE)
+def hive_cluster_by(spark, sf_dir):
+    """HiveQL ``CLUSTER BY`` = DISTRIBUTE BY + SORT BY on the same columns —
+    the co-location property SMB joins and bucketed writes rely on."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return (
+        o.select("o_orderkey", "o_custkey", "o_orderstatus")
+        .repartition(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+    )

@@ -57,18 +57,26 @@ BUILD_CONFS: dict[str, str] = {
 }
 
 
+_CONFS_APPLIED: set[int] = set()
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply Hive-semantics confs to an externally created session.
 
     Safe to call repeatedly; used by ``catalog.load_tables`` so that even the
-    driver's own SparkSession reads the testdata correctly.
+    driver's own SparkSession reads the testdata correctly. Short-circuits
+    per session object — each conf.set is a py4j round-trip, and the catalog
+    calls this on every table load.
     """
+    if id(spark) in _CONFS_APPLIED:
+        return spark
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
         except Exception:
             # Non-settable on this build — keep going; reads may still work.
             pass
+    _CONFS_APPLIED.add(id(spark))
     return spark
 
 
