@@ -9,11 +9,17 @@ value-hash → CORRECTNESS_r{N}.json).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hive_apache_ci_spark.registry import all_oracles, all_queries
+# the engine package lives next to this file; make the import robust to the
+# driver invoking us from a different working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hive_apache_ci_spark.registry import all_oracles, all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

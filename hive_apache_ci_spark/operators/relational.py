@@ -223,3 +223,21 @@ def hive_cluster_by(spark, sf_dir):
         .repartition(8, "o_custkey")
         .sortWithinPartitions("o_custkey")
     )
+
+
+@query("virtual_columns_metadata", oracle=None)
+def virtual_columns_metadata(spark, sf_dir):
+    """Hive virtual columns (SURVEY.md §1.3): INPUT__FILE__NAME →
+    ``input_file_name()`` / the ``_metadata`` struct (file path, size,
+    modification time); BLOCK__OFFSET has no Spark equivalent. Rows-only:
+    paths are environment-specific."""
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.select(
+            F.input_file_name().alias("input_file"),
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.file_size").alias("file_size"),
+        )
+        .groupBy("input_file", "file_name", "file_size")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

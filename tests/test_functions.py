@@ -122,3 +122,24 @@ def test_parse_url_tuple(spark):
         *hc.parse_url_tuple(F.col("url"), "HOST", "PATH", "QUERY:y", "REF")
     ).collect()[0]
     assert (row.host, row.path, row.query_y, row.ref) == ("ex.org", "/a/b", "8", "frag")
+
+
+def test_str_to_map(spark):
+    got = one(spark, F.expr("str_to_map('a:1,b:2', ',', ':')"))
+    assert got == {"a": "1", "b": "2"}
+
+
+def test_sentences(spark):
+    got = one(spark, F.sentences(F.lit("Hello world. How are you?")))
+    assert got == [["Hello", "world"], ["How", "are", "you"]]
+
+
+def test_char_varchar_padding(spark):
+    """Documented divergence (SURVEY.md §1.3): Hive CHAR(n) pads on
+    comparison; Spark's CAST AS CHAR(n) does NOT pad the value (padding
+    applies on table reads via spark.sql.readSideCharPadding). Hive-compat
+    comparisons therefore rpad explicitly."""
+    df = spark.sql("SELECT CAST('ab' AS CHAR(5)) = CAST('ab   ' AS CHAR(5)) AS eq")
+    assert df.collect()[0].eq is False  # Spark cast keeps the raw value
+    df2 = spark.sql("SELECT rpad('ab', 5, ' ') = 'ab   ' AS eq")
+    assert df2.collect()[0].eq is True
