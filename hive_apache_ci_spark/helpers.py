@@ -37,3 +37,36 @@ def ravg(c: Column, nd: int = 4) -> Column:
 def ts_lit(s: str) -> Column:
     """Timestamp literal (testdata 'date' columns are parquet timestamps)."""
     return F.lit(s).cast("timestamp")
+
+
+def salted_join(
+    skewed,
+    other,
+    skewed_key: str,
+    other_key: str,
+    n_salt: int = 16,
+    how: str = "inner",
+):
+    """Skew-mitigated equi-join (Hive SkewJoinOptimizer / SKEWED BY role,
+    SURVEY.md §2.3): the skewed (fact) side gets a random salt in
+    [0, n_salt); the other side is replicated n_salt times; the join key
+    becomes (key, salt), splitting each hot key across n_salt reducers.
+
+    AQE's skew-join split handles most cases automatically; explicit
+    salting remains the tool when a single key exceeds what one executor
+    can hold even after AQE splits (the 100 TB hot-key escape hatch).
+    Row-level results are identical to the plain join.
+    """
+    from pyspark.sql import functions as F
+
+    salted = skewed.withColumn("_salt", (F.rand(seed=42) * n_salt).cast("int"))
+    replicated = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    out = salted.join(
+        replicated,
+        (salted[skewed_key] == replicated[other_key])
+        & (salted["_salt"] == replicated["_salt"]),
+        how,
+    )
+    return out.drop("_salt")

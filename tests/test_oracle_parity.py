@@ -21,3 +21,14 @@ def test_query_matches_oracle(spark, duck, name):
     res = compare_one(spark, duck, name, SF_DIR)
     assert res["status"] in ("MATCH", "ROWS_ONLY"), res
     assert res["rows"] >= 0
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """approx_count_distinct (HLL++, rsd default 5%) must stay within 10%
+    of exact on every group (Hive 2.3 has exact-only; this bounds our
+    superset's error)."""
+    from hive_apache_ci_spark.registry import all_queries
+
+    rows = all_queries()["agg_approx_distinct"](spark, SF_DIR).collect()
+    for r in rows:
+        assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.10, r

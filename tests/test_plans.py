@@ -94,3 +94,44 @@ def test_minhash_no_cartesian(spark):
 def test_knn_broadcasts_query_side(spark):
     p = plan(spark, "knn_topk_cosine")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Skew-salting must be a pure physical rewrite: same rows out."""
+    from hive_apache_ci_spark.helpers import T, salted_join
+
+    l = T(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    p = T(spark, SF_DIR, "part").select("p_partkey", "p_brand")
+    plain = l.join(p, l.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_partkey", "p_brand"
+    )
+    salted = salted_join(l, p, "l_partkey", "p_partkey", n_salt=8).select(
+        "l_orderkey", "l_partkey", "p_brand"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_persist_cache_role(spark):
+    """LLAP's cache role (SURVEY.md §4.3) → df.persist: the cached plan must
+    show InMemoryTableScan on reuse and produce identical results."""
+    from hive_apache_ci_spark.helpers import T
+    from pyspark.sql import functions as F
+
+    hot = (
+        T(spark, SF_DIR, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    first = hot.count()
+    p = plan_of(hot.filter(F.col("n") > 2))
+    assert "InMemoryTableScan" in p
+    assert hot.count() == first
+    hot.unpersist()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
