@@ -122,3 +122,63 @@ def subquery_in_select(spark, sf_dir):
     """IN subquery used as a projected boolean (not a filter) — exercises
     the existence-join plan shape."""
     return _sql(spark, sf_dir, _IN_SELECT_SQL)
+
+
+_Q2_SQL = """
+SELECT p.p_partkey, p.p_brand, s.s_suppkey, round(s.s_acctbal, 2) AS acctbal
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE p.p_size = 10
+  AND s.s_acctbal = (SELECT max(s2.s_acctbal)
+                     FROM supplier s2 JOIN lineitem l2 ON l2.l_suppkey = s2.s_suppkey
+                     WHERE l2.l_partkey = p.p_partkey)
+GROUP BY p.p_partkey, p.p_brand, s.s_suppkey, s.s_acctbal
+ORDER BY p.p_partkey
+"""
+
+
+@query("tpch_q2_min_cost_supplier", oracle=_Q2_SQL)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 adapted (best supplier per part): correlated aggregate
+    subquery against the outer join key — the decorrelation pattern
+    (HiveRelDecorrelator / Catalyst RewriteCorrelatedScalarSubquery)."""
+    return _sql(spark, sf_dir, _Q2_SQL)
+
+
+_Q16_SQL = """
+SELECT p.p_brand, p.p_type, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+LIMIT 30
+"""
+
+
+@query("tpch_q16_supplier_cnt", oracle=_Q16_SQL)
+def tpch_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 adapted: DISTINCT-count after a NOT IN exclusion."""
+    return _sql(spark, sf_dir, _Q16_SQL)
+
+
+_Q22_SQL = """
+SELECT right(c.c_name, 1) AS name_digit,
+       count(*) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+GROUP BY right(c.c_name, 1)
+ORDER BY name_digit
+"""
+
+
+@query("tpch_q22_global_sales", oracle=_Q22_SQL)
+def tpch_q22_global_sales(spark, sf_dir):
+    """TPC-H Q22 adapted: scalar subquery + NOT EXISTS anti join + grouped
+    aggregation over a derived key — three subquery forms in one query."""
+    return _sql(spark, sf_dir, _Q22_SQL)

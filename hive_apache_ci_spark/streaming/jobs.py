@@ -129,3 +129,38 @@ def stream_session_counts(spark, sf_dir):
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+@query("stream_foreach_batch_sink", oracle=None)
+def stream_foreach_batch_sink(spark, sf_dir):
+    """foreachBatch sink: each micro-batch is aggregated and appended to a
+    parquet sink directory (the canonical 'stream into a lakehouse table'
+    topology; exactly-once comes from checkpoint + idempotent overwrite of
+    per-batch partitions on a real deployment). Returns the sink read back,
+    re-aggregated to batch-independent totals."""
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    sink = os.path.join("/tmp", "hive_apache_ci_spark_stream", tag, "sink_fb")
+    shutil.rmtree(sink, ignore_errors=True)
+    s = events_stream(spark, sf_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    q = (
+        s.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", sink + "_ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(sink + "_ckpt", ignore_errors=True)
+    back = spark.read.parquet(sink)
+    return back.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("n"))

@@ -187,3 +187,47 @@ def events_gap_analysis(spark, sf_dir):
         F.max("gap_s").alias("max_gap_s"),
         F.min("gap_s").alias("min_gap_s"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS stage_signup,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                          AND t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT)
+               AS stage_purchase
+    FROM per_user
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel analysis (signup → first later view → first later
+    purchase): per-user min-timestamps + stage predicates — one shuffle on
+    user_id, the standard product-analytics funnel at any scale."""
+    e = T(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_view") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_view"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(s1.cast("int")).cast("bigint").alias("stage_signup"),
+        F.sum(s2.cast("int")).cast("bigint").alias("stage_view"),
+        F.sum(s3.cast("int")).cast("bigint").alias("stage_purchase"),
+    )

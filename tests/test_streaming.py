@@ -40,3 +40,15 @@ def test_stream_dedup_counts(spark):
         .withColumnRenamed("count", "n")
     )
     assert _rows(stream) == _rows(batch)
+
+
+def test_stream_foreach_batch_totals(spark):
+    qs = all_queries()
+    stream = qs["stream_foreach_batch_sink"](spark, SF_DIR)
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+    assert _rows(stream) == _rows(batch)
