@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..helpers import T
+from ..helpers import T, ravg
 from ..registry import query
 
 TOP_K = 5
@@ -238,4 +238,122 @@ def similar_pairs_threshold(spark, sf_dir):
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(sim > 0.28)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
+    )
+
+
+_CENTROID_SQL = """
+    WITH dims AS (
+      SELECT label,
+             u.pos AS pos, u.val AS val
+      FROM (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {'pos': i, 'val': CAST(embedding[i] AS DOUBLE)})) AS u
+        FROM embeddings
+      )
+    ),
+    centroids AS (
+      SELECT label, pos, avg(val) AS c
+      FROM dims GROUP BY label, pos
+    )
+"""
+
+
+@query(
+    "ivf_centroids",
+    oracle=_CENTROID_SQL
+    + """
+    SELECT label, count(*) AS n_dims,
+           round(sum(c * c) + 1e-9, 6) AS sq_norm
+    FROM centroids
+    GROUP BY label
+    """,
+)
+def ivf_centroids(spark, sf_dir):
+    """IVF coarse quantizer, training step: per-label centroids as the
+    elementwise mean of member embeddings (posexplode → group by
+    (label, dim) → avg). Output: per-centroid squared norm (a compact,
+    deterministic summary of the 64-dim vectors).
+
+    Scale: one shuffle keyed by (label, dim) — 640 cells regardless of
+    corpus size; the centroid table is broadcastable forever after."""
+    e = T(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "val_f")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    centroids = dims.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    return centroids.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        ravg(F.sum(F.col("c") * F.col("c")), 6).alias("sq_norm"),
+    )
+
+
+@query(
+    "ivf_assign",
+    oracle=_CENTROID_SQL
+    + """
+    , cvecs AS (
+      SELECT label AS c_label, list(c ORDER BY pos) AS cvec FROM centroids GROUP BY label
+    ),
+    scored AS (
+      SELECT v.vec_id, v.label AS true_label, c.c_label,
+             list_sum(list_transform(list_zip(v.embedding, c.cvec),
+                      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+      FROM (SELECT * FROM embeddings WHERE vec_id < 200) v CROSS JOIN cvecs c
+    )
+    SELECT vec_id, true_label,
+           arg_min(c_label, d2 + c_label * 1e-12) AS assigned_label
+    FROM scored
+    GROUP BY vec_id, true_label
+    """,
+)
+def ivf_assign(spark, sf_dir):
+    """IVF coarse quantizer, assignment step: nearest centroid by L2 for a
+    vector slice. The centroid table (10×64) is broadcast; distance is the
+    same bitwise-deterministic fold as the cosine queries; ties broken by
+    an epsilon-scaled label term mirrored in the oracle.
+
+    At 100 TB this is THE ANN scale path: assign once, shuffle by
+    (centroid bucket), search within buckets only."""
+    e = T(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "val_f")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    centroids = dims.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    cvecs = (
+        centroids.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    v = e.filter(F.col("vec_id") < 200).select("vec_id", F.col("label").alias("true_label"), "embedding")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = v.join(F.broadcast(cvecs)).select(
+        "vec_id", "true_label", "c_label", d2.alias("d2")
+    )
+    return scored.groupBy("vec_id", "true_label").agg(
+        F.min_by("c_label", F.col("d2") + F.col("c_label") * 1e-12).alias(
+            "assigned_label"
+        )
     )

@@ -135,3 +135,46 @@ def plan_of(df) -> str:
     with contextlib.redirect_stdout(buf):
         df.explain(mode="formatted")
     return buf.getvalue()
+
+
+def test_static_partition_pruning(spark):
+    """Partition-column filters must prune directories at plan time
+    (Hive PartitionPruner ≙ file-source PartitionFilters)."""
+    import os
+    import tempfile
+
+    from hive_apache_ci_spark.helpers import T
+    from pyspark.sql import functions as F
+
+    out = os.path.join(tempfile.gettempdir(), "hive_apache_ci_spark_io", "prune_demo")
+    o = T(spark, SF_DIR, "orders").withColumn("order_year", F.year("o_orderdate"))
+    o.write.mode("overwrite").partitionBy("order_year").parquet(out)
+    q = spark.read.parquet(out).filter(F.col("order_year") == 1997)
+    p = plan_of(q)
+    assert "PartitionFilters" in p and "order_year" in p.split("PartitionFilters")[1][:120]
+
+
+def test_dynamic_partition_pruning(spark):
+    """Join-driven partition elimination (Hive DynamicPartitionPruning ≙
+    spark.sql.dynamicPartitionPruning): a selective dim filter must inject
+    a runtime subquery filter into the partitioned fact scan."""
+    import os
+    import tempfile
+
+    from hive_apache_ci_spark.helpers import T
+    from pyspark.sql import functions as F
+
+    out = os.path.join(tempfile.gettempdir(), "hive_apache_ci_spark_io", "dpp_fact")
+    o = T(spark, SF_DIR, "orders").withColumn("cseg", F.col("o_custkey") % 10)
+    o.write.mode("overwrite").partitionBy("cseg").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        T(spark, SF_DIR, "customer")
+        .withColumn("cseg", F.col("c_custkey") % 10)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("cseg")
+        .distinct()
+    )
+    q = fact.join(dim, "cseg").groupBy("o_orderstatus").count()
+    p = plan_of(q)
+    assert "dynamicpruning" in p.lower() or "SubqueryBroadcast" in p, p
