@@ -241,3 +241,77 @@ def virtual_columns_metadata(spark, sf_dir):
         .groupBy("input_file", "file_name", "file_size")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    filter-everything-then-aggregate query — every predicate must reach the
+    parquet scan; no shuffle at all except the final single-group agg."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= ts_lit("1997-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1998-01-01"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "tpch_q15_top_supplier_view",
+    oracle="""
+    WITH revenue_view AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue_view r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue_view)
+    """,
+)
+def tpch_q15_top_supplier_view(spark, sf_dir):
+    """TPC-H Q15 (top supplier) THROUGH A VIEW: the revenue summary is
+    registered as a temp view (Hive CREATE VIEW — logical, §1.1) and
+    referenced twice (join + scalar-subquery max); Catalyst ReuseExchange
+    dedups the two evaluations."""
+    from ..catalog import load_tables
+
+    load_tables(spark, sf_dir, register=True)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW revenue_view AS
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+        """
+    )
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s
+        JOIN revenue_view r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue_view)
+        """
+    )
