@@ -88,41 +88,39 @@ def _shingles(text_col):
 
 
 def minhash_signatures(df, id_col: str = "doc_id", text_col: str = "text"):
-    """(id, seed, minhash) — md5-based MinHash: h_s(doc) = min over shingles
-    of md5(seed || '|' || shingle). String-min is a valid hash-min and is
-    reproducible in any engine with md5."""
+    """(id, h0..h{N-1}) — md5-based MinHash: h_s(doc) = min over shingles of
+    md5(s || '|' || shingle). String-min is a valid hash-min and reproducible
+    in any engine with md5.
+
+    Plan shape: ONE explode to shingle rows, then all N_HASHES mins as
+    separate aggregates of a single groupBy — no seed-row blowup, one
+    shuffle keyed by doc (a per-row nested-HOF variant was tried and is
+    ~100x slower: Catalyst re-inlines the shingle array into every lambda
+    element — see docs/SCALE.md)."""
     sh = df.select(
         F.col(id_col), F.explode(_shingles(F.col(text_col))).alias("shingle")
     ).filter(F.col("shingle") != "")
-    seeded = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed"),
-        "shingle",
-    )
-    return seeded.groupBy(id_col, "seed").agg(
-        F.min(
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
-        ).alias("minhash")
-    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(N_HASHES)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
 
 
 def lsh_bands(sig, id_col: str = "doc_id"):
-    """(id, band, band_sig) — concatenate each band's rows (ordered by seed)
-    and re-hash into one signature per band."""
-    banded = sig.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
-    return banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
-                    ),
-                    lambda s: s.getField("minhash"),
-                ),
-                "|",
+    """(id, band, band_sig) — concatenate each band's BAND_ROWS signature
+    columns and re-hash; posexplode to one row per band."""
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                )
             )
-        ).alias("band_sig")
+            for b in range(N_BANDS)
+        ]
     )
+    return sig.select(F.col(id_col), F.posexplode(bands).alias("band", "band_sig"))
 
 
 _MINHASH_ORACLE = f"""
