@@ -421,3 +421,27 @@ def expr_elt_choose(spark, sf_dir):
         .otherwise("other")
         .alias("status_name"),
     )
+
+
+@query(
+    "expr_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER)      AS k,
+           (CAST(json_extract(props, '$.k') AS INTEGER) > 50) AS k_big,
+           json_valid(props)                                 AS is_valid
+    FROM events WHERE event_id < 300
+    """,
+)
+def expr_from_json_struct(spark, sf_dir):
+    """from_json with an explicit schema → typed struct field access (the
+    schema-on-read JSON path, vs get_json_object's string extraction in
+    udtf_json_tuple/expr_json)."""
+    e = T(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    parsed = e.withColumn("j", F.from_json("props", "k int"))
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        (F.col("j.k") > 50).alias("k_big"),
+        F.col("j").isNotNull().alias("is_valid"),
+    )

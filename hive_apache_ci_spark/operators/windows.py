@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..helpers import T, r2, r4, ravg
+from ..helpers import T, r2, ravg
 from ..registry import query
 
 

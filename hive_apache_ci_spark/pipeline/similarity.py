@@ -16,7 +16,7 @@ bucket is the shuffle key and each bucket's candidates fit an executor.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import functions as F
 
 from ..helpers import T, ravg
 from ..registry import query

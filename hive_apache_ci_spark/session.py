@@ -42,12 +42,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow for any pandas_udf / toPandas path (vectorized, not row-at-a-time).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Runtime-settable so externally-created (driver) sessions get the tuned
+    # parallelism too; AQE coalesces down, so this is an upper bound.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
 }
 
 # Confs that must be set at session-build time (ignored via try/except when
 # applied to an already-running session).
 BUILD_CONFS: dict[str, str] = {
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": "8g",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",

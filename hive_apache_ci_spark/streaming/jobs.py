@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as Ty
 
-from ..helpers import r4, ravg
+from ..helpers import ravg
 from ..registry import query
 
 _EVENTS_SCHEMA = Ty.StructType(
@@ -164,3 +164,43 @@ def stream_foreach_batch_sink(spark, sf_dir):
     shutil.rmtree(sink + "_ckpt", ignore_errors=True)
     back = spark.read.parquet(sink)
     return back.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("n"))
+
+
+@query("stream_stateful_counter", oracle=None)
+def stream_stateful_counter(spark, sf_dir):
+    """Arbitrary stateful processing (``applyInPandasWithState`` — the
+    Structured Streaming form of a custom stateful PTF): per-user running
+    event count + value sum kept in explicit state across micro-batches.
+    Equivalence vs the batch aggregation is asserted in tests."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 4)]}
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # update-mode emits one row per user per batch; keep the final state row
+    table = _run_to_memory(out, "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        table.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..helpers import T, r4, ravg
+from ..helpers import T, ravg
 from ..registry import query
 
 

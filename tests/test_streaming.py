@@ -52,3 +52,21 @@ def test_stream_foreach_batch_totals(spark):
         .withColumnRenamed("count", "n")
     )
     assert _rows(stream) == _rows(batch)
+
+
+def test_stream_stateful_counter_equals_batch(spark):
+    from pyspark.sql import functions as F
+
+    qs = all_queries()
+    stream = qs["stream_stateful_counter"](spark, SF_DIR)
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    srows = {(r.user_id, r.n_events) for r in stream.collect()}
+    brows = {(r.user_id, r.n_events) for r in batch.collect()}
+    assert srows == brows
