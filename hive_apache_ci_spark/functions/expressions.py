@@ -445,3 +445,49 @@ def expr_from_json_struct(spark, sf_dir):
         (F.col("j.k") > 50).alias("k_big"),
         F.col("j").isNotNull().alias("is_valid"),
     )
+
+
+@query(
+    "expr_array_setops",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list_intersect(a, b)), ',')  AS inter,
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS uni,
+           array_to_string(flatten([a, b]), ',')                  AS cat,
+           list_has_all(a, b)                                     AS a_has_b
+    FROM (
+      SELECT n_regionkey,
+             list(n_name ORDER BY n_nationkey)                       AS a,
+             list(n_name ORDER BY n_nationkey DESC)[1:3]             AS b
+      FROM nation GROUP BY n_regionkey
+    )
+    """,
+)
+def expr_array_setops(spark, sf_dir):
+    """Array set operations (array_intersect/union/concat/flatten/
+    containsAll) — Spark's HOF-era collection surface over per-region
+    nation-name arrays."""
+    n = T(spark, sf_dir, "nation")
+    g = n.groupBy("n_regionkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("n_nationkey", "n_name"))),
+            lambda s: s.getField("n_name"),
+        ).alias("a"),
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("n_nationkey")).alias("k"), F.col("n_name")))
+                ),
+                lambda s: s.getField("n_name"),
+            ),
+            1,
+            3,
+        ).alias("b"),
+    )
+    return g.select(
+        "n_regionkey",
+        F.array_join(F.array_sort(F.array_intersect("a", "b")), ",").alias("inter"),
+        F.array_join(F.array_sort(F.array_union("a", "b")), ",").alias("uni"),
+        F.array_join(F.flatten(F.array("a", "b")), ",").alias("cat"),
+        F.forall("b", lambda x: F.array_contains(F.col("a"), x)).alias("a_has_b"),
+    )

@@ -374,3 +374,33 @@ def agg_decimal_exact(spark, sf_dir):
         .cast("double")
         .alias("qty_dec"),
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                             AS n_all,
+           count(*) FILTER (WHERE o_orderstatus = 'F')          AS n_finished,
+           round(coalesce(sum(o_totalprice)
+                 FILTER (WHERE o_totalprice > 300000), 0), 2)   AS big_total,
+           CAST(count_if(o_custkey % 2 = 0) AS BIGINT)          AS n_even_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark, sf_dir):
+    """FILTER (WHERE ...) aggregate modifiers + count_if — the ANSI form of
+    Hive's CASE-inside-aggregate idiom (both engines support it natively)."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        r2(
+            F.coalesce(
+                F.sum(F.when(F.col("o_totalprice") > 300000, F.col("o_totalprice"))),
+                F.lit(0),
+            )
+        ).alias("big_total"),
+        F.count_if(F.col("o_custkey") % 2 == 0).alias("n_even_cust"),
+    )

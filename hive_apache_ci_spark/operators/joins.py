@@ -619,3 +619,86 @@ def tpch_q19_or_chain(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH volumes AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+             n.n_name AS supp_nation,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT order_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_19' THEN volume ELSE 0 END)
+                 / sum(volume) + 1e-9, 6) AS mkt_share
+    FROM volumes
+    GROUP BY order_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 adapted (national market share): conditional share of a
+    global aggregate per year — the two-level ratio aggregation."""
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volumes = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("n_name").alias("supp_nation"),
+            vol.alias("volume"),
+        )
+    )
+    return volumes.groupBy("order_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_19", F.col("volume")).otherwise(0))
+            / F.sum("volume")
+            + F.lit(1e-9),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH supp_value AS (
+      SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, value
+    FROM supp_value
+    WHERE value > (SELECT sum(value) * 0.001 FROM supp_value)
+    ORDER BY value DESC, l_partkey
+    LIMIT 50
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 adapted (important stock): HAVING against a scalar
+    fraction of the global sum — the same aggregate referenced at two
+    granularities (ReuseExchange territory)."""
+    from ..catalog import load_tables
+
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(
+        """
+        WITH supp_value AS (
+          SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, value
+        FROM supp_value
+        WHERE value > (SELECT sum(value) * 0.001 FROM supp_value)
+        ORDER BY value DESC, l_partkey
+        LIMIT 50
+        """
+    )
