@@ -702,3 +702,72 @@ def tpch_q11_important_stock(spark, sf_dir):
         LIMIT 50
         """
     )
+
+
+@query(
+    "tpch_q13_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): outer join with an
+    ON-clause exclusion, then a distribution over the grouped counts — the
+    famous double-aggregation; the NULL-heavy zero-order bucket is the skew
+    hazard at scale."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    counts = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0 + 1e-9, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 5
+      AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def tpch_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): correlated average over
+    the SAME fact table keyed by the outer part — the self-referential
+    decorrelation pattern (rewritten by Catalyst into an aggregate+join
+    reusing the lineitem scan)."""
+    from ..catalog import load_tables
+
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(
+        """
+        SELECT round(sum(l.l_extendedprice) / 7.0 + 1e-9, 4) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size <= 5
+          AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                              FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
