@@ -55,10 +55,16 @@ def salted_join(
     AQE's skew-join split handles most cases automatically; explicit
     salting remains the tool when a single key exceeds what one executor
     can hold even after AQE splits (the 100 TB hot-key escape hatch).
-    Row-level results are identical to the plain join.
+    Row-level results are identical to the plain join for inner/left only:
+    the replicated `other` side would emit each unmatched row n_salt times
+    under right/full outer, so those modes are rejected.
     """
     from pyspark.sql import functions as F
 
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join preserves semantics only for inner/left joins, got {how!r}"
+        )
     salted = skewed.withColumn("_salt", (F.rand(seed=42) * n_salt).cast("int"))
     replicated = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

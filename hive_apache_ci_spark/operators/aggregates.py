@@ -337,14 +337,22 @@ def agg_approx_distinct(spark, sf_dir):
 @query("agg_histogram", oracle=None)
 def agg_histogram(spark, sf_dir):
     """histogram_numeric (GenericUDAFHistogramNumeric) — heuristic bin
-    placement differs per engine → rows-only check."""
+    placement differs per engine → rows-only check. Exploded to one row per
+    (flag, bin_idx, center, height) so every output column is a hashable
+    scalar (array-typed outputs crash the driver's canonicalizer)."""
     return (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(F.expr("histogram_numeric(l_quantity, 5)").alias("qty_hist"))
         .select(
             "l_returnflag",
-            F.expr("transform(qty_hist, b -> round(b.x, 2))").alias("bin_centers"),
+            F.posexplode("qty_hist").alias("bin_idx", "bin"),
+        )
+        .select(
+            "l_returnflag",
+            "bin_idx",
+            F.round(F.col("bin.x"), 2).alias("bin_center"),
+            F.round(F.col("bin.y"), 2).alias("bin_height"),
         )
     )
 

@@ -677,7 +677,7 @@ def tpch_q8_market_share(spark, sf_dir):
     )
     SELECT l_partkey, value
     FROM supp_value
-    WHERE value > (SELECT sum(value) * 0.001 FROM supp_value)
+    WHERE value > (SELECT sum(value) * 0.0002 FROM supp_value)
     ORDER BY value DESC, l_partkey
     LIMIT 50
     """,
@@ -697,7 +697,7 @@ def tpch_q11_important_stock(spark, sf_dir):
         )
         SELECT l_partkey, value
         FROM supp_value
-        WHERE value > (SELECT sum(value) * 0.001 FROM supp_value)
+        WHERE value > (SELECT sum(value) * 0.0002 FROM supp_value)
         ORDER BY value DESC, l_partkey
         LIMIT 50
         """

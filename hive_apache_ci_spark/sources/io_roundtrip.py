@@ -154,13 +154,14 @@ def io_insert_overwrite_dynamic(spark, sf_dir):
     must survive (Hive ``hive.exec.dynamic.partition.mode=nonstrict`` ≙
     ``spark.sql.sources.partitionOverwriteMode=dynamic``)."""
     out = _scratch(sf_dir, "orders_dynpart")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     o = T(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
-    # full write, then dynamic-overwrite the 1996+ years with the same rows
+    # full write, then dynamic-overwrite the 1996+ years with the same rows;
+    # per-write option, so the session-level overwrite mode is untouched
     o.write.mode("overwrite").partitionBy("order_year").parquet(out)
     (
         o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("order_year")
         .parquet(out)
     )

@@ -76,7 +76,11 @@ def _run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError(f"streaming query {name} did not finish in 300s")
+    finally:
+        q.stop()
     spark = stream_df.sparkSession
     return spark.table(name)
 

@@ -32,3 +32,36 @@ def test_approx_count_distinct_error_bound(spark):
     rows = all_queries()["agg_approx_distinct"](spark, SF_DIR).collect()
     for r in rows:
         assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.10, r
+
+
+def test_q11_non_vacuous(spark):
+    """Round-1 verdict: the Q11 threshold filtered everything at small SFs,
+    making the oracle match vacuous. The fraction must yield rows."""
+    from hive_apache_ci_spark.registry import all_queries
+
+    assert all_queries()["tpch_q11_important_stock"](spark, SF_DIR).count() > 0
+
+
+def test_histogram_columns_are_scalars(spark):
+    """agg_histogram must emit only hashable scalar columns (array-typed
+    outputs crash the driver's canonicalizer)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from hive_apache_ci_spark.registry import all_queries
+
+    df = all_queries()["agg_histogram"](spark, SF_DIR)
+    for f in df.schema.fields:
+        assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), f
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """salted_join replicates the non-salted side, so right/full outer would
+    duplicate unmatched rows — those modes must be rejected."""
+    import pytest as _pytest
+
+    from hive_apache_ci_spark.helpers import T, salted_join
+
+    l = T(spark, SF_DIR, "lineitem")
+    p = T(spark, SF_DIR, "part")
+    with _pytest.raises(ValueError):
+        salted_join(l, p, "l_partkey", "p_partkey", how="full")
