@@ -182,3 +182,79 @@ def tpch_q22_global_sales(spark, sf_dir):
     """TPC-H Q22 adapted: scalar subquery + NOT EXISTS anti join + grouped
     aggregation over a derived key — three subquery forms in one query."""
     return _sql(spark, sf_dir, _Q22_SQL)
+
+
+_Q21_SQL = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 50
+"""
+
+
+@query("tpch_q21_waiting_supplier", oracle=_Q21_SQL)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to the
+    testdata schema: the same fact table (lineitem) referenced by BOTH a
+    correlated EXISTS and a correlated NOT EXISTS with different extra
+    predicates — the hardest decorrelation HiveRelDecorrelator handles
+    (SURVEY.md §4.2; l_returnflag='R' stands in for receipt>commit since
+    the schema lacks those columns). Catalyst plans one semi and one anti
+    join against the same scan."""
+    return _sql(spark, sf_dir, _Q21_SQL)
+
+
+_Q4_SQL = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1995-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("tpch_q4_priority_check", oracle=_Q4_SQL)
+def tpch_q4_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): correlated EXISTS whose
+    correlation is equality PLUS a non-equi predicate referencing the outer
+    column (l_shipdate > o_orderdate + 45 days stands in for
+    commitdate < receiptdate). Decorrelation must carry the outer column
+    into the semi-join condition."""
+    return _sql(spark, sf_dir, _Q4_SQL)
+
+
+_EXISTS_MIXED_SQL = """
+SELECT o.o_orderkey, o.o_orderstatus, round(o.o_totalprice, 2) AS totalprice
+FROM orders o
+WHERE o.o_totalprice > 250000
+  AND EXISTS (SELECT 1 FROM lineitem l1
+              WHERE l1.l_orderkey = o.o_orderkey AND l1.l_quantity >= 48)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = o.o_orderkey AND l2.l_discount > 0.08)
+ORDER BY o.o_orderkey
+"""
+
+
+@query("subquery_exists_not_exists", oracle=_EXISTS_MIXED_SQL)
+def subquery_exists_not_exists(spark, sf_dir):
+    """EXISTS and NOT EXISTS on the SAME table with different correlated
+    predicates ("some line has qty>=48 but no line has discount>0.08") —
+    two independent subqueries against one scan, semi + anti stacked on the
+    same outer relation."""
+    return _sql(spark, sf_dir, _EXISTS_MIXED_SQL)

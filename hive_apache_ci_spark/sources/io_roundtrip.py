@@ -261,3 +261,58 @@ def io_regex_serde(spark, sf_dir):
         F.regexp_extract("value", r"seg=(\w+)", 1).alias("seg"),
         F.regexp_extract("value", r"bal=(-?\d+)", 1).cast("bigint").alias("bal_int"),
     )
+
+
+_SMB_ORACLE = """
+    SELECT c_mktsegment,
+           count(*)                    AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+@query("io_bucketed_smb_join", oracle=_SMB_ORACLE)
+def io_bucketed_smb_join(spark, sf_dir):
+    """Hive CLUSTERED BY ... INTO 8 BUCKETS + bucket-map/SMB join
+    (SMBMapJoinOperator, SURVEY.md §2.3): write both sides bucketed+sorted
+    on the join key via bucketBy/sortBy saveAsTable, then join shuffle-free
+    — the SortMergeJoin consumes the bucketed scans directly with no
+    Exchange (plan-asserted in tests/test_plans.py). This is the 100 TB
+    co-located fact⋈dim topology: pay the shuffle once at write time,
+    never at read time."""
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    ot, ct = f"orders_smb_{tag}", f"customer_smb_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {ot}")
+    spark.sql(f"DROP TABLE IF EXISTS {ct}")
+    # the in-memory catalog forgets dirs across sessions — clear leftovers
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (ot, ct):
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    (
+        T(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(ot)
+    )
+    (
+        T(spark, sf_dir, "customer")
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(ct)
+    )
+    # hint('merge') pins SortMergeJoin so the bucketing (not a broadcast)
+    # carries the join at every scale factor
+    return (
+        spark.table(ot)
+        .join(
+            spark.table(ct).hint("merge"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("o_totalprice")).alias("total"))
+    )

@@ -130,10 +130,10 @@ def test_persist_cache_role(spark):
     hot.unpersist()
 
 
-def plan_of(df) -> str:
+def plan_of(df, mode: str = "formatted") -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        df.explain(mode="formatted")
+        df.explain(mode=mode)
     return buf.getvalue()
 
 
@@ -178,3 +178,49 @@ def test_dynamic_partition_pruning(spark):
     q = fact.join(dim, "cseg").groupBy("o_orderstatus").count()
     p = plan_of(q)
     assert "dynamicpruning" in p.lower() or "SubqueryBroadcast" in p, p
+
+
+def test_smb_query_entry_no_shuffle(spark):
+    """The io_bucketed_smb_join queries() entry must consume the bucketed
+    scans directly: SortMergeJoin with no Exchange before the join."""
+    p = plan(spark, "io_bucketed_smb_join")
+    join_part = p.split("HashAggregate")[0]
+    assert "SortMergeJoin" in p
+    assert "Exchange hashpartitioning" not in join_part, p
+
+
+def test_bloom_filter_semijoin_injects(spark):
+    """Runtime bloom-filter semijoin (Hive's bloom_filter/in_bloom_filter
+    semijoin reduction, SURVEY.md §2.3): a selective dim filter on the
+    creation side must inject a bloom_filter_agg + might_contain probe on
+    the fact side. Thresholds are lowered because the optimizer gates on
+    production-scale scan sizes."""
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.helpers import T
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    l = T(spark, SF_DIR, "lineitem")
+    p_ = T(spark, SF_DIR, "part")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        q = (
+            l.join(p_.filter(F.col("p_size") == 10), l.l_partkey == p_.p_partkey)
+            .groupBy("p_brand")
+            .count()
+        )
+        text = plan_of(q, "extended")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg" in text, text
+    assert "might_contain" in text.lower(), text
