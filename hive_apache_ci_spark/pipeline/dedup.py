@@ -171,16 +171,21 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH sh AS (
+_JACCARD_MAX_DF = 12  # drop shingles present in >12 of the 120 docs (10%)
+
+_JACCARD_ORACLE = f"""
+    WITH sh0 AS (
       SELECT doc_id, unnest(list_distinct(
                list_transform(range(1, greatest(len(a) - 1, 0) + 1),
                               i -> concat(a[i], ' ', a[i+1])))) AS shingle
       FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
             FROM documents WHERE doc_id < 120)
       ),
+    hot AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING count(*) > {_JACCARD_MAX_DF}
+    ),
+    sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
@@ -192,15 +197,33 @@ def dedup_minhash_lsh(spark, sf_dir):
     FROM common
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.12
-    """,
-)
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.08
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact pairwise n-gram Jaccard over a doc subset, keyed by shared
     shingle (never materializes the full n^2 cross product) — the
-    verification layer for MinHash candidates."""
+    verification layer for MinHash candidates.
+
+    Document-frequency cut: shingles appearing in >10% of the docs
+    (stopword bigrams like "of the") are dropped BEFORE the pairwise join —
+    they contribute candidate pairs quadratically in their doc frequency
+    while carrying no dedup signal; at 100 TB one hot shingle would
+    otherwise funnel millions of rows through a single join key. Sizes are
+    recomputed post-cut, so Jaccard is exact over the retained shingle
+    sets (the oracle applies the identical cut)."""
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
-    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    sh0 = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _JACCARD_MAX_DF)
+        .select("shingle")
+    )
+    # hot set is tiny by construction (only >10%-df shingles) → broadcast anti
+    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -218,7 +241,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return (
         common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jacc >= 0.12)
+        .filter(jacc >= 0.08)
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
     )
 
