@@ -87,21 +87,35 @@ def _shingles(text_col):
     return F.array_distinct(ngram_array(F.split(F.lower(text_col), r"\s+"), 2))
 
 
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime) — universal-hash modulus
+
+
 def minhash_signatures(df, id_col: str = "doc_id", text_col: str = "text"):
-    """(id, h0..h{N-1}) — md5-based MinHash: h_s(doc) = min over shingles of
-    md5(s || '|' || shingle). String-min is a valid hash-min and reproducible
-    in any engine with md5.
+    """(id, h0..h{N-1}) — universal-hashing MinHash: ONE md5 per shingle,
+    split into two 60-bit ints (a, b), then g_s = (a + (s+1)*b) mod P per
+    seed — the classic (a + s*b) mod p family. Reproducible in any engine
+    with md5 + hex-to-int; 16x fewer md5 evaluations than hashing
+    (seed || shingle) per seed, which dominated the signature cost.
 
     Plan shape: ONE explode to shingle rows, then all N_HASHES mins as
     separate aggregates of a single groupBy — no seed-row blowup, one
     shuffle keyed by doc (a per-row nested-HOF variant was tried and is
     ~100x slower: Catalyst re-inlines the shingle array into every lambda
     element — see docs/SCALE.md)."""
-    sh = df.select(
-        F.col(id_col), F.explode(_shingles(F.col(text_col))).alias("shingle")
-    ).filter(F.col("shingle") != "")
+    sh = (
+        df.select(F.col(id_col), F.explode(_shingles(F.col(text_col))).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .withColumn("m", F.md5("shingle"))
+        .select(
+            id_col,
+            F.conv(F.substring("m", 1, 15), 16, 10).cast("bigint").alias("ha"),
+            (F.conv(F.substring("m", 17, 15), 16, 10).cast("bigint") % MINHASH_P).alias(
+                "hb"
+            ),
+        )
+    )
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+        F.min((F.col("ha") + F.lit(s + 1) * F.col("hb")) % MINHASH_P).alias(f"h{s}")
         for s in range(N_HASHES)
     ]
     return sh.groupBy(id_col).agg(*mins)
@@ -114,7 +128,11 @@ def lsh_bands(sig, id_col: str = "doc_id"):
         *[
             F.md5(
                 F.concat_ws(
-                    "|", *[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                    "|",
+                    *[
+                        F.col(f"h{b * BAND_ROWS + r}").cast("string")
+                        for r in range(BAND_ROWS)
+                    ],
                 )
             )
             for b in range(N_BANDS)
@@ -131,11 +149,17 @@ _MINHASH_ORACLE = f"""
       FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
             FROM documents)
     ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS ha,
+             CAST(('0x' || substr(md5(shingle), 17, 15)) AS BIGINT)
+               % {MINHASH_P} AS hb
+      FROM sh WHERE shingle <> ''
+    ),
     sig AS (
       SELECT doc_id, seed,
-             min(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS minhash
-      FROM sh, unnest(range(0, {N_HASHES})) AS s(seed)
-      WHERE shingle <> ''
+             CAST(min((ha + (seed + 1) * hb) % {MINHASH_P}) AS VARCHAR) AS minhash
+      FROM hashed, unnest(range(0, {N_HASHES})) AS s(seed)
       GROUP BY doc_id, seed
     ),
     bands AS (
