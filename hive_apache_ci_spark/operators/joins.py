@@ -771,3 +771,47 @@ def tpch_q17_small_qty_revenue(spark, sf_dir):
                               FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
         """
     )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 50.0 * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 adapted (product type profit by nation and year): 5-table
+    join with a LIKE-filtered part dimension; ps_supplycost is adapted to a
+    fixed unit cost since the schema has no partsupp. Scale shape: part /
+    supplier / nation broadcast, only lineitem-orders shuffles."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    o = T(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 50.0 * F.col(
+        "l_quantity"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(r2(F.sum(profit)).alias("profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )

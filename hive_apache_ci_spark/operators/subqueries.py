@@ -258,3 +258,28 @@ def subquery_exists_not_exists(spark, sf_dir):
     two independent subqueries against one scan, semi + anti stacked on the
     same outer relation."""
     return _sql(spark, sf_dir, _EXISTS_MIXED_SQL)
+
+
+_Q20_SQL = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+    AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1996-01-01'
+  GROUP BY l.l_suppkey
+  HAVING sum(l.l_quantity) > 100
+)
+ORDER BY s.s_suppkey
+"""
+
+
+@query("tpch_q20_excess_stock", oracle=_Q20_SQL)
+def tpch_q20_excess_stock(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): IN whose subquery itself
+    contains a nested IN plus a GROUP BY ... HAVING over the fact table —
+    the deepest subquery nesting in the TPC-H suite (partsupp availability
+    is adapted to shipped-quantity sums since the schema has no partsupp)."""
+    return _sql(spark, sf_dir, _Q20_SQL)
