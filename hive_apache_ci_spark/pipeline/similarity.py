@@ -174,13 +174,62 @@ def lsh_table_buckets(df, emb_col: str = "embedding"):
     )
 
 
-@query("knn_lsh_topk", oracle=None)
+def _bucket_sql(table: int) -> str:
+    """DuckDB bucket expression for one LSH table — the SAME md5-derived
+    ±1 planes as lsh_bucket_expr, embedded as literals (the planes are
+    import-time constants, so the oracle reproduces the index exactly)."""
+    terms = []
+    for p in range(PLANES_PER_TABLE):
+        signs = [_plane_sign(table * PLANES_PER_TABLE + p, d) for d in range(64)]
+        arr = "[" + ", ".join(f"{s}.0" for s in signs) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            "z -> CAST(z[1] AS DOUBLE) * z[2]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_KNN_LSH_ORACLE = (
+    "WITH tb AS (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, embedding, {t} AS tbl, {_bucket_sql(t)} AS bucket"
+        " FROM embeddings"
+        for t in range(N_TABLES)
+    )
+    + f"""
+    ),
+    cands AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qe, c.embedding AS ce
+      FROM (SELECT * FROM tb WHERE vec_id < {N_QUERIES}) q
+      JOIN tb c ON c.tbl = q.tbl AND c.bucket = q.bucket
+               AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             {_cos_sql('qe', 'ce')} AS sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_cos_sql('qe', 'ce')} DESC, neighbor_id
+             ) AS rank
+      FROM cands
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+)
+
+
+@query("knn_lsh_topk", oracle=_KNN_LSH_ORACLE)
 def knn_lsh_topk(spark, sf_dir):
     """Approximate top-k: candidates = vectors sharing any LSH-table bucket
     with the query (multi-table random hyperplanes), ranked by exact cosine.
-    Rows-only check; tests/test_pipeline.py bounds recall vs the
-    brute-force baseline. The scale path: (table, bucket) is the shuffle
-    key, so candidate generation is an equi-join, not a cross join."""
+    Fully oracled: the md5-derived planes are embedded as literals in the
+    DuckDB SQL, which rebuilds the identical index and ranking;
+    tests/test_pipeline.py additionally bounds recall vs the brute-force
+    baseline. The scale path: (table, bucket) is the shuffle key, so
+    candidate generation is an equi-join, not a cross join."""
     from pyspark.sql import Window
 
     e = lsh_table_buckets(T(spark, sf_dir, "embeddings"))
