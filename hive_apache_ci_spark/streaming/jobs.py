@@ -164,7 +164,11 @@ def stream_foreach_batch_sink(spark, sf_dir):
         .option("checkpointLocation", sink + "_ckpt")
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("foreachBatch stream did not finish in 300s")
+    finally:
+        q.stop()
     shutil.rmtree(sink + "_ckpt", ignore_errors=True)
     back = spark.read.parquet(sink)
     return back.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("n"))
@@ -207,4 +211,48 @@ def stream_stateful_counter(spark, sf_dir):
         table.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+@query("stream_stream_join", oracle=None)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join (view ⋈ purchase per user within 24 hours):
+    both sides watermarked, join condition = user equality + event-time
+    range — the canonical funnel topology. Watermark + range bound the
+    join state on both sides (without them state grows forever at 100 TB
+    stream rates). Result re-aggregated to per-user conversion counts;
+    equality with the batch form is asserted in tests/test_streaming.py."""
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    buys = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "30 minutes")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS")),
+    ).select("v_user", "view_id", "buy_id")
+    pairs = _run_to_memory(joined, "append")
+    return (
+        pairs.groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("buy_id").alias("n_buys"),
+        )
     )

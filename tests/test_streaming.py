@@ -70,3 +70,40 @@ def test_stream_stateful_counter_equals_batch(spark):
     srows = {(r.user_id, r.n_events) for r in stream.collect()}
     brows = {(r.user_id, r.n_events) for r in batch.collect()}
     assert srows == brows
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """The watermarked stream-stream view⋈purchase join must produce the
+    same per-user pair counts as the identical batch self-join."""
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.helpers import T
+
+    qs = all_queries()
+    stream = qs["stream_stream_join"](spark, SF_DIR)
+
+    e = T(spark, SF_DIR, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    batch = (
+        v.join(
+            b,
+            (F.col("v_user") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("v_ts"))
+            & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("buy_id").alias("n_buys"),
+        )
+    )
+    assert _rows(stream) == _rows(batch)
