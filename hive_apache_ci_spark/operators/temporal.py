@@ -1,0 +1,201 @@
+"""Temporal join operators: as-of join and binned range join.
+
+Neither exists as a named operator in Hive 2.3 or stock Spark; both are
+standard time-series/interval workloads (kdb+ ``aj``, DuckDB/Pandas
+``ASOF JOIN``, TimescaleDB range queries) that users of a Hive-era
+warehouse express with correlated subqueries Hive decorrelates poorly.
+We implement them Spark-first:
+
+- **as-of** via union + segmented window scan (``last(..., ignorenulls)``
+  over a user-partitioned, time-ordered frame). This is the scalable shape:
+  ONE shuffle on the partition key, no range-join explosion, no per-row
+  subquery. At 100 TB the window scan streams each user's timeline once;
+  state is a single running value per partition. DuckDB's *native*
+  ``ASOF JOIN`` is the oracle — an independent implementation, not an
+  echo of our plan.
+- **range join** via bucket binning: each range row explodes to the fixed
+  width buckets it covers, turning a non-equi interval predicate into an
+  EQUI-join on bucket + residual filter. Catalyst would otherwise plan
+  BroadcastNestedLoopJoin, which is O(n·m) and dies when both sides are
+  large; the binned form shuffles/broadcasts on bucket equality and scales
+  linearly. (Same trick Databricks' range-join hints apply internally.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..helpers import T, r2
+from ..registry import query
+
+# One row per (user, ts) on the build side keeps ties deterministic in both
+# engines: DuckDB's ASOF picks an arbitrary peer among equal timestamps,
+# ours picks the last in window order — collapsing peers first makes the
+# question moot.
+_ASOF_BASE = """
+WITH views AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+buys AS (
+  SELECT user_id, event_id AS buy_id, ts
+  FROM events WHERE event_type = 'purchase'
+),
+asof_pairs AS (
+  SELECT b.user_id, b.buy_id, v.view_id,
+         CAST(floor(epoch(b.ts)) AS BIGINT) AS buy_ts,
+         CAST(floor(epoch(b.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_s
+  FROM buys b ASOF LEFT JOIN views v
+    ON b.user_id = v.user_id AND v.ts <= b.ts
+)
+"""
+
+
+def _asof_backward(spark, sf_dir):
+    """Shared as-of scan: for every purchase, the latest view at-or-before
+    it for the same user. Returns (user_id, buy_id, view_id, buy_ts, gap_s)
+    with view_id/gap_s NULL when no prior view exists."""
+    e = T(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), "ts"
+    )
+    tagged = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        "view_id",
+        F.lit(None).cast("long").alias("buy_id"),
+    ).unionByName(
+        buys.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("tag"),
+            F.lit(None).cast("long").alias("view_id"),
+            "buy_id",
+        )
+    )
+    # Views sort before purchases at equal ts (tag 0 < 1) — matching the
+    # oracle's inclusive `v.ts <= b.ts`.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "buy_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("lv_id", F.last("view_id", ignorenulls=True).over(w))
+        .withColumn(
+            "lv_ts",
+            F.last(
+                F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("tag") == 1)
+        .select(
+            "user_id",
+            "buy_id",
+            F.col("lv_id").alias("view_id"),
+            F.col("ts").cast("long").alias("buy_ts"),
+            (F.col("ts").cast("long") - F.col("lv_ts").cast("long")).alias(
+                "gap_s"
+            ),
+        )
+    )
+
+
+@query("join_asof_backward", oracle=_ASOF_BASE + "SELECT * FROM asof_pairs")
+def join_asof_backward(spark, sf_dir):
+    """As-of join (backward): each purchase matched to the same user's most
+    recent view at-or-before it. Implemented as union + one window scan per
+    user timeline (no join operator at all); oracled against DuckDB's
+    native ASOF JOIN."""
+    return _asof_backward(spark, sf_dir)
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=_ASOF_BASE
+    + """
+    SELECT user_id, buy_id,
+           CASE WHEN gap_s <= 3600 THEN view_id END AS view_id,
+           buy_ts,
+           CASE WHEN gap_s <= 3600 THEN gap_s END AS gap_s
+    FROM asof_pairs
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a tolerance window (pandas ``merge_asof(tolerance=)``
+    semantics): matches further than 1 hour back are discarded — the row
+    survives (left semantics) with a NULL match."""
+    a = _asof_backward(spark, sf_dir)
+    within = F.col("gap_s") <= 3600
+    return a.select(
+        "user_id",
+        "buy_id",
+        F.when(within, F.col("view_id")).alias("view_id"),
+        "buy_ts",
+        F.when(within, F.col("gap_s")).alias("gap_s"),
+    )
+
+
+_BANDS = [
+    ("micro", 0.0, 10.0),
+    ("small", 10.0, 50.0),
+    ("mid", 50.0, 120.0),
+    ("large", 120.0, 250.0),
+    ("xl", 250.0, 500.0),
+]
+_BUCKET_W = 10.0
+
+_BANDS_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
+
+
+@query(
+    "join_range_binned",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES {_BANDS_SQL})
+    SELECT band,
+           count(*)                 AS n_events,
+           round(sum(value), 2)     AS sum_value,
+           round(min(value), 2)     AS min_value,
+           round(max(value), 2)     AS max_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band
+    """,
+)
+def join_range_binned(spark, sf_dir):
+    """Range (interval) join, binned: events matched to irregular value
+    bands via bucket equality + residual predicate instead of a raw
+    non-equi join. Each band explodes to the fixed-width buckets it spans,
+    so the physical plan is a hash equi-join on bucket — the shape that
+    survives when BOTH sides are large (a raw `BETWEEN` join plans
+    BroadcastNestedLoopJoin, O(n·m))."""
+    e = T(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    binned = bands.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _BUCKET_W),
+                F.floor(F.col("hi") / _BUCKET_W),
+            )
+        ),
+    )
+    ev = e.withColumn("bucket", F.floor(F.col("value") / _BUCKET_W))
+    joined = ev.join(
+        F.broadcast(binned),
+        (ev["bucket"] == binned["bucket"])
+        & (ev["value"] >= binned["lo"])
+        & (ev["value"] < binned["hi"]),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r2(F.sum("value")).alias("sum_value"),
+        r2(F.min("value")).alias("min_value"),
+        r2(F.max("value")).alias("max_value"),
+    )

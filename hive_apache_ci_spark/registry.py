@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
         relational,
         setops,
         subqueries,
+        temporal,
         windows,
     )
     from .functions import expressions, hive_compat_queries  # noqa: F401
