@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
         extensions,
         joins,
         lateral,
+        mutations,
         relational,
         setops,
         subqueries,

@@ -1,0 +1,61 @@
+"""MERGE emulation + CDC operator semantics (operators/mutations.py)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from hive_apache_ci_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+
+def test_merge_exercises_all_clauses(spark):
+    """The merge result must contain updated, inserted AND kept rows, and
+    no deleted key may survive."""
+    rows = all_queries()["merge_into_upsert"](spark, SF_DIR).collect()
+    actions = {r.merge_action for r in rows}
+    assert actions == {"updated", "inserted", "kept"}
+    inserted = [r for r in rows if r.merge_action == "inserted"]
+    assert all(r.c_custkey >= 10000000 for r in inserted)
+    assert all(r.c_mktsegment == "NEWSEGMENT" for r in inserted)
+
+
+def test_merge_copy_on_write_roundtrip(spark):
+    """Full ACID-emulation cycle: compute merge → INSERT OVERWRITE to
+    parquet → read back; the table state equals the computed merge."""
+    from pyspark.sql import functions as F
+
+    merged = all_queries()["merge_into_upsert"](spark, SF_DIR)
+    target = tempfile.mkdtemp(prefix="merge_cow_") + "/t"
+    try:
+        merged.write.mode("overwrite").parquet(target)
+        back = spark.read.parquet(target)
+        assert back.count() == merged.count()
+        diff = back.exceptAll(merged).count() + merged.exceptAll(back).count()
+        assert diff == 0
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+def test_scd2_intervals_tile_the_timeline(spark):
+    """Per key: intervals are disjoint, contiguous (valid_to == next
+    valid_from), and exactly one open (is_current) interval exists."""
+    rows = all_queries()["cdc_scd2_history"](spark, SF_DIR).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append(r)
+    assert by_key
+    for recs in by_key.values():
+        recs.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in recs) == 1
+        assert recs[-1].valid_to is None and recs[-1].is_current == 1
+        for a, b in zip(recs, recs[1:]):
+            assert a.valid_to == b.valid_from
+
+
+def test_latest_snapshot_is_one_row_per_live_key(spark):
+    rows = all_queries()["cdc_latest_snapshot"](spark, SF_DIR).collect()
+    keys = [r.user_id for r in rows]
+    assert len(keys) == len(set(keys))
+    assert len(keys) > 0
