@@ -321,3 +321,82 @@ def dedup_simhash(spark, sf_dir):
         .cast("bigint")
         .alias("simhash")
     )
+
+
+# ---- 6. embedding-cosine near-dup --------------------------------------
+# Candidates come from the SAME multi-table hyperplane LSH index as
+# knn_lsh_topk (similarity.py); a vector is a dup of its smallest-id
+# LSH-neighbor above the cosine threshold. This is the first iteration of
+# min-id propagation — full connected components iterate the same
+# bucket-keyed join to a fixed point, identical shuffle topology.
+
+_COS_DEDUP_TH = 0.35
+
+
+def _embedding_dedup_oracle() -> str:
+    from .similarity import N_TABLES, _bucket_sql, _cos_sql
+
+    tb = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, embedding, {t} AS tbl, {_bucket_sql(t)} AS bucket"
+        " FROM embeddings"
+        for t in range(N_TABLES)
+    )
+    return f"""
+    WITH tb AS (
+    {tb}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+             a.embedding AS ea, b.embedding AS eb
+      FROM tb a JOIN tb b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id < a.vec_id
+    ),
+    nbr AS (
+      SELECT va AS vec_id, min(vb) AS min_nbr
+      FROM cand WHERE {_cos_sql('ea', 'eb')} > {_COS_DEDUP_TH}
+      GROUP BY va
+    )
+    SELECT e.vec_id,
+           coalesce(n.min_nbr, e.vec_id)                     AS canonical_id,
+           CASE WHEN n.min_nbr IS NULL THEN 0 ELSE 1 END     AS is_dup
+    FROM embeddings e LEFT JOIN nbr n USING (vec_id)
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_embedding_dedup_oracle())
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: LSH-bucketed candidate pairs (never the
+    n² cross product), exact cosine above {_COS_DEDUP_TH} confirms, each
+    vector collapses to its smallest-id confirmed neighbor. Fully oracled —
+    DuckDB rebuilds the identical md5-plane LSH index and thresholding.
+
+    100 TB shape: candidate generation shuffles on (table, bucket); the
+    confirm join is within-bucket only; min-id collapse is one groupBy."""
+    from .similarity import cosine, lsh_table_buckets
+
+    e = T(spark, sf_dir, "embeddings")
+    tb = lsh_table_buckets(e.select("vec_id", "embedding"))
+    a = tb.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+        "table", "bucket",
+    )
+    b = tb.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        "table", "bucket",
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("vb") < F.col("va"))
+        .select("va", "vb", "ea", "eb")
+        .distinct()
+    )
+    nbr = (
+        cand.filter(cosine(F.col("ea"), F.col("eb")) > _COS_DEDUP_TH)
+        .groupBy(F.col("va").alias("vec_id"))
+        .agg(F.min("vb").alias("min_nbr"))
+    )
+    return e.join(nbr, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("min_nbr", "vec_id").alias("canonical_id"),
+        F.when(F.col("min_nbr").isNull(), 0).otherwise(1).alias("is_dup"),
+    )

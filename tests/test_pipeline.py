@@ -64,3 +64,25 @@ def test_multimodal_payload_checksum_consistent(spark):
     d = with_binary_payload(T(spark, SF_DIR, "documents"))
     bad = d.filter(F.md5(F.col("payload")) != F.col("meta.checksum")).count()
     assert bad == 0
+
+
+def test_embedding_dedup_no_cartesian(spark):
+    """Candidate generation must be the bucket equi-join — a cartesian in
+    this plan means the LSH index is being bypassed."""
+    import contextlib
+    import io
+
+    df = all_queries()["dedup_embedding_cosine"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_embedding_dedup_collapses_to_canonicals(spark):
+    rows = all_queries()["dedup_embedding_cosine"](spark, SF_DIR).collect()
+    dups = [r for r in rows if r.is_dup == 1]
+    assert dups, "no near-dups found — threshold vacuous at this SF"
+    assert all(r.canonical_id < r.vec_id for r in dups)
+    assert all(r.canonical_id == r.vec_id for r in rows if r.is_dup == 0)
