@@ -26,6 +26,9 @@ EXTRA_HEADLINERS = (
     "dedup_minhash_lsh",
     "knn_topk_cosine",
     "text_quality_score",
+    "join_asof_backward",
+    "dedup_embedding_cosine",
+    "merge_into_upsert",
 )
 
 

@@ -815,3 +815,29 @@ def tpch_q9_product_profit(spark, sf_dir):
         .agg(r2(F.sum(profit)).alias("profit"))
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*)                        AS n,
+           round(sum(l.l_extendedprice), 2) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-salted fact⋈fact join (Hive SkewJoinOptimizer / SKEWED BY):
+    helpers.salted_join splits every key across 8 salt partitions — the
+    oracle is the PLAIN join, proving salting is semantics-preserving.
+    The escape hatch for keys too hot even for AQE's skew split."""
+    from ..helpers import salted_join
+
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(l, o, "l_orderkey", "o_orderkey", n_salt=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        r2(F.sum("l_extendedprice")).alias("total"),
+    )

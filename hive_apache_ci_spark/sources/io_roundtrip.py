@@ -316,3 +316,49 @@ def io_bucketed_smb_join(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "io_multi_insert",
+    oracle="""
+    SELECT 'by_flag' AS sink, l_returnflag AS key,
+           count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem GROUP BY 2
+    UNION ALL
+    SELECT 'by_status' AS sink, l_linestatus AS key,
+           count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem GROUP BY 2
+    """,
+)
+def io_multi_insert(spark, sf_dir):
+    """Hive multi-insert (``FROM src INSERT OVERWRITE t1 ... INSERT
+    OVERWRITE t2 ...`` — one source scan feeding several sinks,
+    SemanticAnalyzer's multi-destination plan). Spark-first: cache the
+    shared scan, write both sinks, read them back tagged. At 100 TB the
+    cache becomes a first-stage shuffle reuse; the point is the source is
+    READ ONCE (asserted by tests/test_extensions.py via InMemoryTableScan
+    in both sink plans)."""
+    src = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    src.persist()
+    try:
+        sink1 = _scratch(sf_dir, "multi_ins_flag")
+        sink2 = _scratch(sf_dir, "multi_ins_status")
+        (
+            src.groupBy(F.col("l_returnflag").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("l_extendedprice")).alias("total"))
+            .write.mode("overwrite")
+            .parquet(sink1)
+        )
+        (
+            src.groupBy(F.col("l_linestatus").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("l_extendedprice")).alias("total"))
+            .write.mode("overwrite")
+            .parquet(sink2)
+        )
+    finally:
+        src.unpersist()
+    b1 = spark.read.parquet(sink1).withColumn("sink", F.lit("by_flag"))
+    b2 = spark.read.parquet(sink2).withColumn("sink", F.lit("by_status"))
+    return b1.unionByName(b2).select("sink", "key", "n", "total")

@@ -256,3 +256,23 @@ def stream_stream_join(spark, sf_dir):
             F.countDistinct("buy_id").alias("n_buys"),
         )
     )
+
+
+@query("stream_static_join", oracle=None)
+def stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join: the event stream joined to a static
+    dimension (customer segment) — the dimension is broadcast into every
+    micro-batch, no stream-side state at all (the standard way to decorate
+    a 100 TB/day stream with reference data)."""
+    from ..helpers import T
+
+    s = events_stream(spark, sf_dir)
+    dim = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = s.join(F.broadcast(dim), "user_id", "inner")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").cast("long").alias("sum_value_long"),
+    )
+    return _run_to_memory(agg, "complete")

@@ -107,3 +107,24 @@ def test_stream_stream_join_equals_batch(spark):
         )
     )
     assert _rows(stream) == _rows(batch)
+
+
+def test_stream_static_join_equals_batch(spark):
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.helpers import T
+
+    stream = all_queries()["stream_static_join"](spark, SF_DIR)
+    e = T(spark, SF_DIR, "events")
+    dim = T(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = (
+        e.join(dim, "user_id", "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast("long").alias("sum_value_long"),
+        )
+    )
+    assert _rows(stream) == _rows(batch)
