@@ -371,27 +371,46 @@ def dedup_embedding_cosine(spark, sf_dir):
     DuckDB rebuilds the identical md5-plane LSH index and thresholding.
 
     100 TB shape: candidate generation shuffles on (table, bucket); the
-    confirm join is within-bucket only; min-id collapse is one groupBy."""
-    from .similarity import cosine, lsh_table_buckets
+    confirm join is within-bucket only; min-id collapse is one groupBy.
+    Per-vector L2 norms are computed ONCE before the pair join (not three
+    folds per pair) — same doubles, a third of the pairwise flops; the
+    oracle's per-pair sqrt(dot(a,a)) is bitwise-identical because the
+    sequential fold is deterministic."""
+    from .similarity import dot_fold, lsh_table_buckets
 
     e = T(spark, sf_dir, "embeddings")
     tb = lsh_table_buckets(e.select("vec_id", "embedding"))
-    a = tb.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
-        "table", "bucket",
-    )
-    b = tb.select(
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
-        "table", "bucket",
-    )
-    cand = (
+    # Candidate generation carries ONLY ids through the bucket join + the
+    # multi-table DISTINCT (two longs per row, not 2×64 floats); vectors are
+    # re-attached once per distinct pair for exactly one scoring fold each.
+    # This is the 100 TB candidate-verify topology: generate cheap, verify
+    # narrow.
+    a = tb.select(F.col("vec_id").alias("va"), "table", "bucket")
+    b = tb.select(F.col("vec_id").alias("vb"), "table", "bucket")
+    pairs = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("vb") < F.col("va"))
-        .select("va", "vb", "ea", "eb")
+        .select("va", "vb")
         .distinct()
     )
+    withnorm = e.withColumn(
+        "nrm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+    )
+    ea = withnorm.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    eb = withnorm.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = dot_fold(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     nbr = (
-        cand.filter(cosine(F.col("ea"), F.col("eb")) > _COS_DEDUP_TH)
+        pairs.join(ea, "va")
+        .join(eb, "vb")
+        .filter(sim > _COS_DEDUP_TH)
         .groupBy(F.col("va").alias("vec_id"))
         .agg(F.min("vb").alias("min_nbr"))
     )

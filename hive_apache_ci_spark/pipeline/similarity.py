@@ -71,18 +71,31 @@ def knn_topk_cosine(spark, sf_dir):
     per-query window with vec_id tiebreak."""
     from pyspark.sql import Window
 
-    e = T(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    e = T(spark, sf_dir, "embeddings").withColumn(
+        # norms once per vector, not once per (query, candidate) pair — the
+        # sequential fold is deterministic, so sim doubles are unchanged
+        "nrm",
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
     sims = (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qe"), F.col("ce")).alias("sim_raw"),
+            (dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "sim_raw"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -232,28 +245,45 @@ def knn_lsh_topk(spark, sf_dir):
     candidate generation is an equi-join, not a cross join."""
     from pyspark.sql import Window
 
-    e = lsh_table_buckets(T(spark, sf_dir, "embeddings"))
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        "table",
-        "bucket",
+    base = T(spark, sf_dir, "embeddings")
+    tb = lsh_table_buckets(base.select("vec_id", "embedding"))
+    # ids-only through bucket join + DISTINCT; vectors re-attached once per
+    # distinct candidate (generate cheap, verify narrow — see
+    # dedup_embedding_cosine for the measured 3× at sf0.1)
+    q = tb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
     )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        "table",
-        "bucket",
-    )
-    cands = (
+    c = tb.select(F.col("vec_id").alias("neighbor_id"), "table", "bucket")
+    pairs = (
         F.broadcast(q)
         .join(c, ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "qe", "ce")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    sims = cands.select(
-        "query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("sim_raw")
+    withnorm = base.withColumn(
+        "nrm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+    )
+    qv = withnorm.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = withnorm.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    sims = (
+        pairs.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "sim_raw"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_raw").desc(), F.col("neighbor_id")
