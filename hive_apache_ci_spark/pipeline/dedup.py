@@ -376,15 +376,30 @@ def dedup_embedding_cosine(spark, sf_dir):
     folds per pair) — same doubles, a third of the pairwise flops; the
     oracle's per-pair sqrt(dot(a,a)) is bitwise-identical because the
     sequential fold is deterministic."""
+    e = T(spark, sf_dir, "embeddings")
+    nbr = (
+        _confirmed_cosine_pairs(spark, sf_dir)
+        .groupBy(F.col("va").alias("vec_id"))
+        .agg(F.min("vb").alias("min_nbr"))
+    )
+    return e.join(nbr, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("min_nbr", "vec_id").alias("canonical_id"),
+        F.when(F.col("min_nbr").isNull(), 0).otherwise(1).alias("is_dup"),
+    )
+
+
+def _confirmed_cosine_pairs(spark, sf_dir):
+    """(va, vb) with va > vb: distinct LSH-candidate pairs whose exact
+    cosine exceeds the threshold. Candidate generation carries ONLY ids
+    through the bucket join + the multi-table DISTINCT (two longs per row,
+    not 2×64 floats); vectors are re-attached once per distinct pair for
+    exactly one scoring fold each — the 100 TB candidate-verify topology
+    (generate cheap, verify narrow; measured 2.9× over carrying arrays)."""
     from .similarity import dot_fold, lsh_table_buckets
 
     e = T(spark, sf_dir, "embeddings")
     tb = lsh_table_buckets(e.select("vec_id", "embedding"))
-    # Candidate generation carries ONLY ids through the bucket join + the
-    # multi-table DISTINCT (two longs per row, not 2×64 floats); vectors are
-    # re-attached once per distinct pair for exactly one scoring fold each.
-    # This is the 100 TB candidate-verify topology: generate cheap, verify
-    # narrow.
     a = tb.select(F.col("vec_id").alias("va"), "table", "bucket")
     b = tb.select(F.col("vec_id").alias("vb"), "table", "bucket")
     pairs = (
@@ -407,15 +422,107 @@ def dedup_embedding_cosine(spark, sf_dir):
         F.col("nrm").alias("nb"),
     )
     sim = dot_fold(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    nbr = (
-        pairs.join(ea, "va")
-        .join(eb, "vb")
-        .filter(sim > _COS_DEDUP_TH)
-        .groupBy(F.col("va").alias("vec_id"))
-        .agg(F.min("vb").alias("min_nbr"))
+    return (
+        pairs.join(ea, "va").join(eb, "vb").filter(sim > _COS_DEDUP_TH)
+        .select("va", "vb")
     )
-    return e.join(nbr, "vec_id", "left").select(
-        "vec_id",
-        F.coalesce("min_nbr", "vec_id").alias("canonical_id"),
-        F.when(F.col("min_nbr").isNull(), 0).otherwise(1).alias("is_dup"),
+
+
+# ---- 7. connected-components dedup (fixpoint) ---------------------------
+
+
+def _cc_oracle() -> str:
+    from .similarity import N_TABLES, _bucket_sql, _cos_sql
+
+    tb = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, embedding, {t} AS tbl, {_bucket_sql(t)} AS bucket"
+        " FROM embeddings"
+        for t in range(N_TABLES)
     )
+    return f"""
+    WITH RECURSIVE tb AS (
+    {tb}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM tb a JOIN tb b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id < a.vec_id
+    ),
+    confirmed AS (
+      SELECT c.va, c.vb FROM cand c
+      JOIN embeddings x ON x.vec_id = c.va
+      JOIN embeddings y ON y.vec_id = c.vb
+      WHERE {_cos_sql('x.embedding', 'y.embedding')} > {_COS_DEDUP_TH}
+    ),
+    edges AS (
+      SELECT va AS s, vb AS d FROM confirmed
+      UNION ALL SELECT vb, va FROM confirmed
+    ),
+    reach(v, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.v
+    )
+    SELECT v AS vec_id,
+           min(r)                                        AS component_id,
+           CASE WHEN min(r) = v THEN 1 ELSE 0 END        AS is_canonical
+    FROM reach GROUP BY v
+    """
+
+
+@query("dedup_connected_components", oracle=_cc_oracle())
+def dedup_connected_components(spark, sf_dir):
+    """Transitive-closure dedup: connected components over the confirmed
+    cosine-similarity graph, each vector labeled with the SMALLEST id
+    reachable through any chain of near-dups (A~B, B~C ⇒ {A,B,C} collapse
+    even when A≁C — what single-pass min-neighbor misses).
+
+    Spark side: iterative min-label propagation (the Pregel/GraphX
+    ``connectedComponents`` algorithm as DataFrame joins) to a fixed point —
+    per round ONE shuffle keyed by vertex; the driver only reads the
+    converged-yet? count. Oracle: DuckDB recursive CTE computing min
+    reachable id — an independent transitive-closure implementation."""
+    e = T(spark, sf_dir, "embeddings")
+    pairs = _confirmed_cosine_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("va").alias("s"), F.col("vb").alias("d")
+    ).unionByName(pairs.select(F.col("vb").alias("s"), F.col("va").alias("d")))
+    edges = edges.persist()
+    labels = e.select("vec_id", F.col("vec_id").alias("label")).persist()
+    try:
+        for _ in range(30):  # ≥ graph diameter; converges much earlier
+            nbr_min = (
+                edges.join(labels, edges["d"] == labels["vec_id"])
+                .groupBy(F.col("s").alias("vec_id"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr_min, "vec_id", "left")
+                .select(
+                    "vec_id",
+                    F.least(
+                        "label", F.coalesce("nbr_label", "label")
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("label", "old"), "vec_id"
+                )
+                .filter(F.col("label") != F.col("old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            "vec_id",
+            F.col("label").alias("component_id"),
+            F.when(F.col("label") == F.col("vec_id"), 1)
+            .otherwise(0)
+            .alias("is_canonical"),
+        )
+    finally:
+        edges.unpersist()
