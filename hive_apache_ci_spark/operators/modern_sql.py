@@ -1,0 +1,262 @@
+"""Modern SQL surface (Spark 4.x) — the engine-modernization layer.
+
+Hive 2.3's dialect (SURVEY.md §2.1) predates several ANSI features users of
+the replaced engine get for free once on Spark 4: recursive CTEs
+(SQL:1999 ``WITH RECURSIVE``), ``LISTAGG ... WITHIN GROUP`` (SQL:2016),
+``UNPIVOT``, correlated ``LATERAL`` subqueries, error-safe ``try_*``
+arithmetic (ANSI-mode escape hatches), ``GROUP BY ALL``, and the VARIANT
+semi-structured type.  Each gets a driver-visible oracled query so the
+coverage is machine-checked, not claimed.
+
+Everything here runs through ``spark.sql`` so the *SQL surface itself* is
+exercised (parser → analyzer → Catalyst), not a DataFrame re-phrasing.
+"""
+
+from __future__ import annotations
+
+from ..catalog import load_tables
+from ..registry import query
+
+
+def _sql(spark, sf_dir, text):
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(text)
+
+
+# ---- recursive CTE ------------------------------------------------------
+
+# Referral-chain walk: from each root customer, hop key -> key-37 until the
+# key falls off the table, accumulating balance. Sequential accumulation =>
+# bitwise-identical doubles in both engines.
+_RECURSIVE_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS root, c_custkey AS cur, 0 AS depth, c_acctbal AS bal
+  FROM customer WHERE c_custkey < 120
+  UNION ALL
+  SELECT ch.root, c.c_custkey, ch.depth + 1, ch.bal + c.c_acctbal
+  FROM chain ch JOIN customer c ON c.c_custkey = ch.cur - 37
+  WHERE ch.depth < 8
+)
+SELECT root AS c_custkey,
+       max(depth)          AS chain_len,
+       round(max(bal), 2)  AS chain_bal
+FROM chain
+GROUP BY root
+"""
+
+
+@query("recursive_cte_chain", oracle=_RECURSIVE_SQL)
+def recursive_cte_chain(spark, sf_dir):
+    """SQL:1999 recursive CTE (``WITH RECURSIVE``): per-root key-hop chain
+    with accumulator columns — the linear-recursion shape (hierarchies,
+    BOM walks) Hive 2.3 cannot express at all. Spark 4 executes it as an
+    iterative loop of joins under one plan; the oracle is the identical
+    query text in DuckDB (independent recursive-CTE implementation)."""
+    return _sql(spark, sf_dir, _RECURSIVE_SQL)
+
+
+# ---- LISTAGG ... WITHIN GROUP -------------------------------------------
+
+
+@query(
+    "listagg_ordered",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(c_name, '|' ORDER BY c_name) AS names,
+           count(*) AS n
+    FROM customer
+    WHERE c_acctbal > 9000
+    GROUP BY c_mktsegment
+    """,
+)
+def listagg_ordered(spark, sf_dir):
+    """SQL:2016 ``LISTAGG ... WITHIN GROUP (ORDER BY ...)`` — the ANSI form
+    of Hive's collect_list+sort+concat_ws idiom, with a deterministic
+    element order making the result exact-hashable. Oracle: DuckDB's
+    equivalent ordered ``string_agg``."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_mktsegment,
+               listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name) AS names,
+               count(*) AS n
+        FROM customer
+        WHERE c_acctbal > 9000
+        GROUP BY c_mktsegment
+        """,
+    )
+
+
+# ---- UNPIVOT ------------------------------------------------------------
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2)      AS qty,
+             round(sum(l_extendedprice), 2) AS price,
+             round(sum(l_discount), 2)      AS disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty'   AS measure, qty   AS val FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'price' AS measure, price AS val FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'disc'  AS measure, disc  AS val FROM agg
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """``UNPIVOT`` (wide measures → long rows) — the inverse of the pivot
+    surface, new in Spark 3.4+ SQL. The oracle spells out the same
+    relational algebra as a UNION ALL of the measure arms, so the check is
+    engine-independent."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, measure, val
+        FROM (
+          SELECT l_returnflag,
+                 round(sum(l_quantity), 2)      AS qty,
+                 round(sum(l_extendedprice), 2) AS price,
+                 round(sum(l_discount), 2)      AS disc
+          FROM lineitem GROUP BY l_returnflag
+        )
+        UNPIVOT (val FOR measure IN (qty, price, disc))
+        """,
+    )
+
+
+# ---- correlated LATERAL subquery ----------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS totalprice
+FROM customer c,
+     LATERAL (SELECT o_orderkey, o_totalprice
+              FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 2) t
+WHERE c.c_acctbal > 9500
+"""
+
+
+@query("lateral_topn_per_key", oracle=_LATERAL_SQL)
+def lateral_topn_per_key(spark, sf_dir):
+    """Correlated ``LATERAL`` derived table with ORDER BY + LIMIT — per-row
+    top-N without a window function (the decorrelation target is a ranked
+    semi-join). Identical SQL runs on DuckDB, whose LATERAL support is an
+    independent implementation."""
+    return _sql(spark, sf_dir, _LATERAL_SQL)
+
+
+# ---- try_* error-safe arithmetic ----------------------------------------
+
+
+@query(
+    "try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice / nullif(o_custkey % 5, 0), 4) AS safe_div,
+           CASE WHEN o_orderkey % 2 = 1 THEN NULL
+                ELSE 9223372036854775807 END                 AS safe_add,
+           CAST(NULL AS DOUBLE)                              AS bad_cast
+    FROM orders
+    WHERE o_orderkey <= 3000
+    """,
+)
+def try_arithmetic(spark, sf_dir):
+    """ANSI-mode error-safe arithmetic: ``try_divide`` (NULL on /0),
+    ``try_add`` (NULL on bigint overflow), ``try_cast`` (NULL on malformed
+    input) — Spark's lawful versions of Hive's silently-NULLing permissive
+    math. The oracle states the expected NULL semantics explicitly
+    (DuckDB would *raise* on overflow — the CASE encodes which rows
+    overflow)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               round(try_divide(o_totalprice, o_custkey % 5), 4)   AS safe_div,
+               try_add(9223372036854775807, o_orderkey % 2)        AS safe_add,
+               CAST(try_cast(o_orderstatus AS DOUBLE) AS DOUBLE)   AS bad_cast
+        FROM orders
+        WHERE o_orderkey <= 3000
+        """,
+    )
+
+
+# ---- GROUP BY ALL -------------------------------------------------------
+
+
+@query(
+    "group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def group_by_all(spark, sf_dir):
+    """``GROUP BY ALL`` — infer the grouping key from the non-aggregate
+    select items. Oracle spells the inferred key out explicitly, proving
+    the inference picked exactly (o_orderstatus, o_orderpriority)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY ALL
+        """,
+    )
+
+
+# ---- VARIANT semi-structured type ---------------------------------------
+
+
+@query(
+    "variant_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey                    AS v_key,
+           o_orderstatus                 AS v_status,
+           round(o_totalprice, 2)        AS v_price,
+           o_custkey % 10                AS v_elem1
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+)
+def variant_roundtrip(spark, sf_dir):
+    """VARIANT (Spark 4 semi-structured type): build a JSON document from
+    row values, ``parse_json`` it into a variant, then ``variant_get``
+    typed paths (scalar fields + array index) back out. The oracle is the
+    identity on the source columns — a failed parse/extract anywhere
+    breaks the hash. This is the modern replacement for Hive's
+    JsonSerDe/get_json_object surface at engine-native speed."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               variant_get(v, '$.key', 'bigint')     AS v_key,
+               variant_get(v, '$.status', 'string')  AS v_status,
+               round(variant_get(v, '$.price', 'double'), 2) AS v_price,
+               variant_get(v, '$.arr[1]', 'bigint')  AS v_elem1
+        FROM (
+          SELECT o_orderkey,
+                 parse_json(concat(
+                   '{"key":', o_orderkey,
+                   ',"status":"', o_orderstatus,
+                   '","price":', o_totalprice,
+                   ',"arr":[0,', o_custkey % 10, ']}')) AS v
+          FROM orders
+          WHERE o_orderkey <= 2000
+        )
+        """,
+    )

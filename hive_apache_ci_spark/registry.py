@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
         extensions,
         joins,
         lateral,
+        modern_sql,
         mutations,
         relational,
         setops,
