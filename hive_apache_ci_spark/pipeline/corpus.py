@@ -1,0 +1,448 @@
+"""Corpus-preparation operators for LLM training pipelines (SURVEY.md §2.11).
+
+The ops a 100 TB pretraining-data pipeline runs between raw crawl and
+tokenizer, beyond dedup/similarity (pipeline/dedup.py, similarity.py):
+
+1. contamination detection — flag corpus docs sharing any 5-token shingle
+   with a benchmark/eval set (the n-gram-overlap decontamination used for
+   public eval suites). Shuffle key = shingle hash; the benchmark side is
+   tiny → broadcast. Never pairwise on docs.
+2. PII redaction — regex scrubbing (emails/phones) with redaction counts;
+   pure JVM-side regexp, codegen-resident.
+3. sliding-window chunking — split docs into fixed-size overlapping token
+   chunks (the context-window prep step). One explode; no shuffle at all.
+4. Gopher-style repetition quality — duplicate-token fraction, most-common-
+   2-gram fraction, mean token length → keep/drop verdict per doc.
+5. stratified hash sampling — deterministic per-language keep rates via an
+   md5 bucket in [0,1000); reproducible across engines and runs, no RNG
+   state, embarrassingly parallel (the way to downsample a 100 TB crawl).
+6. per-stratum cap resampling — rank docs inside each language by content
+   hash, keep the first K: bounds any stratum without a global sort.
+7. greedy sequence packing — first-fit documents into fixed token budgets
+   (training-batch packing). Inherently sequential per bin → partition the
+   corpus into hash buckets, pack greedily *within* each bucket via
+   applyInPandas (Arrow-batched), so packing parallelizes bucket-wise.
+8. corpus mixture weights — token-share report per (lang, source) — the
+   sampling-weights table a data-mixing stage consumes.
+
+All but packing are exactly oracled in DuckDB (packing is order-dependent
+imperative logic — rows-only + invariant tests in tests/test_corpus.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..functions.hive_compat import ngram_array
+from ..helpers import T
+from ..registry import query
+
+# ---- shared shingle SQL (DuckDB side) -----------------------------------
+
+
+def _shingle_sql(n: int, src: str = "documents") -> str:
+    """DuckDB CTE body: (doc_id, shingle) with n-token shingles, distinct."""
+    parts = ", ' ', ".join(f"a[i+{k}]" for k in range(n))
+    return f"""
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(a) - {n - 1}, 0) + 1),
+                              i -> concat({parts})))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+            FROM {src})
+    """
+
+
+def _shingles_spark(df, n: int):
+    """(doc_id, shingle) distinct n-token shingles — one explode, JVM-side."""
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    return df.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngram_array(toks, n))).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+
+
+# ---- 1. contamination detection -----------------------------------------
+
+_BENCH_MOD = 97  # doc_id % 97 == 0 stands in for the benchmark/eval set
+
+_CONTAMINATION_SQL = f"""
+WITH sh AS ({_shingle_sql(4)}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % {_BENCH_MOD} <> 0)
+SELECT c.doc_id,
+       count(DISTINCT c.shingle)          AS n_shared_shingles,
+       1                                  AS contaminated
+FROM corpus c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+"""
+
+
+@query("contamination_ngram", oracle=_CONTAMINATION_SQL)
+def contamination_ngram(spark, sf_dir):
+    """Benchmark decontamination: corpus documents sharing >=1 distinct
+    4-token shingle with the benchmark set (docs with id % 97 == 0), with
+    the shared-shingle count (4 chosen so the check is non-vacuous at
+    sf0.01 yet still selective — 8/495 docs flagged there, ~15% at sf0.1).
+    The benchmark shingle set is small by construction → broadcast to the
+    corpus-shingle side; the only shuffle is the per-doc count. At 100 TB
+    the eval set stays KBs — a broadcast semi-join per shingle, never
+    doc-pairwise."""
+    d = T(spark, sf_dir, "documents")
+    sh = _shingles_spark(d, 4)
+    bench = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0).select("shingle").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.lit(1).alias("contaminated"),
+        )
+    )
+
+
+# ---- 2. PII redaction ---------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\b555-[0-9]{4}\\b"
+
+_PII_SQL = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         concat(text, ' contact user', doc_id, '@example.com or 555-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                      '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+FROM seeded
+"""
+
+
+@query("pii_redaction", oracle=_PII_SQL)
+def pii_redaction(spark, sf_dir):
+    """PII scrubbing: seed each document with a synthetic email + phone
+    (deterministic from doc_id — the corpus itself is clean), then count
+    and redact both patterns. Pure regexp_replace/regexp_count — JVM
+    codegen, linear scan, no shuffle. The regexes stick to syntax shared
+    by Java regex and RE2 so the DuckDB oracle is bit-identical."""
+    d = T(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+    )
+
+
+# ---- 3. sliding-window chunking -----------------------------------------
+
+_CHUNK, _STRIDE = 32, 24
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+  FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) / {_STRIDE} AS INT)              AS chunk_idx,
+       array_to_string(a[s : s + {_CHUNK - 1}], ' ')  AS chunk_text,
+       CAST(len(a[s : s + {_CHUNK - 1}]) AS INT)      AS n_chunk_tokens
+FROM toks, unnest(range(1, len(a) + 1, {_STRIDE})) AS t(s)
+"""
+
+
+@query("doc_chunk_sliding", oracle=_CHUNK_SQL)
+def doc_chunk_sliding(spark, sf_dir):
+    """Context-window prep: overlapping token chunks (size 32, stride 24 —
+    8-token overlap). One `explode` of the start-index sequence per doc;
+    narrow transform, zero shuffles, scales with tokens not documents.
+    DuckDB's 1-based inclusive list slice a[s : s+31] == Spark
+    slice(a, s, 32)."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    return (
+        d.select("doc_id", toks.alias("a"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("a"), F.lit(_STRIDE))
+            ).alias("s"),
+            "a",
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / _STRIDE).cast("int").alias("chunk_idx"),
+            F.array_join(F.slice("a", F.col("s"), _CHUNK), " ").alias("chunk_text"),
+            F.size(F.slice("a", F.col("s"), _CHUNK)).alias("n_chunk_tokens"),
+        )
+    )
+
+
+# ---- 4. Gopher-style repetition quality ---------------------------------
+
+_GOPHER_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         len(a)                    AS n_tok,
+         len(list_distinct(a))     AS n_uni,
+         length(array_to_string(a, '')) AS n_chars_nospace
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, concat(a[i], ' ', a[i+1]) AS g
+  FROM toks, unnest(range(1, greatest(len(a) - 1, 0) + 1)) AS t(i)
+),
+gram_counts AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+),
+top_gram AS (
+  SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_grams
+  FROM gram_counts GROUP BY doc_id
+)
+SELECT s.doc_id,
+       round(1.0 - s.n_uni * 1.0 / s.n_tok + 1e-9, 6)        AS dup_tok_frac,
+       round(t.top_c * 1.0 / t.n_grams + 1e-9, 6)            AS top_2gram_frac,
+       round(s.n_chars_nospace * 1.0 / s.n_tok + 1e-9, 6)    AS mean_tok_len,
+       CASE WHEN 1.0 - s.n_uni * 1.0 / s.n_tok < 0.8
+             AND t.top_c * 1.0 / t.n_grams < 0.2
+            THEN 1 ELSE 0 END                                 AS keep
+FROM stats s JOIN top_gram t USING (doc_id)
+"""
+
+
+@query("quality_gopher_repetition", oracle=_GOPHER_SQL)
+def quality_gopher_repetition(spark, sf_dir):
+    """Repetition-based quality filter (the Gopher/MassiveText rules
+    adapted to token streams): duplicate-token fraction, most-frequent-
+    2-gram mass fraction, mean token length, and a keep/drop verdict.
+    Two aggregations, both keyed by doc_id → a single shuffle key reused;
+    the 2-gram explode is narrow."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    base = d.select("doc_id", toks.alias("a"))
+    stats = base.select(
+        "doc_id",
+        F.size("a").alias("n_tok"),
+        F.size(F.array_distinct("a")).alias("n_uni"),
+        F.length(F.array_join("a", "")).alias("n_chars_nospace"),
+    )
+    grams = base.select(
+        "doc_id", F.explode(ngram_array(F.col("a"), 2)).alias("g")
+    )
+    top = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_grams"))
+    )
+    dup_frac = 1.0 - F.col("n_uni") * 1.0 / F.col("n_tok")
+    top_frac = F.col("top_c") * 1.0 / F.col("n_grams")
+    return stats.join(top, "doc_id").select(
+        "doc_id",
+        F.round(dup_frac + F.lit(1e-9), 6).alias("dup_tok_frac"),
+        F.round(top_frac + F.lit(1e-9), 6).alias("top_2gram_frac"),
+        F.round(
+            F.col("n_chars_nospace") * 1.0 / F.col("n_tok") + F.lit(1e-9), 6
+        ).alias("mean_tok_len"),
+        F.when((dup_frac < 0.8) & (top_frac < 0.2), 1).otherwise(0).alias("keep"),
+    )
+
+
+# ---- 5. stratified hash sampling ----------------------------------------
+
+_RATES = {"en": 500, "de": 250, "fr": 250, "es": 250, "zh": 250}  # per-mille
+
+
+def _bucket_sql(col: str = "doc_id") -> str:
+    return f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
+
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _RATES.items()
+) + " ELSE 0 END"
+
+_STRATIFIED_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_bucket_sql()} < {_RATE_CASE}
+"""
+
+
+@query("sample_stratified_hash", oracle=_STRATIFIED_SQL)
+def sample_stratified_hash(spark, sf_dir):
+    """Language-balancing downsample: keep each document iff its md5
+    bucket (0..999) falls under the per-language keep rate (en 50%,
+    others 25%). Content-hash gating is the 100 TB sampling tool: no RNG
+    state, reproducible on reruns and across engines, pure map-side
+    filter — zero shuffles."""
+    d = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _RATES.items()],
+        F.lit(0),
+    )
+    return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+# ---- 6. per-stratum cap resampling --------------------------------------
+
+_CAP = 60
+
+_CAP_SQL = f"""
+SELECT doc_id, lang, CAST(rk AS INT) AS rk
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= {_CAP}
+"""
+
+
+@query("resample_cap_per_lang", oracle=_CAP_SQL)
+def resample_cap_per_lang(spark, sf_dir):
+    """Stratum capping: at most K documents per language, chosen by
+    content-hash order (deterministic, unbiased w.r.t. document content).
+    One shuffle keyed by lang; per-partition top-K — never a global sort.
+    With AQE a skewed stratum splits; the window is per-lang so the
+    100 TB failure mode (one giant ORDER BY) cannot occur."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _CAP)
+    )
+
+
+# ---- 7. greedy sequence packing (rows-only + invariant tests) -----------
+
+_PACK_BUDGET = 128
+_N_BUCKETS = 8
+
+
+@query("pack_sequences_greedy", oracle=None)
+def pack_sequences_greedy(spark, sf_dir):
+    """Training-batch packing: greedy first-fit of documents into
+    fixed-token-budget packs (budget 128). Packing is order-dependent
+    imperative logic, so it cannot be one declarative query; the scalable
+    shape is hash-bucket the corpus (bucket = md5 % 8) and pack WITHIN
+    each bucket independently via Arrow-batched applyInPandas — packing
+    parallelism = bucket count, and each bucket's packing is deterministic
+    (docs processed in (n_tokens desc, doc_id) order). Rows-only by
+    contract; tests/test_corpus.py asserts the invariants (every doc in
+    exactly one pack, no pack over budget, deterministic repeat runs)."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    docs = d.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint")
+            % _N_BUCKETS
+        ).alias("bucket"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        packs: list[int] = []  # remaining budget per open pack
+        assign = []
+        for n in pdf["n_tokens"]:
+            for i, rem in enumerate(packs):
+                if n <= rem:
+                    packs[i] = rem - n
+                    assign.append(i)
+                    break
+            else:
+                packs.append(_PACK_BUDGET - n)
+                assign.append(len(packs) - 1)
+        pdf["pack_id"] = assign
+        return pdf[["bucket", "pack_id", "doc_id", "n_tokens"]]
+
+    return docs.groupBy("bucket").applyInPandas(
+        pack, "bucket bigint, pack_id int, doc_id bigint, n_tokens int"
+    )
+
+
+# ---- 8. corpus mixture weights ------------------------------------------
+
+_MIX_SQL = """
+WITH tok AS (
+  SELECT lang, source,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n
+  FROM documents
+),
+per AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_tokens,
+       round(n_tokens * 1.0 / sum(n_tokens) OVER () + 1e-9, 6) AS token_share
+FROM per
+"""
+
+
+@query("corpus_mix_weights", oracle=_MIX_SQL)
+def corpus_mix_weights(spark, sf_dir):
+    """Mixture-weights table for data-mixing: documents + tokens per
+    (lang, source) and each cell's share of total tokens. The total is an
+    unpartitioned window over the *aggregated* table (|langs|x|sources|
+    rows — trivially driver-safe at any corpus size)."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "lang",
+            "source",
+            F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n"),
+        )
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") * 1.0 / total + F.lit(1e-9), 6).alias(
+            "token_share"
+        ),
+    )

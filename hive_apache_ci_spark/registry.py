@@ -80,6 +80,12 @@ def _ensure_loaded() -> None:
     from .functions import expressions, hive_compat_queries  # noqa: F401
     from .sources import io_roundtrip  # noqa: F401
     from .streaming import timeseries, jobs  # noqa: F401
-    from .pipeline import dedup, similarity, text_analysis, multimodal  # noqa: F401
+    from .pipeline import (  # noqa: F401
+        corpus,
+        dedup,
+        multimodal,
+        similarity,
+        text_analysis,
+    )
 
     _LOADED = True
