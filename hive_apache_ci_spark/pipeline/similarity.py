@@ -436,3 +436,159 @@ def ivf_assign(spark, sf_dir):
             "assigned_label"
         )
     )
+
+
+_IVF_PROBE = 2  # nprobe: centroids searched per query
+
+_IVF_SEARCH_ORACLE = (
+    _CENTROID_SQL
+    + f"""
+    , cvecs AS (
+      SELECT label AS c_label, list(c ORDER BY pos) AS cvec
+      FROM centroids GROUP BY label
+    ),
+    assigned AS (
+      SELECT vec_id,
+             arg_min(c_label,
+                     list_sum(list_transform(list_zip(embedding, cvec),
+                              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                 * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+                     + c_label * 1e-12) AS c_label
+      FROM embeddings CROSS JOIN cvecs
+      GROUP BY vec_id
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, c_label FROM (
+        SELECT e.vec_id, c.c_label,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+                          + c.c_label * 1e-12) AS rk
+        FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) e
+        CROSS JOIN cvecs c
+      ) WHERE rk <= {_IVF_PROBE}
+    ),
+    cands AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a USING (c_label)
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_cos_sql('q.embedding', 'n.embedding')} AS sim,
+             row_number() OVER (
+               PARTITION BY c.query_id
+               ORDER BY {_cos_sql('q.embedding', 'n.embedding')} DESC, c.neighbor_id
+             ) AS rank
+      FROM cands c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+)
+
+
+@query("ivf_probe_topk", oracle=_IVF_SEARCH_ORACLE)
+def ivf_probe_topk(spark, sf_dir):
+    """Full IVF ANN search — the third step completing train
+    (`ivf_centroids`) and assign (`ivf_assign`): every corpus vector is
+    assigned to its nearest centroid, each query probes its nprobe=2
+    nearest centroids, and exact cosine runs ONLY against vectors assigned
+    to a probed centroid (~nprobe/k of the corpus), ranked top-k.
+
+    Scale story: the centroid table broadcasts (k×dim floats); corpus
+    assignment is a map-side argmin; the candidate join shuffles on
+    c_label — the inverted-list key — so search cost is proportional to
+    the probed lists, never the corpus. Fully oracled: centroids,
+    assignment tie-breaks, and the cosine fold are all deterministic and
+    recomputed identically in DuckDB."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "val_f")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    centroids = dims.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    cvecs = (
+        centroids.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    tiebreak = F.col("d2") + F.col("c_label") * 1e-12
+    assigned = (
+        e.select("vec_id", "embedding")
+        .join(F.broadcast(cvecs))
+        .select("vec_id", "c_label", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min_by("c_label", tiebreak).alias("c_label"))
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(tiebreak)
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .join(F.broadcast(cvecs))
+        .select("query_id", "c_label", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(wprobe))
+        .filter(F.col("rk") <= _IVF_PROBE)
+        .select("query_id", "c_label")
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(assigned, "c_label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    withnorm = e.withColumn(
+        "nrm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+    )
+    qv = withnorm.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = withnorm.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    sims = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "sim_raw"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim_raw", 6).alias("sim"))
+    )

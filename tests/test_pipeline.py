@@ -86,3 +86,20 @@ def test_embedding_dedup_collapses_to_canonicals(spark):
     assert dups, "no near-dups found — threshold vacuous at this SF"
     assert all(r.canonical_id < r.vec_id for r in dups)
     assert all(r.canonical_id == r.vec_id for r in rows if r.is_dup == 0)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF probe search (nprobe=2 of 10 label-centroids) must recover a
+    solid fraction of the true top-k: labels are genuine clusters in the
+    embedding space, so the nearest-centroid lists should hold most true
+    neighbors — a much tighter bound than the hyperplane-LSH index."""
+    qs = all_queries()
+    exact = {
+        (r.query_id, r.neighbor_id) for r in qs["knn_topk_cosine"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in qs["ivf_probe_topk"](spark, SF_DIR).collect()
+    }
+    assert approx, "IVF search produced no candidates"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
