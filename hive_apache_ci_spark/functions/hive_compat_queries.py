@@ -177,3 +177,48 @@ def hive_parse_url_tuple(spark, sf_dir):
     return p.select(
         "p_partkey", *hc.parse_url_tuple(F.col("url"), "HOST", "PATH", "QUERY:id")
     )
+
+
+@query(
+    "uniontype_tagged",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey % 3 AS TINYINT)                       AS tag,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_custkey END       AS u_int,
+           CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus END   AS u_str,
+           CASE WHEN o_orderkey % 3 = 2
+                THEN round(o_totalprice, 2) END                  AS u_dbl,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'int'
+                WHEN o_orderkey % 3 = 1 THEN 'string'
+                ELSE 'double' END                                AS branch
+    FROM orders WHERE o_orderkey <= 3000
+    """,
+)
+def uniontype_tagged(spark, sf_dir):
+    """Hive ``uniontype<int,string,double>`` emulation (SURVEY.md §7.8:
+    no Spark-native uniontype — the standard port is a tagged struct).
+    create_union → struct(tag, one non-null branch field);
+    extract/``CASE WHEN tag`` → per-branch typed columns. The query builds
+    real union structs and reads every branch back out through the struct,
+    so the round-trip (not just the CASE arithmetic) is what the oracle
+    checks."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    tag = (F.col("o_orderkey") % 3).cast("tinyint")
+    u = F.struct(
+        tag.alias("tag"),
+        F.when(tag == 0, F.col("o_custkey")).alias("f0"),
+        F.when(tag == 1, F.col("o_orderstatus")).alias("f1"),
+        F.when(tag == 2, F.round(F.col("o_totalprice"), 2)).alias("f2"),
+    )
+    o = o.withColumn("u", u)
+    return o.select(
+        "o_orderkey",
+        F.col("u.tag").alias("tag"),
+        F.col("u.f0").alias("u_int"),
+        F.col("u.f1").alias("u_str"),
+        F.col("u.f2").alias("u_dbl"),
+        F.when(F.col("u.tag") == 0, "int")
+        .when(F.col("u.tag") == 1, "string")
+        .otherwise("double")
+        .alias("branch"),
+    )

@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
         extensions,
         joins,
         lateral,
+        matview,
         modern_sql,
         mutations,
         relational,

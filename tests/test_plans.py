@@ -224,3 +224,11 @@ def test_bloom_filter_semijoin_injects(spark):
                 spark.conf.set(k, v)
     assert "bloom_filter_agg" in text, text
     assert "might_contain" in text.lower(), text
+
+
+def test_mv_rewrite_reads_only_the_mv(spark):
+    """The rewritten monthly query must scan the materialized daily
+    partials, never the lineitem fact table — the whole point of the MV."""
+    p = plan(spark, "mv_rollup_rewrite")
+    assert "hive_apache_ci_spark_mv" in p, p
+    assert "lineitem" not in p, "rewritten plan still scans the fact table"
