@@ -412,3 +412,50 @@ def agg_filter_clause(spark, sf_dir):
         ).alias("big_total"),
         F.count_if(F.col("o_custkey") % 2 == 0).alias("n_even_cust"),
     )
+
+
+@query(
+    "agg_histogram_fixed",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(l_quantity) AS lo, max(l_quantity) AS hi FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(least(floor((l_quantity - lo) / ((hi - lo) / 10)), 9) AS INT)
+             AS bin_idx,
+           CAST(count(*) AS BIGINT)      AS n,
+           round(min(l_quantity), 2)     AS bin_min,
+           round(max(l_quantity), 2)     AS bin_max
+    FROM lineitem, bounds
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram_fixed(spark, sf_dir):
+    """Fixed-width 10-bin histogram of l_quantity per returnflag — the
+    deterministic, exactly-oracled complement to `agg_histogram`
+    (histogram_numeric's heuristic bin *placement* is engine-specific →
+    rows-only; equal-width binning is pure arithmetic, so this one is
+    hash-checked). Two-phase agg over a (flag, bin) key; the global
+    min/max is a scalar subquery both engines broadcast."""
+    l = T(spark, sf_dir, "lineitem")
+    lo, hi = F.min("l_quantity"), F.max("l_quantity")
+    b = l.agg(lo.alias("lo"), hi.alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 10
+    return (
+        l.crossJoin(F.broadcast(b))
+        .select(
+            "l_returnflag",
+            "l_quantity",
+            F.least(
+                F.floor((F.col("l_quantity") - F.col("lo")) / width), F.lit(9)
+            )
+            .cast("int")
+            .alias("bin_idx"),
+        )
+        .groupBy("l_returnflag", "bin_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_quantity"), 2).alias("bin_min"),
+            F.round(F.max("l_quantity"), 2).alias("bin_max"),
+        )
+    )

@@ -257,3 +257,41 @@ def matchpath_sessions(spark, sf_dir):
         & (F.col("next_type") == "view")
         & (F.col("next2_type") == "purchase")
     ).select("user_id", "start_s")
+
+
+@query(
+    "tablesample_bucket",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+                || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 32 = 0
+    """,
+)
+def tablesample_bucket(spark, sf_dir):
+    """Hive ``TABLESAMPLE (BUCKET 1 OUT OF 32 ON key)`` — deterministic
+    hash-bucket sampling (ql/parse/SplitSample's bucketed form). Unlike the
+    seeded-RNG sample (rows-only), hashing the key makes the sample
+    SQL-reproducible → fully oracled. At 100 TB this is the sampling mode
+    that composes with bucketed layout: bucket-pruned scans read 1/32 of
+    the files, not a 1/32 filter over all of them."""
+    l = T(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 32
+    )
+    return l.filter(bucket == 0).select("l_orderkey", "l_linenumber", "l_quantity")
