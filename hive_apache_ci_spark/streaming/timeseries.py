@@ -231,3 +231,67 @@ def events_funnel(spark, sf_dir):
         F.sum(s2.cast("int")).cast("bigint").alias("stage_view"),
         F.sum(s3.cast("int")).cast("bigint").alias("stage_purchase"),
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cs
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT e.user_id, p.cs,
+             CAST(floor((CAST(floor(epoch(e.ts)) AS BIGINT)
+                         - CAST(floor(epoch(p.cs)) AS BIGINT)) / 604800.0)
+                  AS INT) AS offset_w
+      FROM events e JOIN per_user p USING (user_id)
+    ),
+    agg AS (
+      SELECT cs, offset_w, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM act GROUP BY cs, offset_w
+    ),
+    cohort_size AS (
+      SELECT cs, CAST(count(*) AS BIGINT) AS cohort_n FROM per_user GROUP BY cs
+    )
+    SELECT strftime(a.cs, '%Y-%m-%d')                         AS cohort_week,
+           a.offset_w, a.n_active, s.cohort_n,
+           round(a.n_active * 1.0 / s.cohort_n + 1e-9, 6)     AS retention
+    FROM agg a JOIN cohort_size s USING (cs)
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted distinct per week-offset, normalized by cohort size — the
+    standard growth-analytics triangle. Two aggregations both keyed by
+    user/cohort (no global sort); the cohort-size table is |weeks| rows →
+    broadcast. Week offsets computed in integer epoch-seconds so both
+    engines bin identically."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cs")
+    )
+    act = e.join(per_user, "user_id").select(
+        "user_id",
+        "cs",
+        F.floor(
+            (F.col("ts").cast("long") - F.col("cs").cast("long")) / 604800.0
+        )
+        .cast("int")
+        .alias("offset_w"),
+    )
+    agg = act.groupBy("cs", "offset_w").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    size = per_user.groupBy("cs").agg(F.count(F.lit(1)).alias("cohort_n"))
+    return agg.join(F.broadcast(size), "cs").select(
+        F.date_format("cs", "yyyy-MM-dd").alias("cohort_week"),
+        "offset_w",
+        "n_active",
+        "cohort_n",
+        F.round(
+            F.col("n_active") * 1.0 / F.col("cohort_n") + F.lit(1e-9), 6
+        ).alias("retention"),
+    )
