@@ -34,6 +34,19 @@ def ravg(c: Column, nd: int = 4) -> Column:
     return F.round(c + F.lit(1e-9), nd)
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition on `cols` with an EXPLICIT partition count
+    (spark.sql.shuffle.partitions). The explicit count matters: a
+    column-only ``repartition(col)`` is fair game for AQE partition
+    coalescing, and on a small-bytes-but-CPU-heavy relation (shingle
+    explode → md5, hyperplane folds) AQE happily coalesces back to one
+    partition and serializes the expensive map work. Pinning the count
+    keeps the fan-out; downstream groupBys on the same key reuse the
+    exchange, so no extra shuffle is introduced."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def ts_lit(s: str) -> Column:
     """Timestamp literal (testdata 'date' columns are parquet timestamps)."""
     return F.lit(s).cast("timestamp")

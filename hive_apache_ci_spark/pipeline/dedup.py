@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.hive_compat import ngram_array
-from ..helpers import T
+from ..helpers import T, spread
 from ..registry import query
 
 N_HASHES = 16
@@ -102,8 +102,15 @@ def minhash_signatures(df, id_col: str = "doc_id", text_col: str = "text"):
     shuffle keyed by doc (a per-row nested-HOF variant was tried and is
     ~100x slower: Catalyst re-inlines the shingle array into every lambda
     element — see docs/SCALE.md)."""
+    # Spread by doc BEFORE the explode: a small corpus parquet arrives as
+    # few (often 1) input splits, which would leave the shingle explode +
+    # md5 + 16 min-aggs single-threaded. The doc-keyed exchange is the SAME
+    # distribution the groupBy needs, so Catalyst reuses it — no extra
+    # shuffle; the explicit partition count stops AQE from coalescing the
+    # CPU-heavy (but byte-light) stage back to one task (helpers.spread).
     sh = (
-        df.select(F.col(id_col), F.explode(_shingles(F.col(text_col))).alias("shingle"))
+        spread(df, id_col)
+        .select(F.col(id_col), F.explode(_shingles(F.col(text_col))).alias("shingle"))
         .filter(F.col("shingle") != "")
         .withColumn("m", F.md5("shingle"))
         .select(
@@ -480,49 +487,45 @@ def dedup_connected_components(spark, sf_dir):
     Spark side: iterative min-label propagation (the Pregel/GraphX
     ``connectedComponents`` algorithm as DataFrame joins) to a fixed point —
     per round ONE shuffle keyed by vertex; the driver only reads the
-    converged-yet? count. Oracle: DuckDB recursive CTE computing min
-    reachable id — an independent transitive-closure implementation."""
+    converged-yet? count. Each round's labels are ``localCheckpoint``ed:
+    persist() alone leaves the *logical plan* growing (every round nests
+    the previous round's joins), and by ~10 rounds plan
+    compilation/rendering itself OOMs — checkpointing truncates lineage to
+    the materialized result, the standard fix for iterative DataFrame
+    algorithms (on a cluster use ``checkpoint()`` to HDFS for fault
+    tolerance). Oracle: DuckDB recursive CTE computing min reachable id —
+    an independent transitive-closure implementation."""
     e = T(spark, sf_dir, "embeddings")
     pairs = _confirmed_cosine_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("va").alias("s"), F.col("vb").alias("d")
     ).unionByName(pairs.select(F.col("vb").alias("s"), F.col("va").alias("d")))
-    edges = edges.persist()
-    labels = e.select("vec_id", F.col("vec_id").alias("label")).persist()
-    try:
-        for _ in range(30):  # ≥ graph diameter; converges much earlier
-            nbr_min = (
-                edges.join(labels, edges["d"] == labels["vec_id"])
-                .groupBy(F.col("s").alias("vec_id"))
-                .agg(F.min("label").alias("nbr_label"))
-            )
-            new_labels = (
-                labels.join(nbr_min, "vec_id", "left")
-                .select(
-                    "vec_id",
-                    F.least(
-                        "label", F.coalesce("nbr_label", "label")
-                    ).alias("label"),
-                )
-                .persist()
-            )
-            changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("label", "old"), "vec_id"
-                )
-                .filter(F.col("label") != F.col("old"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.select(
-            "vec_id",
-            F.col("label").alias("component_id"),
-            F.when(F.col("label") == F.col("vec_id"), 1)
-            .otherwise(0)
-            .alias("is_canonical"),
+    edges = edges.localCheckpoint()
+    labels = e.select("vec_id", F.col("vec_id").alias("label")).localCheckpoint()
+    for _ in range(30):  # ≥ graph diameter; converges much earlier
+        nbr_min = (
+            edges.join(labels, edges["d"] == labels["vec_id"])
+            .groupBy(F.col("s").alias("vec_id"))
+            .agg(F.min("label").alias("nbr_label"))
         )
-    finally:
-        edges.unpersist()
+        new_labels = (
+            labels.join(nbr_min, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "vec_id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "vec_id",
+        F.col("label").alias("component_id"),
+        F.when(F.col("label") == F.col("vec_id"), 1).otherwise(0).alias("is_canonical"),
+    )

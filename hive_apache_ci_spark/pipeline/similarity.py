@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..helpers import T, ravg
+from ..helpers import T, ravg, spread
 from ..registry import query
 
 TOP_K = 5
@@ -182,8 +182,17 @@ def lsh_table_buckets(df, emb_col: str = "embedding"):
             for t in range(N_TABLES)
         ]
     )
-    return df.withColumn("tb", F.explode(tables)).select(
-        *df.columns, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    # Repartition by id first: small parquet inputs arrive as one split, and
+    # the N_TABLES × PLANES_PER_TABLE × dim sign-folds are the expensive part
+    # — spread them across cores before exploding (see minhash_signatures).
+    return (
+        spread(df, df.columns[0])
+        .withColumn("tb", F.explode(tables))
+        .select(
+            *df.columns,
+            F.col("tb.table").alias("table"),
+            F.col("tb.bucket").alias("bucket"),
+        )
     )
 
 
