@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ..functions.hive_compat import ngram_array
-from ..helpers import T
+from ..helpers import T, spread
 from ..registry import query
 
 # ---- shared shingle SQL (DuckDB side) -----------------------------------
@@ -54,12 +54,18 @@ def _shingle_sql(n: int, src: str = "documents") -> str:
 
 
 def _shingles_spark(df, n: int):
-    """(doc_id, shingle) distinct n-token shingles — one explode, JVM-side."""
+    """(doc_id, shingle) distinct n-token shingles — one explode, JVM-side.
+    Spread by doc first so the tokenize+ngram work parallelizes even when
+    the corpus arrives as one input split (helpers.spread)."""
     toks = F.split(F.lower(F.col("text")), r"\s+")
-    return df.select(
-        "doc_id",
-        F.explode(F.array_distinct(ngram_array(toks, n))).alias("shingle"),
-    ).filter(F.col("shingle") != "")
+    return (
+        spread(df, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(ngram_array(toks, n))).alias("shingle"),
+        )
+        .filter(F.col("shingle") != "")
+    )
 
 
 # ---- 1. contamination detection -----------------------------------------
@@ -243,7 +249,7 @@ def quality_gopher_repetition(spark, sf_dir):
     the 2-gram explode is narrow."""
     d = T(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), r"\s+")
-    base = d.select("doc_id", toks.alias("a"))
+    base = spread(d, "doc_id").select("doc_id", toks.alias("a"))
     stats = base.select(
         "doc_id",
         F.size("a").alias("n_tok"),
