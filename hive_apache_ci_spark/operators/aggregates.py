@@ -459,3 +459,88 @@ def agg_histogram_fixed(spark, sf_dir):
             F.round(F.max("l_quantity"), 2).alias("bin_max"),
         )
     )
+
+
+@query(
+    "analyze_column_stats",
+    oracle="""
+    SELECT 'l_quantity' AS col_name,
+           count(l_quantity)                     AS n_nonnull,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+           round(min(l_quantity), 4)             AS num_min,
+           round(max(l_quantity), 4)             AS num_max,
+           CAST(NULL AS VARCHAR)                 AS str_min,
+           CAST(NULL AS VARCHAR)                 AS str_max
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(l_extendedprice),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+           NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(l_returnflag),
+           CAST(count(DISTINCT l_returnflag) AS BIGINT),
+           NULL, NULL, min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    """,
+)
+def analyze_column_stats(spark, sf_dir):
+    """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` parity
+    (Hive's ColumnStatsTask / HiveColumnStatsAggregator): per-column
+    non-null count, exact NDV, min/max — the stats the CBO feeds on. One
+    pass over the table with multiple DISTINCT aggregates (Catalyst's
+    expand-based multi-distinct — each distinct column gets its own
+    partial-dedup branch, shuffle keyed by the grouping so NDV never
+    collects to the driver), then unpivoted to the long catalog-stats
+    shape."""
+    l = T(spark, sf_dir, "lineitem")
+    wide = l.agg(
+        F.count("l_quantity").alias("q_n"),
+        F.countDistinct("l_quantity").alias("q_ndv"),
+        F.round(F.min("l_quantity"), 4).alias("q_min"),
+        F.round(F.max("l_quantity"), 4).alias("q_max"),
+        F.count("l_extendedprice").alias("p_n"),
+        F.countDistinct("l_extendedprice").alias("p_ndv"),
+        F.round(F.min("l_extendedprice"), 4).alias("p_min"),
+        F.round(F.max("l_extendedprice"), 4).alias("p_max"),
+        F.count("l_returnflag").alias("f_n"),
+        F.countDistinct("l_returnflag").alias("f_ndv"),
+        F.min("l_returnflag").alias("f_min"),
+        F.max("l_returnflag").alias("f_max"),
+    )
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    return wide.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_quantity").alias("col_name"),
+                    F.col("q_n").alias("n_nonnull"),
+                    F.col("q_ndv").alias("ndv"),
+                    F.col("q_min").alias("num_min"),
+                    F.col("q_max").alias("num_max"),
+                    null_s.alias("str_min"),
+                    null_s.alias("str_max"),
+                ),
+                F.struct(
+                    F.lit("l_extendedprice").alias("col_name"),
+                    F.col("p_n").alias("n_nonnull"),
+                    F.col("p_ndv").alias("ndv"),
+                    F.col("p_min").alias("num_min"),
+                    F.col("p_max").alias("num_max"),
+                    null_s.alias("str_min"),
+                    null_s.alias("str_max"),
+                ),
+                F.struct(
+                    F.lit("l_returnflag").alias("col_name"),
+                    F.col("f_n").alias("n_nonnull"),
+                    F.col("f_ndv").alias("ndv"),
+                    null_d.alias("num_min"),
+                    null_d.alias("num_max"),
+                    F.col("f_min").alias("str_min"),
+                    F.col("f_max").alias("str_max"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")

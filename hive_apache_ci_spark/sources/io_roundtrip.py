@@ -362,3 +362,55 @@ def io_multi_insert(spark, sf_dir):
     b1 = spark.read.parquet(sink1).withColumn("sink", F.lit("by_flag"))
     b2 = spark.read.parquet(sink2).withColumn("sink", F.lit("by_status"))
     return b1.unionByName(b2).select("sink", "key", "n", "total")
+
+
+@query(
+    "io_compact_small_files",
+    oracle="""
+    SELECT 64                              AS n_files_fragmented,
+           4                               AS n_files_compacted,
+           count(*)                        AS n_rows,
+           round(sum(o_totalprice), 2)     AS total
+    FROM orders
+    """,
+)
+def io_compact_small_files(spark, sf_dir):
+    """Small-files compaction (Hive's merge-files post-job /
+    ALTER TABLE CONCATENATE): deliberately fragment orders into 64 tiny
+    parquet files, then rewrite into 4 — the 100 TB hygiene op that keeps
+    scan task counts proportional to bytes, not to historical write
+    batches. File counts are measured engine-side via
+    ``input_file_name()``; the data round-trips exactly (count + sum
+    hash-checked against the source)."""
+    frag = _scratch(sf_dir, "orders_fragmented")
+    compact = _scratch(sf_dir, "orders_compacted")
+    o = T(spark, sf_dir, "orders")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    back_frag = spark.read.parquet(frag)
+    # project the (nondeterministic) file name to a column first — it can't
+    # appear directly inside an aggregate
+    n_frag = (
+        back_frag.select(F.input_file_name().alias("f"))
+        .select(F.countDistinct("f").alias("n"))
+    )
+    back_frag.repartition(4).write.mode("overwrite").parquet(compact)
+    back = spark.read.parquet(compact)
+    n_comp = (
+        back.select(F.input_file_name().alias("f"))
+        .select(F.countDistinct("f").alias("n"))
+    )
+    return (
+        n_frag.crossJoin(n_comp.withColumnRenamed("n", "m"))
+        .crossJoin(
+            back.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+        )
+        .select(
+            F.col("n").cast("int").alias("n_files_fragmented"),
+            F.col("m").cast("int").alias("n_files_compacted"),
+            "n_rows",
+            "total",
+        )
+    )

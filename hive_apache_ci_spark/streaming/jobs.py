@@ -276,3 +276,25 @@ def stream_static_join(spark, sf_dir):
         F.sum("value").cast("long").alias("sum_value_long"),
     )
     return _run_to_memory(agg, "complete")
+
+
+@query("stream_sliding_counts", oracle=None)
+def stream_sliding_counts(spark, sf_dir):
+    """Streaming sliding-window aggregation (2-hour windows every hour —
+    each event lands in two windows) with a 10-minute watermark: the
+    Structured Streaming form of events_sliding_hour. State is bounded by
+    watermark + slide; at scale the window-assign explode is map-side and
+    the shuffle key is (window, event_type)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), ravg(F.sum("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")

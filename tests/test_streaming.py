@@ -128,3 +128,24 @@ def test_stream_static_join_equals_batch(spark):
         )
     )
     assert _rows(stream) == _rows(batch)
+
+
+def test_stream_sliding_equals_batch(spark):
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.helpers import T, ravg
+
+    qs = all_queries()
+    stream = qs["stream_sliding_counts"](spark, SF_DIR)
+    batch = (
+        T(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), ravg(F.sum("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    assert _rows(stream) == _rows(batch)
