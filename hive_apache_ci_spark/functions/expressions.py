@@ -491,3 +491,42 @@ def expr_array_setops(spark, sf_dir):
         F.array_join(F.flatten(F.array("a", "b")), ",").alias("cat"),
         F.forall("b", lambda x: F.array_contains(F.col("a"), x)).alias("a_has_b"),
     )
+
+
+@query(
+    "expr_map_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus                             AS m_status,
+           o_orderpriority                           AS m_prio,
+           2                                         AS m_size,
+           'prio,status'                             AS m_keys_sorted,
+           upper(o_orderstatus)                      AS mv_upper,
+           concat(o_orderstatus, '/', o_orderpriority) AS m_joined
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def expr_map_funcs(spark, sf_dir):
+    """Map-type surface (Hive map<k,v> column semantics, SURVEY.md §1.3):
+    create_map → element_at / map_keys / map_concat / transform_values.
+    Every output is extracted back to a scalar, so the oracle (which has
+    no reason to build the map at all) checks the full build→transform→
+    extract round-trip by identity."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    m = F.map_concat(
+        F.create_map(F.lit("status"), F.col("o_orderstatus")),
+        F.create_map(F.lit("prio"), F.col("o_orderpriority")),
+    )
+    o = o.withColumn("m", m)
+    upper_m = F.transform_values(F.col("m"), lambda _, v: F.upper(v))
+    return o.select(
+        "o_orderkey",
+        F.element_at("m", "status").alias("m_status"),
+        F.element_at("m", "prio").alias("m_prio"),
+        F.size("m").alias("m_size"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("m_keys_sorted"),
+        F.element_at(upper_m, "status").alias("mv_upper"),
+        F.concat_ws(
+            "/", F.element_at("m", "status"), F.element_at("m", "prio")
+        ).alias("m_joined"),
+    )

@@ -315,3 +315,24 @@ def tpch_q15_top_supplier_view(spark, sf_dir):
         WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue_view)
         """
     )
+
+
+@query(
+    "sort_global_range",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def sort_global_range(spark, sf_dir):
+    """Globally-ordered output the scale-safe way: ``orderBy`` without a
+    limit compiles to an ``Exchange rangepartitioning`` — sampled range
+    boundaries, each partition sorts its slice, partitions concatenate in
+    order (Hive's ``ORDER BY`` funnels through ONE reducer instead; this is
+    the distributed upgrade). The result multiset is order-insensitive for
+    the oracle; the plan shape (range exchange present, single-partition
+    sort absent) is asserted in tests/test_plans.py."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return o.select("o_orderkey", "o_totalprice", "o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )

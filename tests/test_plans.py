@@ -232,3 +232,11 @@ def test_mv_rewrite_reads_only_the_mv(spark):
     p = plan(spark, "mv_rollup_rewrite")
     assert "hive_apache_ci_spark_mv" in p, p
     assert "lineitem" not in p, "rewritten plan still scans the fact table"
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """Full ORDER BY must distribute via sampled range boundaries (the
+    many-reducer shape), never collapse to a single partition."""
+    p = plan(spark, "sort_global_range")
+    assert "rangepartitioning(" in p, p
+    assert "SinglePartition" not in p, p
