@@ -529,3 +529,70 @@ def dedup_connected_components(spark, sf_dir):
         F.col("label").alias("component_id"),
         F.when(F.col("label") == F.col("vec_id"), 1).otherwise(0).alias("is_canonical"),
     )
+
+
+# ---- 8. PageRank over the near-dup graph (fixed-iteration, oracled) -----
+
+_PR_DAMP = 0.85
+_PR_ITERS = 5
+
+
+@query("pagerank_similarity_graph", oracle=None)
+def pagerank_similarity_graph(spark, sf_dir):
+    """PageRank over the confirmed near-dup graph ({_PR_ITERS} fixed
+    power-iterations, damping 0.85) — the link-centrality quality signal
+    crawl pipelines attach to documents (CommonCrawl host ranks). Isolated
+    vertices hold the teleport mass; each iteration is ONE shuffle keyed by
+    destination vertex plus a broadcast of the scalar N;
+    ``localCheckpoint`` truncates the per-round lineage exactly as in
+    `dedup_connected_components`.
+
+    Rows-only by contract: cross-engine float-sum ordering inside the
+    per-vertex reduce isn't guaranteed; tests/test_pipeline.py pins the
+    invariants (mass conservation, dangling-node floor, determinism)."""
+    e = T(spark, sf_dir, "embeddings")
+    n = e.count()
+    pairs = _confirmed_cosine_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("va").alias("s"), F.col("vb").alias("d"))
+        .unionByName(pairs.select(F.col("vb").alias("s"), F.col("va").alias("d")))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    ranks = e.select("vec_id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    for _ in range(_PR_ITERS):
+        # dangling (no-outlink) vertices redistribute their mass uniformly —
+        # without this the total rank leaks every iteration (the graph is
+        # sparse: most vectors have no near-dups). One scalar to the driver
+        # per round, same cost class as CC's converged? count.
+        dangling = (
+            ranks.join(deg, ranks["vec_id"] == deg["s"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            edges.join(deg, "s")
+            .join(ranks, edges["s"] == ranks["vec_id"])
+            .select(
+                F.col("d").alias("vec_id"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("vec_id")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        ranks = (
+            e.select("vec_id")
+            .join(contrib, "vec_id", "left")
+            .select(
+                "vec_id",
+                (
+                    F.lit((1 - _PR_DAMP) / n)
+                    + _PR_DAMP
+                    * (F.coalesce("in_rank", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "vec_id", F.round(F.col("rank") * 1000 + 1e-12, 9).alias("rank_permille")
+    )

@@ -601,3 +601,150 @@ def ivf_probe_topk(spark, sf_dir):
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+# ---- embedding compression: JL random projection + scalar quantization --
+
+_RP_DIMS = 8
+_RP_PLANE_BASE = 1000  # offset so projection planes never reuse LSH planes
+
+
+def _rp_matrix() -> list[list[int]]:
+    """±1 Johnson-Lindenstrauss projection rows derived from md5 — the
+    same no-stored-model trick as the LSH planes."""
+    return [
+        [_plane_sign(_RP_PLANE_BASE + r, d) for d in range(64)]
+        for r in range(_RP_DIMS)
+    ]
+
+
+def _rp_oracle() -> str:
+    rows = _rp_matrix()
+    cols = []
+    for r, signs in enumerate(rows):
+        arr = "[" + ", ".join(f"{s}.0" for s in signs) + "]"
+        cols.append(
+            f"round({_DOT_SQL.format(a='embedding', b=arr)} / sqrt({_RP_DIMS}.0)"
+            f" + 1e-12, 6) AS p{r}"
+        )
+    return f"""
+    SELECT vec_id, {', '.join(cols)}
+    FROM embeddings
+    """
+
+
+@query("embedding_random_projection", oracle=_rp_oracle())
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss sketch: 64-dim float vectors → {_RP_DIMS}-dim
+    via a deterministic ±1/sqrt(k) projection (md5-derived rows — no model
+    state to ship, any executor regenerates the matrix). The ANN
+    compression step that makes a 100 TB vector corpus memory-resident:
+    8x fewer bytes per vector with JL-bounded distance distortion.
+    Pure map-side fold — zero shuffles; exactly oracled (sequential
+    double fold == DuckDB list_sum)."""
+    e = T(spark, sf_dir, "embeddings")
+    e = spread(e, "vec_id")
+    out = [F.col("vec_id")]
+    for r, signs in enumerate(_rp_matrix()):
+        plane = F.array(*[F.lit(float(s)) for s in signs])
+        out.append(
+            F.round(
+                dot_fold(F.col("embedding"), plane) / (_RP_DIMS**0.5)
+                + F.lit(1e-12),
+                6,
+            ).alias(f"p{r}")
+        )
+    return e.select(*out)
+
+
+_SQ_LEVELS = 255
+
+
+def _sq_stats_sql() -> str:
+    return """
+    dims AS (
+      SELECT u.pos AS pos, CAST(u.val AS DOUBLE) AS val
+      FROM (
+        SELECT unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {'pos': i, 'val': embedding[i]})) AS u
+        FROM embeddings
+      )
+    ),
+    stats AS (
+      SELECT list(dmin ORDER BY pos) AS mins, list(dmax ORDER BY pos) AS maxs
+      FROM (SELECT pos, min(val) AS dmin, max(val) AS dmax
+            FROM dims GROUP BY pos)
+    )
+    """
+
+
+@query(
+    "embedding_scalar_quantize",
+    oracle=f"""
+    WITH {_sq_stats_sql()}
+    SELECT vec_id,
+           CAST(list_sum(codes) AS BIGINT)  AS code_sum,
+           CAST(list_min(codes) AS INT)     AS code_min,
+           CAST(list_max(codes) AS INT)     AS code_max
+    FROM (
+      SELECT vec_id,
+             list_transform(
+               list_zip(embedding, mins, maxs),
+               p -> least(CAST(floor((CAST(p[1] AS DOUBLE) - p[2])
+                                     / (p[3] - p[2]) * {_SQ_LEVELS}) AS BIGINT),
+                          {_SQ_LEVELS})) AS codes
+      FROM embeddings, stats
+    )
+    """,
+)
+def embedding_scalar_quantize(spark, sf_dir):
+    """Scalar (int8-style) quantization: per-dimension global [min, max]
+    ranges (one tiny agg, broadcast) map each float to a 0..{_SQ_LEVELS}
+    code — 4x smaller vectors for ANN candidate scoring, re-ranked in
+    float32 later. Emits per-vector code checksum/min/max so the entire
+    64-code vector is hash-verified against DuckDB computing the identical
+    quantizer. Map-side after one broadcastable stats agg."""
+    e = T(spark, sf_dir, "embeddings")
+    dims = e.select(
+        F.posexplode(F.col("embedding")).alias("pos0", "val_f")
+    ).select(
+        (F.col("pos0") + 1).alias("pos"), F.col("val_f").cast("double").alias("val")
+    )
+    stats = (
+        dims.groupBy("pos")
+        .agg(F.min("val").alias("dmin"), F.max("val").alias("dmax"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "dmin"))),
+                lambda s: s.getField("dmin"),
+            ).alias("mins"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "dmax"))),
+                lambda s: s.getField("dmax"),
+            ).alias("maxs"),
+        )
+    )
+    codes = F.transform(
+        F.arrays_zip(F.col("embedding"), F.col("mins"), F.col("maxs")),
+        lambda p: F.least(
+            F.floor(
+                (p.getField("embedding").cast("double") - p.getField("mins"))
+                / (p.getField("maxs") - p.getField("mins"))
+                * _SQ_LEVELS
+            ).cast("bigint"),
+            F.lit(_SQ_LEVELS).cast("bigint"),
+        ),
+    )
+    return (
+        spread(e, "vec_id")
+        .join(F.broadcast(stats))
+        .select("vec_id", codes.alias("codes"))
+        .select(
+            "vec_id",
+            F.aggregate(
+                "codes", F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("code_sum"),
+            F.array_min("codes").cast("int").alias("code_min"),
+            F.array_max("codes").cast("int").alias("code_max"),
+        )
+    )

@@ -103,3 +103,20 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert approx, "IVF search produced no candidates"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_pagerank_invariants(spark):
+    """Mass conservation (ranks sum to 1), the teleport floor for isolated
+    vertices, and run-to-run determinism."""
+    from hive_apache_ci_spark.pipeline.dedup import _PR_DAMP
+
+    rows = all_queries()["pagerank_similarity_graph"](spark, SF_DIR).collect()
+    n = len(rows)
+    total = sum(r.rank_permille for r in rows) / 1000
+    assert abs(total - 1.0) < 1e-6, total
+    floor = (1 - _PR_DAMP) / n * 1000
+    assert min(r.rank_permille for r in rows) >= floor - 1e-9
+    # connected vertices must rise above the teleport floor
+    assert max(r.rank_permille for r in rows) > floor * 1.5
+    again = all_queries()["pagerank_similarity_graph"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
