@@ -295,3 +295,91 @@ def events_retention_cohorts(spark, sf_dir):
             F.col("n_active") * 1.0 / F.col("cohort_n") + F.lit(1e-9), 6
         ).alias("retention"),
     )
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_start,
+           event_type,
+           round(arg_min(value, CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id), 4) AS open,
+           round(max(value), 4)                                     AS high,
+           round(min(value), 4)                                     AS low,
+           round(arg_max(value, CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id), 4) AS close,
+           count(*)                                                 AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_ohlc_hourly(spark, sf_dir):
+    """OHLC candlestick bars (open/high/low/close per hour per type) —
+    the financial/hypertable downsampling primitive. open/close are
+    min_by/max_by on a total-order key (epoch-micros + event_id
+    tiebreaker), so the bars are deterministic under any row order; one
+    two-phase aggregation keyed by (bucket, type)."""
+    e = T(spark, sf_dir, "events")
+    order_key = (
+        F.col("ts").cast("long") * 1000000 + F.col("event_id")
+    )
+    return (
+        e.groupBy(
+            (F.floor(F.col("ts").cast("long") / 3600) * 3600).alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.round(F.min_by("value", order_key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", order_key), 4).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "events_concurrency_sweep",
+    oracle="""
+    WITH deltas AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t, 1 AS delta, event_id FROM events
+      UNION ALL
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) + 600, -1, event_id FROM events
+    ),
+    swept AS (
+      SELECT event_type,
+             sum(delta) OVER (PARTITION BY event_type
+                              ORDER BY t, delta, event_id) AS live
+      FROM deltas
+    )
+    SELECT event_type, CAST(max(live) AS BIGINT) AS max_concurrent
+    FROM swept GROUP BY event_type
+    """,
+)
+def events_concurrency_sweep(spark, sf_dir):
+    """Sweep-line maximum concurrency: each event opens a 10-minute
+    interval; +1/-1 deltas ordered by time give the live count, max per
+    event_type. The window partitions by type — the scale rule for sweep
+    lines (a single global ORDER BY would be the one-reducer trap; at
+    100 TB you sweep per shard key or per time-bucket with boundary
+    merge). Ends sort before starts at the same instant (delta -1 first) —
+    half-open [t, t+600) intervals in both engines."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    starts = e.select(
+        "event_type",
+        F.col("ts").cast("long").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    )
+    ends = e.select(
+        "event_type",
+        (F.col("ts").cast("long") + 600).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    deltas = starts.unionByName(ends)
+    w = Window.partitionBy("event_type").orderBy("t", "delta", "event_id")
+    swept = deltas.withColumn("live", F.sum("delta").over(w))
+    return swept.groupBy("event_type").agg(
+        F.max("live").alias("max_concurrent")
+    )
