@@ -144,3 +144,46 @@ def multimodal_frame_sample(spark, sf_dir):
             F.concat(F.col("text"), F.lit("#"), F.col("frame_idx").cast("string"))
         ).alias("frame_key"),
     )
+
+
+_BCHUNK = 64  # bytes per chunk
+
+
+@query(
+    "multimodal_chunk_bytes",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((s - 1) / {_BCHUNK} AS INT)               AS chunk_idx,
+           CAST(length(substring(text, s, {_BCHUNK})) AS INT) AS n_bytes,
+           md5(substring(text, s, {_BCHUNK}))            AS chunk_md5
+    FROM documents,
+         unnest(range(1, length(text) + 1, {_BCHUNK})) AS t(s)
+    """,
+)
+def multimodal_chunk_bytes(spark, sf_dir):
+    """Fixed-size byte chunking of binary payloads (the blob-sharding step
+    before per-chunk upload/decode fan-out — e.g. video segments, audio
+    frames): explode byte offsets, slice the payload with binary
+    ``substring``, fingerprint each chunk. Narrow transform, zero
+    shuffles; chunks carry (doc_id, chunk_idx) so reassembly order is
+    explicit. The md5-per-chunk makes the byte-level slicing
+    hash-verified cross-engine (DuckDB cannot slice BLOBs, so the oracle
+    slices the VARCHAR — equivalent because the testdata text is pure
+    ASCII, asserted below; the Spark side slices true payload bytes)."""
+    d = with_binary_payload(T(spark, sf_dir, "documents"))
+    return (
+        d.select("doc_id", "payload", F.octet_length("payload").alias("nb"))
+        .select(
+            "doc_id",
+            "payload",
+            F.explode(F.sequence(F.lit(1), F.col("nb"), F.lit(_BCHUNK))).alias("s"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / _BCHUNK).cast("int").alias("chunk_idx"),
+            F.octet_length(
+                F.expr(f"substring(payload, s, {_BCHUNK})")
+            ).alias("n_bytes"),
+            F.md5(F.expr(f"substring(payload, s, {_BCHUNK})")).alias("chunk_md5"),
+        )
+    )

@@ -45,6 +45,15 @@ RUNTIME_CONFS: dict[str, str] = {
     # Runtime-settable so externally-created (driver) sessions get the tuned
     # parallelism too; AQE coalesces down, so this is an upper bound.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Scan-split sizing: the testdata files are single-digit-MB parquet, so
+    # the 128 MB default yields 1-3 splits and leaves 32 cores idle on every
+    # scan-heavy stage (measured: q1 0.53s→0.41s, minhash 1.6s→1.3s at
+    # sf0.1 with 16 MB). A deployment knob exactly like shuffle.partitions:
+    # at cluster scale set it so per-task input ≈ 64-128 MB — the point is
+    # splits ≈ a few × total cores, which 16 MB achieves on this rig.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_SPLIT_BYTES", str(16 * 1024 * 1024)
+    ),
 }
 
 # Confs that must be set at session-build time (ignored via try/except when

@@ -414,3 +414,37 @@ def io_compact_small_files(spark, sf_dir):
             "total",
         )
     )
+
+
+@query(
+    "io_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)                                           AS n,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0
+                         THEN o_custkey END) AS BIGINT)       AS sum_new_col
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def io_schema_evolution(spark, sf_dir):
+    """Parquet schema evolution (Hive's ALTER TABLE ADD COLUMNS reality):
+    an old write without ``extra_custkey`` and a new write with it land in
+    the same table directory; ``mergeSchema`` readback presents the union
+    schema with NULLs for the old files — the append-only column-add
+    migration every long-lived 100 TB table goes through. The aggregate
+    proves old rows surface with NULL (excluded from sum) and new rows
+    carry values."""
+    out = _scratch(sf_dir, "orders_evolving")
+    o = T(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 1)
+    new = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "extra_custkey", F.col("o_custkey")
+    )
+    old.write.mode("overwrite").parquet(out)
+    new.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", True).parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("extra_custkey").alias("sum_new_col"),
+    )

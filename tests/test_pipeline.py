@@ -120,3 +120,17 @@ def test_pagerank_invariants(spark):
     assert max(r.rank_permille for r in rows) > floor * 1.5
     again = all_queries()["pagerank_similarity_graph"](spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_chunk_bytes_oracle_assumption_ascii(spark):
+    """multimodal_chunk_bytes' oracle slices VARCHAR (DuckDB can't slice
+    BLOBs) — only valid while the corpus is pure ASCII (char == byte)."""
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.helpers import T
+
+    d = T(spark, SF_DIR, "documents")
+    non_ascii = d.filter(
+        F.octet_length(F.encode(F.col("text"), "utf-8")) != F.length("text")
+    ).count()
+    assert non_ascii == 0
