@@ -544,3 +544,38 @@ def analyze_column_stats(spark, sf_dir):
             )
         ).alias("s")
     ).select("s.*")
+
+
+@query(
+    "diagnose_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT)                      AS n_keys,
+           CAST(max(c) AS BIGINT)                        AS max_rows,
+           CAST(quantile_disc(c, 0.50) AS BIGINT)        AS p50_rows,
+           CAST(quantile_disc(c, 0.99) AS BIGINT)        AS p99_rows,
+           round(max(c) * 1.0 / avg(c) + 1e-9, 4)        AS skew_factor
+    FROM per_key
+    """,
+)
+def diagnose_key_skew(spark, sf_dir):
+    """Join-key skew profiler — the diagnostic run before choosing
+    broadcast/salt/AQE-skew strategies (Hive's SkewJoinOptimizer needs
+    `hive.skewjoin.key` thresholds set from exactly this profile):
+    per-key row counts reduced to count/max/discrete-percentiles and a
+    max/mean skew factor. Two aggregations, the second over |keys| rows
+    already keyed — at 100 TB the profile costs one map-side-combined
+    shuffle and tells you whether the big join needs salting."""
+    l = T(spark, sf_dir, "lineitem")
+    per_key = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_rows"),
+        F.percentile_approx("c", 0.50, 2147483647).alias("p50_rows"),
+        F.percentile_approx("c", 0.99, 2147483647).alias("p99_rows"),
+        F.round(F.max("c") * 1.0 / F.avg("c") + F.lit(1e-9), 4).alias(
+            "skew_factor"
+        ),
+    )

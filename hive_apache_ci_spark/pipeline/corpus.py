@@ -452,3 +452,76 @@ def corpus_mix_weights(spark, sf_dir):
             "token_share"
         ),
     )
+
+
+# ---- 9. end-to-end corpus pipeline (composition of the stages) ----------
+
+_E2E_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         string_split_regex(lower(text), '\\s+') AS a
+  FROM documents
+),
+quality AS (
+  SELECT doc_id, lang, text FROM toks
+  WHERE 1.0 - len(list_distinct(a)) * 1.0 / len(a) < 0.8
+    AND len(a) >= 12
+),
+dedup AS (
+  SELECT min(doc_id) AS doc_id FROM quality
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+),
+sampled AS (
+  SELECT q.doc_id, q.lang
+  FROM quality q JOIN dedup d USING (doc_id)
+  WHERE {_bucket_sql('q.doc_id')} < {_RATE_CASE.replace("lang", "q.lang")}
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM sampled GROUP BY lang
+"""
+
+
+@query("corpus_end_to_end", oracle=_E2E_SQL)
+def corpus_end_to_end(spark, sf_dir):
+    """The composed corpus pipeline in ONE dataflow: repetition/length
+    quality gate → normalized exact-dedup (keep min doc_id) → stratified
+    hash sampling → per-language accounting. Each stage is individually
+    oracled elsewhere; this entry hash-checks their COMPOSITION (stage
+    ordering, no row leaks between stages). Topology: one narrow quality
+    filter, one dedup shuffle on the content hash, one map-side sample —
+    exactly the passes a 100 TB corpus build makes, in order."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    quality = d.select("doc_id", "lang", "text", toks.alias("a")).filter(
+        (1.0 - F.size(F.array_distinct("a")) * 1.0 / F.size("a") < 0.8)
+        & (F.size("a") >= 12)
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    keep = (
+        quality.select("doc_id", F.md5(norm).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _RATES.items()],
+        F.lit(0),
+    )
+    sampled = (
+        quality.select("doc_id", "lang")
+        .join(keep, "doc_id")
+        .filter(bucket < rate)
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
