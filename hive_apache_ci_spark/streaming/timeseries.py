@@ -383,3 +383,36 @@ def events_concurrency_sweep(spark, sf_dir):
     return swept.groupBy("event_type").agg(
         F.max("live").alias("max_concurrent")
     )
+
+
+@query(
+    "events_temporal_rollup",
+    oracle="""
+    SELECT CAST(GROUPING(y, m, d) AS BIGINT) AS gid, y, m, d,
+           count(*) AS n, round(sum(value) + 1e-9, 4) AS sum_value
+    FROM (SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+                 CAST(day(ts) AS INT) AS d, value
+          FROM events)
+    GROUP BY GROUPING SETS ((y), (y, m), (y, m, d))
+    """,
+)
+def events_temporal_rollup(spark, sf_dir):
+    """Time-hierarchy rollup (year -> year+month -> year+month+day) in one
+    pass via GROUPING SETS — the hypertable continuous-aggregate shape.
+    Spark expands the sets with a single Expand node feeding one partial
+    aggregation, so the fact table is scanned ONCE for all three grains
+    (vs three separate groupBys = three scans + three shuffles at 100 TB).
+    grouping_id disambiguates the grain of each output row."""
+    e = T(spark, sf_dir, "events").select(
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        "value",
+    )
+    return e.groupingSets(
+        [["y"], ["y", "m"], ["y", "m", "d"]], "y", "m", "d"
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        ravg(F.sum("value")).alias("sum_value"),
+    ).select("gid", "y", "m", "d", "n", "sum_value")

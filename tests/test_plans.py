@@ -240,3 +240,32 @@ def test_global_sort_uses_range_partitioning(spark):
     p = plan(spark, "sort_global_range")
     assert "rangepartitioning(" in p, p
     assert "SinglePartition" not in p, p
+
+
+def test_minhash_spread_adds_no_extra_shuffle(spark):
+    """helpers.spread (explicit-count repartition by doc_id) parallelizes the
+    CPU-heavy shingle explode WITHOUT adding a shuffle: the doc-keyed
+    exchange is exactly the distribution the signature groupBy needs, so
+    Catalyst satisfies the aggregation from the same Exchange — the whole
+    signature computation has ONE Exchange total (and the final agg sits
+    directly on the partial agg with no exchange between)."""
+    from hive_apache_ci_spark.helpers import T
+    from hive_apache_ci_spark.pipeline.dedup import minhash_signatures
+
+    sig = minhash_signatures(T(spark, SF_DIR, "documents").select("doc_id", "text"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sig.explain(mode="formatted")
+    p = buf.getvalue()
+    exchanges = [l for l in p.splitlines() if l.strip().startswith("(") and ") Exchange" in l]
+    assert len(exchanges) == 1, p
+
+
+def test_temporal_rollup_single_expand(spark):
+    """The 3-grain GROUPING SETS rollup must be one Expand + one two-phase
+    aggregation — one scan of the fact table, not three."""
+    p = plan(spark, "events_temporal_rollup")
+    assert p.count("Expand") >= 1
+    scans = [l for l in p.splitlines() if l.startswith("(") and ") Scan parquet" in l]
+    assert len(scans) == 1, p
+    assert "partial_count" in p or "partial_sum" in p, p
