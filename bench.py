@@ -40,21 +40,29 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
     for name in (*BASELINE_COMPARABLE, *EXTRA_HEADLINERS):
-        fn = queries[name]
-        fn(spark, sf_dir).collect()  # cold run: plan + JIT + page cache
-        best = float("inf")
-        # best-of-N warm reps: robust to machine load; the three
-        # baseline-comparable queries (the graded ratio) get extra reps
-        # since box-load noise was measured at +-20% round-to-round
-        reps = 7 if name in BASELINE_COMPARABLE else 3
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-    total = round(sum(timings[n] for n in BASELINE_COMPARABLE), 4)
+        # Failure isolation (round-2 lesson: one crashed query killed the
+        # whole bench and the round published NO number): a broken query
+        # degrades to `null` in `queries`, never to a missing JSON line.
+        try:
+            fn = queries[name]
+            fn(spark, sf_dir).collect()  # cold run: plan + JIT + page cache
+            best = float("inf")
+            # best-of-N warm reps: robust to machine load; the three
+            # baseline-comparable queries (the graded ratio) get extra reps
+            # since box-load noise was measured at +-20% round-to-round
+            reps = 7 if name in BASELINE_COMPARABLE else 3
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as exc:  # noqa: BLE001 — bench must always publish
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = None
+    core = [timings[n] for n in BASELINE_COMPARABLE if timings[n] is not None]
+    total = round(sum(core), 4) if len(core) == len(BASELINE_COMPARABLE) else None
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     print(
         json.dumps(

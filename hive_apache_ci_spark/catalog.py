@@ -38,15 +38,29 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with Hive-compatible typing.
 
-    ``events.ts`` arrives as int64 nanoseconds (because of
-    ``spark.sql.legacy.parquet.nanosAsLong`` — FIXTURES.md); convert with
-    *integer* division to microseconds so no double-precision loss occurs
-    (ns epoch ~1.7e18 exceeds double's 53-bit mantissa).
+    ``events.ts`` is normalized HERE — the single choke point — to session-TZ
+    ``timestamp``, whatever the parquet physical encoding is:
+
+    - TIMESTAMP(MICROS) (the current testdata, since round 2's regeneration):
+      arrives as ``timestamp_ntz`` (pyarrow writes isAdjustedToUTC=false);
+      cast to ``timestamp``. Session TZ is UTC, so the instant is preserved
+      and every downstream ``ts.cast("long")`` (epoch seconds) resolves.
+    - TIMESTAMP(NANOS) (the round-1 testdata): arrives as raw int64 ns via
+      ``spark.sql.legacy.parquet.nanosAsLong``; convert with *integer*
+      division to microseconds so no double-precision loss occurs (ns epoch
+      ~1.7e18 exceeds double's 53-bit mantissa).
+
+    Downstream operators may assume ``ts`` is TimestampType and never look at
+    the physical encoding (tests/test_catalog_encoding.py locks this in).
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

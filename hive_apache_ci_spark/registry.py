@@ -85,6 +85,7 @@ def _ensure_loaded() -> None:
         corpus,
         dedup,
         multimodal,
+        retrieval,
         similarity,
         text_analysis,
     )

@@ -28,8 +28,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
     # Deterministic timestamp semantics on both the Spark and DuckDB side.
     "spark.sql.session.timeZone": "UTC",
-    # events.parquet `ts` is parquet TIMESTAMP(NANOS); Spark 4 rejects it
-    # unless read as raw int64 nanoseconds (FIXTURES.md gotcha).
+    # events.parquet `ts` is parquet TIMESTAMP(MICROS) since the round-2
+    # testdata regeneration (reads as TIMESTAMP_NTZ; catalog.load_table
+    # normalizes to timestamp). nanosAsLong is INERT for micros files but
+    # kept so a TIMESTAMP(NANOS) regeneration (the round-1 encoding) reads
+    # as int64 instead of crashing — load_table handles both (FIXTURES.md).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # AQE: runtime broadcast conversion, skew-join handling, partition
     # coalescing — the scale levers Hive implemented as SkewJoinResolver /
@@ -68,7 +71,7 @@ BUILD_CONFS: dict[str, str] = {
 }
 
 
-_CONFS_APPLIED: set[int] = set()
+_CONFS_APPLIED: set[str] = set()
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
@@ -76,10 +79,16 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
 
     Safe to call repeatedly; used by ``catalog.load_tables`` so that even the
     driver's own SparkSession reads the testdata correctly. Short-circuits
-    per session object — each conf.set is a py4j round-trip, and the catalog
+    per JVM application (keyed by ``applicationId``, which is stable for the
+    session's lifetime — ``id(spark)`` would be fooled by a recycled Python
+    object address) — each conf.set is a py4j round-trip, and the catalog
     calls this on every table load.
     """
-    if id(spark) in _CONFS_APPLIED:
+    try:
+        key_id = spark.sparkContext.applicationId
+    except Exception:
+        key_id = None
+    if key_id is not None and key_id in _CONFS_APPLIED:
         return spark
     for key, value in RUNTIME_CONFS.items():
         try:
@@ -87,7 +96,8 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # Non-settable on this build — keep going; reads may still work.
             pass
-    _CONFS_APPLIED.add(id(spark))
+    if key_id is not None:
+        _CONFS_APPLIED.add(key_id)
     return spark
 
 

@@ -25,16 +25,31 @@ from pyspark.sql import types as Ty
 from ..helpers import ravg
 from ..registry import query
 
-_EVENTS_SCHEMA = Ty.StructType(
-    [
-        Ty.StructField("event_id", Ty.LongType()),
-        Ty.StructField("ts", Ty.LongType()),  # nanosAsLong raw int64
-        Ty.StructField("user_id", Ty.LongType()),
-        Ty.StructField("event_type", Ty.StringType()),
-        Ty.StructField("value", Ty.DoubleType()),
-        Ty.StructField("props", Ty.StringType()),
-    ]
-)
+def _events_schema(ts_type: Ty.DataType) -> Ty.StructType:
+    """Streaming reads need an explicit schema; ``ts``'s Spark type depends
+    on the parquet physical encoding (detected per staged dir, see
+    ``_staged_ts_unit``)."""
+    return Ty.StructType(
+        [
+            Ty.StructField("event_id", Ty.LongType()),
+            Ty.StructField("ts", ts_type),
+            Ty.StructField("user_id", Ty.LongType()),
+            Ty.StructField("event_type", Ty.StringType()),
+            Ty.StructField("value", Ty.DoubleType()),
+            Ty.StructField("props", Ty.StringType()),
+        ]
+    )
+
+
+def _staged_ts_unit(events_parquet: str) -> str:
+    """Read the parquet footer (driver-side, O(KB)) and return the ``ts``
+    time unit ('us', 'ns', ...). The testdata switched TIMESTAMP(NANOS) →
+    TIMESTAMP(MICROS) between rounds 1 and 2; both must stream correctly
+    (tests/test_catalog_encoding.py)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(events_parquet).field("ts").type
+    return getattr(t, "unit", "us")
 
 
 def _staged_events_dir(sf_dir: str) -> str:
@@ -53,16 +68,32 @@ def _staged_events_dir(sf_dir: str) -> str:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded stream (file source; schema must be
-    explicit for streaming reads). ts: int64 ns → timestamp, as in catalog."""
+    explicit for streaming reads). ``ts`` is normalized to session-TZ
+    timestamp exactly as ``catalog.load_table`` does for batch:
+
+    - MICROS testdata (current): read as TIMESTAMP_NTZ, cast to timestamp
+      (UTC session ⇒ instant-preserving).
+    - NANOS testdata (round 1): nanosAsLong yields raw int64; integer-divide
+      to micros.
+    """
     from ..session import apply_runtime_confs
 
     apply_runtime_confs(spark)
+    staged = _staged_events_dir(sf_dir)
+    unit = _staged_ts_unit(os.path.join(staged, "events.parquet"))
+    if unit == "ns":
+        raw = (
+            spark.readStream.schema(_events_schema(Ty.LongType()))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(Ty.TimestampNTZType()))
         .option("maxFilesPerTrigger", 1)
-        .parquet(_staged_events_dir(sf_dir))
+        .parquet(staged)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
