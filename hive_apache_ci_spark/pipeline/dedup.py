@@ -537,7 +537,81 @@ _PR_DAMP = 0.85
 _PR_ITERS = 5
 
 
-@query("pagerank_similarity_graph", oracle=None)
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration power method in pure SQL: one CTE pair
+    (dangling-mass scalar, next rank vector) per iteration, over the SAME
+    md5-plane LSH candidate graph as ``_embedding_dedup_oracle``. Constants
+    are embedded via ``repr`` so the Python-float arithmetic the Spark side
+    does ((1-0.85) is not 0.15 in IEEE754) is reproduced bit-for-bit; the
+    9-dp permille rounding then absorbs summation-order noise."""
+    from .similarity import N_TABLES, _bucket_sql, _cos_sql
+
+    tb = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, embedding, {t} AS tbl, {_bucket_sql(t)} AS bucket"
+        " FROM embeddings"
+        for t in range(N_TABLES)
+    )
+    parts = [
+        f"""
+    WITH tb AS (
+    {tb}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+             a.embedding AS ea, b.embedding AS eb
+      FROM tb a JOIN tb b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id < a.vec_id
+    ),
+    pairs AS (
+      SELECT va, vb FROM cand WHERE {_cos_sql('ea', 'eb')} > {_COS_DEDUP_TH}
+    ),
+    edges AS (
+      SELECT va AS s, vb AS d FROM pairs
+      UNION ALL
+      SELECT vb AS s, va AS d FROM pairs
+    ),
+    deg AS (SELECT s, count(*) AS outdeg FROM edges GROUP BY s),
+    nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+    r0 AS (
+      SELECT vec_id, 1.0 / (SELECT n FROM nv) AS rank FROM embeddings
+    )"""
+    ]
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+    d{i} AS (
+      SELECT coalesce(sum(r.rank), 0.0) AS dm
+      FROM {prev} r LEFT JOIN deg ON r.vec_id = deg.s
+      WHERE deg.s IS NULL
+    ),
+    r{i} AS (
+      SELECT e.vec_id,
+             {(1 - _PR_DAMP)!r} / (SELECT n FROM nv)
+             + {_PR_DAMP!r} * (coalesce(c.in_rank, 0.0)
+                               + (SELECT dm FROM d{i}) / (SELECT n FROM nv))
+                 AS rank
+      FROM embeddings e
+      LEFT JOIN (
+        SELECT ed.d AS vec_id, sum(r.rank / dg.outdeg) AS in_rank
+        FROM edges ed
+        JOIN deg dg ON ed.s = dg.s
+        JOIN {prev} r ON ed.s = r.vec_id
+        GROUP BY ed.d
+      ) c ON e.vec_id = c.vec_id
+    )"""
+        )
+        prev = f"r{i}"
+    parts.append(
+        f"""
+    SELECT vec_id, round(rank * 1000 + 1e-12, 9) AS rank_permille
+    FROM {prev}
+    """
+    )
+    return "".join(parts)
+
+
+@query("pagerank_similarity_graph", oracle=_pagerank_oracle())
 def pagerank_similarity_graph(spark, sf_dir):
     """PageRank over the confirmed near-dup graph ({_PR_ITERS} fixed
     power-iterations, damping 0.85) — the link-centrality quality signal
@@ -547,9 +621,12 @@ def pagerank_similarity_graph(spark, sf_dir):
     ``localCheckpoint`` truncates the per-round lineage exactly as in
     `dedup_connected_components`.
 
-    Rows-only by contract: cross-engine float-sum ordering inside the
-    per-vertex reduce isn't guaranteed; tests/test_pipeline.py pins the
-    invariants (mass conservation, dangling-node floor, determinism)."""
+    Fully oracled (round 3): DuckDB replays the identical {_PR_ITERS}
+    unrolled iterations over the same LSH-confirmed edge set; per-vertex
+    float-sum ordering differs across engines but the graphs are sparse and
+    the 9-dp permille rounding absorbs it (verified MATCH at sf0.001 and
+    sf0.01). tests/test_pipeline.py still pins the engine-side invariants
+    (mass conservation, dangling-node floor, determinism)."""
     e = T(spark, sf_dir, "embeddings")
     n = e.count()
     pairs = _confirmed_cosine_pairs(spark, sf_dir)
