@@ -1,0 +1,214 @@
+"""Language-model-flavored corpus scoring (SURVEY.md §2.11 extension).
+
+Three ops a pretraining pipeline runs between cleaning and tokenization,
+complementing pipeline/corpus.py's mechanical filters:
+
+1. ``vocab_coverage_topk`` — corpus vocabulary head: top-K tokens by count
+   with document frequency and cumulative coverage share. The report that
+   sizes a tokenizer vocab ("how many types cover 95% of tokens?").
+2. ``quality_lm_perplexity`` — self-perplexity under an add-1-smoothed
+   unigram LM estimated from the corpus itself: the cheap statistical
+   stand-in for the KenLM-style quality filter (CCNet / Gopher use a real
+   LM; the *pipeline topology* — estimate global stats, broadcast/join,
+   score per doc — is identical). High-ppl docs are gibberish/boilerplate
+   candidates.
+3. ``split_train_valid_test`` — deterministic content-hash split (md5
+   bucket → 80/10/10) with per-split token/char mass. No RNG state:
+   reproducible across engines, reruns, and data relayouts, and a pure
+   map-side classify + tiny agg at any scale.
+
+100 TB shape: tokenization is one JVM-side split per doc (codegen, no
+Python); the vocab is a groupBy(token) shuffle; the per-doc score join
+shuffles on token (the vocab of a web corpus can exceed broadcast size —
+Catalyst/AQE picks broadcast when it does fit, e.g. every test SF). The
+only window runs over exactly K=100 rows post-limit. All three are exactly
+oracled in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..helpers import T
+from ..registry import query
+
+_TOPK = 100
+
+# Tokenizer shared with text_analysis.py's oracles: lowercase, split on
+# whitespace, drop empties. Keep both engines' expressions textually aligned.
+_TOK_SQL = "string_split_regex(lower(text), '\\s+')"
+
+
+def _tokens(d):
+    return d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+    ).filter(F.col("t") != "")
+
+
+_VOCAB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS t FROM documents
+),
+vocab AS (
+  SELECT t, count(*) AS cnt, count(DISTINCT doc_id) AS df
+  FROM tok WHERE t <> '' GROUP BY t
+),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+topk AS (
+  SELECT t, cnt, df FROM vocab ORDER BY cnt DESC, t LIMIT {_TOPK}
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, t) AS BIGINT) AS rk,
+       t AS token, CAST(cnt AS BIGINT) AS cnt, CAST(df AS BIGINT) AS df,
+       round(cnt / (SELECT total FROM tot) + 1e-12, 9) AS share,
+       round(sum(cnt) OVER (ORDER BY cnt DESC, t
+                            ROWS UNBOUNDED PRECEDING)
+             / (SELECT total FROM tot) + 1e-12, 9) AS cum_share
+FROM topk
+"""
+
+
+@query("vocab_coverage_topk", oracle=_VOCAB_SQL)
+def vocab_coverage_topk(spark, sf_dir):
+    """Vocabulary head report: top-{_TOPK} tokens by corpus count, with
+    document frequency, token share, and cumulative coverage share.
+
+    Scale: the vocab groupBy is the only big shuffle; top-K is Spark's
+    distributed TakeOrdered (never a global sort of the vocab); the
+    cumulative window runs over the K=100 survivors only — a deliberate
+    single tiny partition, not a scale risk."""
+    d = T(spark, sf_dir, "documents")
+    vocab = _tokens(d).groupBy("t").agg(
+        F.count(F.lit(1)).alias("cnt"), F.countDistinct("doc_id").alias("df")
+    )
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    topk = vocab.orderBy(F.col("cnt").desc(), "t").limit(_TOPK)
+    w = Window.orderBy(F.col("cnt").desc(), "t")
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rk"),
+            F.col("t").alias("token"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(F.col("cnt") / F.col("total") + 1e-12, 9).alias("share"),
+            F.round(
+                F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("total")
+                + 1e-12,
+                9,
+            ).alias("cum_share"),
+        )
+    )
+
+
+_PPL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS t FROM documents
+),
+occ AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+vocab AS (SELECT t, count(*) AS cnt FROM occ GROUP BY t),
+stats AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v
+  FROM vocab
+)
+SELECT o.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(exp(-sum(ln((vo.cnt + 1.0)
+                         / ((SELECT total FROM stats)
+                            + (SELECT v FROM stats))))
+                 / count(*)) + 1e-12, 6) AS ppl
+FROM occ o JOIN vocab vo ON o.t = vo.t
+GROUP BY o.doc_id
+"""
+
+
+@query("quality_lm_perplexity", oracle=_PPL_SQL)
+def quality_lm_perplexity(spark, sf_dir):
+    """Per-document self-perplexity under an add-1-smoothed unigram LM
+    estimated from the corpus: ppl = exp(-mean ln p(t)), p(t) =
+    (cnt+1)/(total+|V|). The statistical quality gate — gibberish and
+    boilerplate sit far from the corpus distribution.
+
+    Scale: global stats collapse to TWO doubles (broadcast scalar row);
+    scoring joins token occurrences to the vocab on the token key — at web
+    scale that vocab may not broadcast, and the shuffle join on `t` is the
+    correct fallback (AQE converts to broadcast whenever it does fit)."""
+    d = T(spark, sf_dir, "documents")
+    occ = _tokens(d)
+    vocab = occ.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = vocab.agg(
+        F.sum("cnt").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    logp = F.log((F.col("cnt") + 1.0) / (F.col("total") + F.col("v")))
+    return (
+        occ.join(vocab, "t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.exp(-F.sum(logp) / F.count(F.lit(1))) + 1e-12, 6
+            ).alias("ppl"),
+        )
+    )
+
+
+_SPLIT_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
+)
+
+_SPLIT_SQL = f"""
+WITH tagged AS (
+  SELECT CASE WHEN {_SPLIT_BUCKET_SQL} < 800 THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL} < 900 THEN 'valid'
+              ELSE 'test' END AS split,
+         len(list_filter({_TOK_SQL}, x -> x <> '')) AS n_tok,
+         n_chars
+  FROM documents
+)
+SELECT split,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       CAST(sum(n_tok) AS BIGINT)    AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT)  AS sum_chars,
+       round(count(*) * 1.0 / (SELECT count(*) FROM documents) + 1e-12, 6)
+           AS doc_share
+FROM tagged GROUP BY split
+"""
+
+
+@query("split_train_valid_test", oracle=_SPLIT_SQL)
+def split_train_valid_test(spark, sf_dir):
+    """Deterministic 80/10/10 corpus split by content-hash bucket (the same
+    md5-bucket idiom as ``sample_stratified_hash``), reported as per-split
+    doc/token/char mass. Hash splitting is how a 100 TB corpus is split:
+    no RNG state, stable under reruns/repartition/engine change, and a doc
+    never migrates between splits when the corpus grows — pure map-side
+    classify plus a 3-group aggregate."""
+    d = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    n_tok = F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    )
+    tagged = d.select(
+        F.when(bucket < 800, "train")
+        .when(bucket < 900, "valid")
+        .otherwise("test")
+        .alias("split"),
+        n_tok.alias("n_tok"),
+        "n_chars",
+    )
+    total = d.count()
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.round(F.count(F.lit(1)) / F.lit(float(total)) + 1e-12, 6).alias(
+            "doc_share"
+        ),
+    )

@@ -84,6 +84,7 @@ def _ensure_loaded() -> None:
     from .pipeline import (  # noqa: F401
         corpus,
         dedup,
+        lm,
         multimodal,
         retrieval,
         similarity,
