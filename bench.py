@@ -29,6 +29,8 @@ EXTRA_HEADLINERS = (
     "join_asof_backward",
     "dedup_embedding_cosine",
     "merge_into_upsert",
+    "quality_lm_perplexity",
+    "search_bm25_topk",
 )
 
 
