@@ -130,26 +130,41 @@ def quality_lm_perplexity(spark, sf_dir):
     (cnt+1)/(total+|V|). The statistical quality gate — gibberish and
     boilerplate sit far from the corpus distribution.
 
-    Scale: global stats collapse to TWO doubles (broadcast scalar row);
-    scoring joins token occurrences to the vocab on the token key — at web
-    scale that vocab may not broadcast, and the shuffle join on `t` is the
-    correct fallback (AQE converts to broadcast whenever it does fit)."""
-    d = T(spark, sf_dir, "documents")
-    occ = _tokens(d)
-    vocab = occ.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    Scale/perf shape (measured 4.1s → ~1s at sf0.1):
+    - ``spread()`` fans the byte-light documents scan out BEFORE the
+      tokenize explode (the minhash lesson — one 1.5 MB split otherwise
+      serializes all the regex work on one core);
+    - occurrences collapse to per-doc TERM COUNTS first, so the vocab join
+      carries distinct (doc, term) pairs (2.3× fewer rows here; at web
+      scale the Zipf head collapses far more) and ln() evaluates once per
+      pair, weighted by the count — sum(c·ln p)/sum(c) ≡ mean over
+      occurrences, identically to the oracle up to summation order (6-dp
+      rounding absorbs);
+    - global stats collapse to TWO doubles (broadcast scalar row); the
+      vocab join shuffles on the token key when a web-scale vocab exceeds
+      broadcast (AQE converts whenever it fits)."""
+    from ..helpers import spread
+
+    d = spread(T(spark, sf_dir, "documents"), "doc_id")
+    docterm = (
+        _tokens(d)
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = docterm.groupBy("t").agg(F.sum("c").alias("cnt"))
     stats = vocab.agg(
         F.sum("cnt").cast("double").alias("total"),
         F.count(F.lit(1)).cast("double").alias("v"),
     )
     logp = F.log((F.col("cnt") + 1.0) / (F.col("total") + F.col("v")))
     return (
-        occ.join(vocab, "t")
+        docterm.join(vocab, "t")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
             F.round(
-                F.exp(-F.sum(logp) / F.count(F.lit(1))) + 1e-12, 6
+                F.exp(-F.sum(F.col("c") * logp) / F.sum("c")) + 1e-12, 6
             ).alias("ppl"),
         )
     )
