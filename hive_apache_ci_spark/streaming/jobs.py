@@ -1,10 +1,13 @@
 """Structured Streaming topologies (SURVEY.md §2.10 — north-star superset).
 
 Hive 2.3 has no continuous-query engine (its 'streaming' is ACID ingest
-only), so these are engine additions with no oracle: the driver records
-rows-only checks, and tests/test_streaming.py asserts stream-vs-batch
-equivalence (the streaming result of a tumbling aggregation must equal the
-batch aggregation of the same files).
+only), so these are engine additions. Since round 3 every job carries a
+REAL DuckDB oracle: with ``Trigger.AvailableNow`` over a finite file set
+the streaming *result* is deterministic and SQL-expressible even though
+the *execution* is incremental — the round-2 incident (all 8 jobs silently
+emitting 1000×-shifted timestamps that rows-only checks could not see) is
+the exact failure class result-level oracles close. tests/test_streaming.py
+additionally asserts stream-vs-batch equivalence inside the engine.
 
 Mechanics: the parquet file source replays ``events.parquet`` with
 ``Trigger.AvailableNow``, results land in a memory sink, and the finished
@@ -116,10 +119,26 @@ def _run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     return spark.table(name)
 
 
-@query("stream_tumbling_counts", oracle=None)
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_start,
+           event_type,
+           count(*)                    AS n,
+           round(sum(value) + 1e-9, 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def stream_tumbling_counts(spark, sf_dir):
     """Streaming tumbling-window aggregation with a 10-minute watermark —
-    the Structured Streaming form of events_tumbling_hour."""
+    the Structured Streaming form of events_tumbling_hour.
+
+    Oracled (round 3): AvailableNow over a finite file set is deterministic
+    and complete-mode emits the full aggregate, so the streaming RESULT is
+    SQL-expressible even though the execution isn't — the round-2 incident
+    (silently 1000×-shifted buckets that rows-only checks could not see)
+    is exactly what a real oracle here prevents."""
     s = events_stream(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "10 minutes")
@@ -135,11 +154,18 @@ def stream_tumbling_counts(spark, sf_dir):
     return _run_to_memory(agg, "complete")
 
 
-@query("stream_dedup_watermark", oracle=None)
+@query(
+    "stream_dedup_watermark",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+)
 def stream_dedup_watermark(spark, sf_dir):
     """Streaming deduplication on event_id within a watermark
     (``dropDuplicatesWithinWatermark`` — the streaming form of exact dedup)
-    followed by per-type counts."""
+    followed by per-type counts.
+
+    Oracle validity: event_ids are globally unique in the testdata (asserted
+    by the count(distinct) check in tests), so within-watermark dedup is
+    exhaustive dedup and per-type counts equal the raw counts."""
     s = events_stream(spark, sf_dir)
     deduped = s.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
@@ -148,10 +174,34 @@ def stream_dedup_watermark(spark, sf_dir):
     return _run_to_memory(agg, "complete")
 
 
-@query("stream_session_counts", oracle=None)
+@query(
+    "stream_session_counts",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
 def stream_session_counts(spark, sf_dir):
     """Streaming session windows (30-minute gap) per user — stateful
-    session assignment with watermark-bounded state."""
+    session assignment with watermark-bounded state. Oracled via the same
+    gaps-and-islands SQL as the batch events_session_window."""
     s = events_stream(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "30 minutes")
@@ -166,7 +216,11 @@ def stream_session_counts(spark, sf_dir):
     return _run_to_memory(agg, "complete")
 
 
-@query("stream_foreach_batch_sink", oracle=None)
+@query(
+    "stream_foreach_batch_sink",
+    oracle="SELECT event_type, CAST(count(*) AS BIGINT) AS n"
+    " FROM events GROUP BY 1",
+)
 def stream_foreach_batch_sink(spark, sf_dir):
     """foreachBatch sink: each micro-batch is aggregated and appended to a
     parquet sink directory (the canonical 'stream into a lakehouse table'
@@ -205,7 +259,15 @@ def stream_foreach_batch_sink(spark, sf_dir):
     return back.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("n"))
 
 
-@query("stream_stateful_counter", oracle=None)
+@query(
+    "stream_stateful_counter",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)    AS n_events,
+           round(sum(value) + 1e-9, 4) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful_counter(spark, sf_dir):
     """Arbitrary stateful processing (``applyInPandasWithState`` — the
     Structured Streaming form of a custom stateful PTF): per-user running
@@ -222,8 +284,15 @@ def stream_stateful_counter(spark, sf_dir):
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
+        # epsilon-shifted rounding (the ravg convention): Python round() is
+        # banker's; +1e-9 moves boundary-exact sums off the half so Python,
+        # Spark and DuckDB all round the same way
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 4)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(total + 1e-9, 4)],
+            }
         )
 
     out = s.groupBy("user_id").applyInPandasWithState(
@@ -245,7 +314,22 @@ def stream_stateful_counter(spark, sf_dir):
     )
 
 
-@query("stream_stream_join", oracle=None)
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           CAST(count(*) AS BIGINT)                AS n_pairs,
+           CAST(count(DISTINCT b.event_id) AS BIGINT) AS n_buys
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'view') v
+    JOIN (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase') b
+      ON v.user_id = b.user_id
+     AND b.ts >= v.ts
+     AND b.ts <= v.ts + INTERVAL 24 HOUR
+    GROUP BY v.user_id
+    """,
+)
 def stream_stream_join(spark, sf_dir):
     """Stream-stream inner join (view ⋈ purchase per user within 24 hours):
     both sides watermarked, join condition = user equality + event-time
@@ -289,7 +373,16 @@ def stream_stream_join(spark, sf_dir):
     )
 
 
-@query("stream_static_join", oracle=None)
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor(sum(e.value) + 1e-6) AS BIGINT) AS sum_value_long
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
 def stream_static_join(spark, sf_dir):
     """Stream-static enrichment join: the event stream joined to a static
     dimension (customer segment) — the dimension is broadcast into every
@@ -302,14 +395,32 @@ def stream_static_join(spark, sf_dir):
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     enriched = s.join(F.broadcast(dim), "user_id", "inner")
+    # floor(+1e-6) instead of a bare cast("long"): Spark's double->long cast
+    # truncates while DuckDB's rounds, and a float sum that is *meant* to be
+    # integral can land a hair below the integer — epsilon-floor is stable
+    # on both engines
     agg = enriched.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").cast("long").alias("sum_value_long"),
+        F.floor(F.sum("value") + F.lit(1e-6)).cast("long").alias("sum_value_long"),
     )
     return _run_to_memory(agg, "complete")
 
 
-@query("stream_sliding_counts", oracle=None)
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    SELECT bucket_start, event_type,
+           count(*)                    AS n,
+           round(sum(value) + 1e-9, 4) AS sum_value
+    FROM (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 - k * 3600
+                 AS bucket_start,
+             event_type, value
+      FROM events, unnest([0, 1]) AS u(k)
+    )
+    GROUP BY 1, 2
+    """,
+)
 def stream_sliding_counts(spark, sf_dir):
     """Streaming sliding-window aggregation (2-hour windows every hour —
     each event lands in two windows) with a 10-minute watermark: the

@@ -124,7 +124,9 @@ def test_stream_static_join_equals_batch(spark):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").cast("long").alias("sum_value_long"),
+            F.floor(F.sum("value") + F.lit(1e-6))
+            .cast("long")
+            .alias("sum_value_long"),
         )
     )
     assert _rows(stream) == _rows(batch)
