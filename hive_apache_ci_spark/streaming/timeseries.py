@@ -416,3 +416,68 @@ def events_temporal_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         ravg(F.sum("value")).alias("sum_value"),
     ).select("gid", "y", "m", "d", "n", "sum_value")
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH scored AS (
+      SELECT event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             value,
+             avg(value)         OVER w AS mu,
+             stddev_samp(value) OVER w AS sigma,
+             count(*)           OVER w AS n_hist
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, ts_s, value,
+           round((value - mu) / sigma + 1e-9, 4) AS z
+    FROM scored
+    WHERE n_hist >= 10 AND sigma > 0
+      AND abs((value - mu) / sigma) > 2.5
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection: each event scored against the
+    mean/stddev of its event_type's previous 20 events (frame excludes the
+    current row — the score must not contaminate its own baseline), flagged
+    when |z| > 2.5 with at least 10 history rows. The streaming-monitoring
+    op (metric outlier detection) in batch form.
+
+    Scale: one window partitioned by event_type ordered by (ts, event_id)
+    — a per-type rolling frame, never a global sort; at 100 TB widen the
+    partition key (type × day) to bound partition size. Deterministic: the
+    (ts, event_id) total order fixes the frame exactly, and the oracle
+    replays the identical frame."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scored = e.select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_s"),
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter(
+            (F.col("n_hist") >= 10) & (F.col("sigma") > 0) & (F.abs(z) > 2.5)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "ts_s",
+            "value",
+            ravg(z).alias("z"),
+        )
+    )
