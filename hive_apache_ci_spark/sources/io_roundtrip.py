@@ -448,3 +448,40 @@ def io_schema_evolution(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("extra_custkey").alias("sum_new_col"),
     )
+
+
+@query(
+    "io_sorted_layout",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_start,
+           count(*)                    AS n,
+           round(sum(value) + 1e-9, 4) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def io_sorted_layout(spark, sf_dir):
+    """Time-clustered table layout: ``repartitionByRange(ts)`` +
+    ``sortWithinPartitions(ts)`` before the write, so every output file
+    covers a disjoint time slice (verified from the parquet footers in
+    tests/test_mutations.py::test_sorted_layout_files_disjoint). This is
+    the write-side half of scan pruning at 100 TB: with per-file min/max
+    ts stats disjoint, a time-predicate scan prunes to the few files whose
+    range intersects — the same effect Hive got from SORTED BY tables and
+    moderns get from clustering keys. The readback aggregate proves the
+    relayout lost/duplicated nothing."""
+    out = _scratch(sf_dir, "events_sorted")
+    e = T(spark, sf_dir, "events")
+    n_files = 8
+    (
+        e.repartitionByRange(n_files, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    day = (F.floor(F.col("ts").cast("long") / 86400) * 86400).cast("long")
+    return back.groupBy(day.alias("day_start")).agg(
+        F.count(F.lit(1)).alias("n"),
+        ravg(F.sum("value")).alias("sum_value"),
+    )

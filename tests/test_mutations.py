@@ -59,3 +59,38 @@ def test_latest_snapshot_is_one_row_per_live_key(spark):
     keys = [r.user_id for r in rows]
     assert len(keys) == len(set(keys))
     assert len(keys) > 0
+
+
+def test_sorted_layout_files_disjoint(spark):
+    """io_sorted_layout's contract: after repartitionByRange+sortWithin,
+    every parquet file covers a disjoint ts slice (per-file min/max from
+    the footers must not overlap) — the property file-level pruning needs."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from hive_apache_ci_spark.registry import all_queries
+
+    out = all_queries()["io_sorted_layout"](spark, SF_DIR)
+    assert out.count() > 0  # materializes the write
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    d = os.path.join(
+        tempfile.gettempdir(), "hive_apache_ci_spark_io", tag, "events_sorted"
+    )
+    ranges = []
+    for f in glob.glob(os.path.join(d, "*.parquet")):
+        # footer stats for TIMESTAMP_NTZ chunks aren't always populated;
+        # reading the single ts column of a small file is equivalent proof
+        col = pq.read_table(f, columns=["ts"]).column("ts")
+        if len(col):
+            import pyarrow.compute as pc
+
+            ranges.append(
+                (pc.min(col).as_py(), pc.max(col).as_py())
+            )
+    assert len(ranges) >= 2, "expected a multi-file layout"
+    ranges.sort()
+    for (_, a_hi), (b_lo, _) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo, f"overlapping file ranges: {a_hi} > {b_lo}"
