@@ -481,3 +481,123 @@ def events_anomaly_zscore(spark, sf_dir):
             ravg(z).alias("z"),
         )
     )
+
+
+@query(
+    "events_gapfill_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+             count(*) AS n, avg(value) AS avg_v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT b.event_type, g.bucket
+      FROM bounds b, unnest(generate_series(b.lo, b.hi, 3600)) AS g(bucket)
+    ),
+    joined AS (
+      SELECT g.event_type, g.bucket, h.n, h.avg_v
+      FROM grid g LEFT JOIN hourly h
+        ON g.event_type = h.event_type AND g.bucket = h.bucket
+    ),
+    ctx AS (
+      SELECT event_type, bucket, n, avg_v,
+             last_value(avg_v IGNORE NULLS) OVER wb AS prev_v,
+             last_value(CASE WHEN avg_v IS NOT NULL THEN bucket END
+                        IGNORE NULLS) OVER wb AS prev_b,
+             first_value(avg_v IGNORE NULLS) OVER wf AS next_v,
+             first_value(CASE WHEN avg_v IS NOT NULL THEN bucket END
+                         IGNORE NULLS) OVER wf AS next_b
+      FROM joined
+      WINDOW wb AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket,
+           CAST(coalesce(n, 0) AS BIGINT) AS n,
+           CASE WHEN avg_v IS NOT NULL THEN 0 ELSE 1 END AS is_gap,
+           round(CASE
+             WHEN avg_v IS NOT NULL THEN avg_v
+             WHEN next_v IS NULL THEN prev_v
+             WHEN prev_v IS NULL THEN next_v
+             ELSE prev_v + (next_v - prev_v) * (bucket - prev_b)
+                           / (next_b - prev_b)
+           END + 1e-9, 4) AS value_filled
+    FROM ctx
+    """,
+)
+def events_gapfill_interpolate(spark, sf_dir):
+    """Gap-filled hourly resample with linear interpolation (the
+    TimescaleDB ``time_bucket_gapfill`` + ``interpolate``/``locf`` shape):
+    per event_type, densify the hourly grid between that type's first and
+    last observation, then fill empty buckets by time-weighted linear
+    interpolation between the neighboring observed buckets (LOCF at the
+    trailing edge, backfill at the leading edge).
+
+    Scale: the aggregation is the only full-data shuffle; the grid is
+    sequence()+explode over per-type (lo, hi) scalars — rows ∝ span/step,
+    independent of event count; the fill windows partition per type. At
+    100 TB shard the grid windows by (type, coarse time block) and stitch
+    block boundaries, exactly like the documented sweep-line sharding."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("ts").cast("long") / 3600) * 3600).cast("long")
+    hourly = e.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_v"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(3600).cast("long"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(hourly, ["event_type", "bucket"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("avg_v").isNotNull(), F.col("bucket"))
+    ctx = joined.select(
+        "event_type",
+        "bucket",
+        "n",
+        "avg_v",
+        F.last("avg_v", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(obs_bucket, ignorenulls=True).over(wb).alias("prev_b"),
+        F.first("avg_v", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_bucket, ignorenulls=True).over(wf).alias("next_b"),
+    )
+    filled = (
+        F.when(F.col("avg_v").isNotNull(), F.col("avg_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.col("bucket") - F.col("prev_b"))
+            / (F.col("next_b") - F.col("prev_b"))
+        )
+    )
+    return ctx.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.when(F.col("avg_v").isNotNull(), 0).otherwise(1).alias("is_gap"),
+        ravg(filled).alias("value_filled"),
+    )
