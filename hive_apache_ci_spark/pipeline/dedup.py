@@ -673,3 +673,44 @@ def pagerank_similarity_graph(spark, sf_dir):
     return ranks.select(
         "vec_id", F.round(F.col("rank") * 1000 + 1e-12, 9).alias("rank_permille")
     )
+
+
+# ---- 9. cluster-size report over the CC dedup ---------------------------
+
+
+def _cluster_stats_oracle() -> str:
+    return f"""
+    WITH sizes AS (
+      SELECT component_id, count(*) AS cluster_size
+      FROM ( {_cc_oracle()} ) comp
+      GROUP BY component_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+    """
+
+
+@query("dedup_cluster_stats", oracle=_cluster_stats_oracle())
+def dedup_cluster_stats(spark, sf_dir):
+    """Cluster-size distribution of the connected-components dedup — the
+    report a dedup stage actually publishes: for each cluster size, how
+    many clusters exist and how many documents dedup would remove
+    (size − 1 per cluster keeps one canonical member). Two tiny groupBys
+    downstream of CC; the iterative work is all in
+    ``dedup_connected_components``, whose labels this consumes."""
+    comp = dedup_connected_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1))
+        .cast("bigint")
+        .alias("n_removable"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_removable",
+    )
