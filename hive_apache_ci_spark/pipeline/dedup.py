@@ -714,3 +714,70 @@ def dedup_cluster_stats(spark, sf_dir):
         "n_clusters",
         "n_removable",
     )
+
+
+# ---- 10. incremental batch dedup ----------------------------------------
+# The production topology: you never re-dedup the 100 TB corpus — you dedup
+# the daily increment AGAINST it. Base/increment split here is a derived
+# md5 partition of `documents` (increment ≈ 20%), standing in for
+# yesterday's corpus vs today's batch.
+
+_INC_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 10"
+)
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 AS h
+      FROM documents WHERE {_INC_BUCKET} < 8
+    ),
+    inc AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 AS h
+      FROM documents WHERE {_INC_BUCKET} >= 8
+    )
+    SELECT i.doc_id,
+           CAST(min(b.doc_id) AS BIGINT) AS dup_of_base,
+           CASE WHEN min(b.doc_id) IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+    FROM inc i LEFT JOIN base b ON i.h = b.h
+    GROUP BY i.doc_id
+    """,
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental dedup: each document of the new batch is checked against
+    the existing corpus by normalized content hash (left join on the hash,
+    min base id as the canonical collision). At 100 TB the base side is a
+    bucketed-by-hash table, so the increment (orders of magnitude smaller)
+    shuffles to the base's layout and the join is co-located — the corpus
+    is never re-scanned pairwise, and AQE broadcasts the increment when it
+    fits. Base/increment here is a deterministic md5 80/20 split of
+    `documents` (the same bucket idiom as split_train_valid_test)."""
+    d = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    hashed = d.select("doc_id", F.md5(norm).alias("h"), bucket.alias("bk"))
+    base = hashed.filter(F.col("bk") < 8).select(
+        F.col("doc_id").alias("base_id"), "h"
+    )
+    inc = hashed.filter(F.col("bk") >= 8).select("doc_id", "h")
+    return (
+        inc.join(base, "h", "left")
+        .groupBy("doc_id")
+        .agg(F.min("base_id").cast("bigint").alias("dup_of_base"))
+        .select(
+            "doc_id",
+            "dup_of_base",
+            F.when(F.col("dup_of_base").isNotNull(), 1)
+            .otherwise(0)
+            .alias("is_dup"),
+        )
+    )
