@@ -269,3 +269,27 @@ def test_temporal_rollup_single_expand(spark):
     scans = [l for l in p.splitlines() if l.startswith("(") and ") Scan parquet" in l]
     assert len(scans) == 1, p
     assert "partial_count" in p or "partial_sum" in p, p
+
+
+def test_anomaly_zscore_window_is_partitioned(spark):
+    """The rolling z-score window must partition by event_type — a global
+    (empty-partition) window would single-reducer the whole event stream."""
+    p = plan(spark, "events_anomaly_zscore")
+    assert "Window" in p, p
+    assert "hashpartitioning(event_type" in p, p
+
+
+def test_incremental_dedup_is_hash_join_not_cartesian(spark):
+    """Increment-vs-base dedup must join on the content-hash key (any hash/
+    merge join is fine; a cartesian/BNL join would be the corpus-squared
+    trap)."""
+    p = plan(spark, "dedup_incremental_batch")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_gapfill_windows_partition_per_type(spark):
+    """Gap-fill's LOCF/backfill windows must partition by event_type (the
+    grid is per-type; a global window would serialize the fill)."""
+    p = plan(spark, "events_gapfill_interpolate")
+    assert "hashpartitioning(event_type" in p, p
+    assert "SinglePartition" not in p, p
