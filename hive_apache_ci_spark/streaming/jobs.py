@@ -57,15 +57,30 @@ def _staged_ts_unit(events_parquet: str) -> str:
 
 def _staged_events_dir(sf_dir: str) -> str:
     """The file stream source requires a *directory*; stage events.parquet
-    into a scratch dir (testdata itself is read-only). Idempotent per sf."""
+    into a scratch dir (testdata itself is read-only). Idempotent per sf —
+    but NOT blindly cached: the driver regenerates the testdata between
+    rounds (FIXTURES.md encoding history), so a stale staged copy would
+    silently diverge from what batch queries read. Re-copy whenever the
+    source's (size, mtime) differs from the staged file's recorded stamp."""
     import shutil
 
+    src = os.path.join(sf_dir, "events.parquet")
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join("/tmp", "hive_apache_ci_spark_stream", tag, "events")
     marker = os.path.join(out, "events.parquet")
-    if not os.path.exists(marker):
+    stamp_path = os.path.join(out, ".source_stamp")
+    st = os.stat(src)
+    stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    try:
+        fresh = open(stamp_path).read() == stamp and os.path.exists(marker)
+    except OSError:
+        fresh = False
+    if not fresh:
+        shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), marker)
+        shutil.copy(src, marker)
+        with open(stamp_path, "w") as fh:
+            fh.write(stamp)
     return out
 
 

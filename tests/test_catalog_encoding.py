@@ -112,3 +112,33 @@ def test_streaming_source_matches_batch_instants(spark, tmp_path):
             conv = raw.withColumn("ts", F.col("ts").cast("timestamp"))
         got = sorted(r[0] for r in conv.selectExpr("cast(ts as long)").collect())
         assert got == sorted(EPOCHS), (tag, unit, got)
+
+
+def test_stream_staging_detects_regenerated_source(tmp_path):
+    """_staged_events_dir must re-copy when the source file changes (the
+    driver regenerates testdata between rounds — a stale staged copy would
+    make stream jobs silently diverge from batch)."""
+    import os
+
+    from hive_apache_ci_spark.streaming.jobs import _staged_events_dir
+
+    sf_dir = _write_events(str(tmp_path), "stage_v1", ENCODINGS["micros_ntz"])
+    staged = _staged_events_dir(sf_dir)
+    marker = os.path.join(staged, "events.parquet")
+    size_v1 = os.path.getsize(marker)
+
+    # regenerate the source with different content (fewer rows)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(os.path.join(sf_dir, "events.parquet")).slice(0, 2)
+    pq.write_table(table, os.path.join(sf_dir, "events.parquet"))
+
+    staged2 = _staged_events_dir(sf_dir)
+    assert staged2 == staged
+    assert pq.read_metadata(marker).num_rows == 2, (
+        "stale staged copy survived a source regeneration"
+    )
+    # idempotent when nothing changed
+    _staged_events_dir(sf_dir)
+    assert pq.read_metadata(marker).num_rows == 2
