@@ -502,28 +502,41 @@ def dedup_connected_components(spark, sf_dir):
     ).unionByName(pairs.select(F.col("vb").alias("s"), F.col("va").alias("d")))
     edges = edges.localCheckpoint()
     labels = e.select("vec_id", F.col("vec_id").alias("label")).localCheckpoint()
-    for _ in range(30):  # ≥ graph diameter; converges much earlier
+    # Convergence detector: labels only ever DECREASE elementwise, so the
+    # label sum is strictly monotone until the fixed point — one scalar agg
+    # per round replaces the join+filter+count change detector (half the
+    # per-round driver actions; ids are < 2^31 so the bigint sum is safe).
+    prev_sum = None
+    for _ in range(30):  # ≥ log2(diameter) with pointer jumping; see below
         nbr_min = (
             edges.join(labels, edges["d"] == labels["vec_id"])
             .groupBy(F.col("s").alias("vec_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        hop = labels.join(nbr_min, "vec_id", "left").select(
+            "vec_id",
+            F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # Pointer jumping (path halving): label <- label[label]. Chains
+        # collapse in O(log diameter) rounds instead of O(diameter) — the
+        # standard Pregel-CC acceleration; the fixed point (min reachable
+        # id) is unchanged, which the recursive-CTE oracle verifies.
+        ptr = hop.select(
+            F.col("vec_id").alias("p"), F.col("label").alias("plabel")
+        )
         new_labels = (
-            labels.join(nbr_min, "vec_id", "left")
+            hop.join(ptr, hop["label"] == ptr["p"], "left")
             .select(
                 "vec_id",
-                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+                F.least("label", F.coalesce("plabel", "label")).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "vec_id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(
         "vec_id",
         F.col("label").alias("component_id"),
