@@ -642,6 +642,12 @@ def pagerank_similarity_graph(spark, sf_dir):
     (mass conservation, dangling-node floor, determinism)."""
     e = T(spark, sf_dir, "embeddings")
     n = e.count()
+    if n == 0:
+        # empty corpus: no teleport denominator — return the empty result
+        # with the contract schema instead of a driver-side ZeroDivision
+        return e.select(
+            "vec_id", (F.col("vec_id") * 0.0).alias("rank_permille")
+        )
     pairs = _confirmed_cosine_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("va").alias("s"), F.col("vb").alias("d"))

@@ -142,3 +142,69 @@ def test_stream_staging_detects_regenerated_source(tmp_path):
     # idempotent when nothing changed
     _staged_events_dir(sf_dir)
     assert pq.read_metadata(marker).num_rows == 2
+
+
+def test_queries_survive_empty_tables(spark, tmp_path):
+    """Edge hardening: a user pointing the engine at an empty partition of
+    events/documents/embeddings must get empty results, not crashes —
+    exercises div-by-zero guards, first()-on-empty, and empty-grid paths
+    across one representative query per family."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_apache_ci_spark.registry import all_queries
+
+    sf_dir = str(tmp_path / "empty_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    # empty versions of the three tables these families read
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+                "props": pa.array([], pa.string()),
+            }
+        ),
+        os.path.join(sf_dir, "events.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        os.path.join(sf_dir, "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.int32()),
+            }
+        ),
+        os.path.join(sf_dir, "embeddings.parquet"),
+    )
+    qs = all_queries()
+    for name in (
+        "events_tumbling_hour",
+        "events_gapfill_interpolate",
+        "events_anomaly_zscore",
+        "dedup_exact",
+        "quality_lm_perplexity",
+        "vocab_coverage_topk",
+        "split_train_valid_test",
+        "pagerank_similarity_graph",
+        "dedup_connected_components",
+        "knn_topk_cosine",
+    ):
+        assert qs[name](spark, sf_dir).count() == 0, name
