@@ -800,3 +800,80 @@ def dedup_incremental_batch(spark, sf_dir):
             .alias("is_dup"),
         )
     )
+
+
+# ---- 11. cross-modal near-dup confirm -----------------------------------
+
+
+def _semantic_confirm_oracle() -> str:
+    from .similarity import N_TABLES, _bucket_sql, _cos_sql
+
+    tb = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, embedding, {t} AS tbl, {_bucket_sql(t)} AS bucket"
+        " FROM embeddings"
+        for t in range(N_TABLES)
+    )
+    return f"""
+    WITH tb AS (
+    {tb}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+             a.embedding AS ea, b.embedding AS eb
+      FROM tb a JOIN tb b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id < a.vec_id
+    ),
+    pairs AS (
+      SELECT va, vb FROM cand WHERE {_cos_sql('ea', 'eb')} > {_COS_DEDUP_TH}
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct(
+               list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                              i -> concat(a[i], ' ', a[i+1]))) AS s
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+            FROM documents)
+    )
+    SELECT p.va, p.vb,
+           round(len(list_intersect(sa.s, sb.s)) * 1.0
+                 / nullif(len(list_distinct(sa.s || sb.s)), 0), 6) AS jaccard,
+           CASE WHEN len(list_intersect(sa.s, sb.s)) * 1.0
+                     / nullif(len(list_distinct(sa.s || sb.s)), 0) >= 0.05
+                THEN 1 ELSE 0 END AS text_confirmed
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.va
+    JOIN sh sb ON sb.doc_id = p.vb
+    """
+
+
+@query("dedup_semantic_text_confirm", oracle=_semantic_confirm_oracle())
+def dedup_semantic_text_confirm(spark, sf_dir):
+    """Cross-modal near-dup confirm (the CCNet-style composition): pairs
+    that the embedding LSH + cosine stage confirmed are re-scored on the
+    TEXT side with exact 2-gram Jaccard (vec_id ≡ doc_id in the testdata),
+    flagging which semantic dups are also lexical dups. Disagreement
+    between the two modalities is the interesting signal — paraphrases
+    pass cosine but fail Jaccard.
+
+    Scale: candidate pairs come from the bucketed LSH stage (never n²);
+    each side's shingle SET attaches by doc-id equi-join and the Jaccard
+    is a per-row array_intersect/array_union — map-side after the two
+    joins. No explode: per-doc shingle arrays stay packed."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
+    pairs = _confirmed_cosine_pairs(spark, sf_dir)
+    sa = docs.select(F.col("doc_id").alias("va"), F.col("sh").alias("sha"))
+    sb = docs.select(F.col("doc_id").alias("vb"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size(F.array_union("sha", "shb"))
+    jac = inter * 1.0 / F.nullif(union.cast("double"), F.lit(0.0))
+    return (
+        pairs.join(sa, "va")
+        .join(sb, "vb")
+        .select(
+            "va",
+            "vb",
+            F.round(jac, 6).alias("jaccard"),
+            F.when(jac >= 0.05, 1).otherwise(0).alias("text_confirmed"),
+        )
+    )
