@@ -303,3 +303,59 @@ def window_range_interval(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("n_last_2h"),
         ravg(F.sum("value").over(w)).alias("sum_last_2h"),
     )
+
+
+@query(
+    "window_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(max(epoch(o_orderdate)) AS BIGINT) AS last_order_s,
+             count(*)                                AS frequency,
+             round(sum(o_totalprice), 2)             AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(ntile(4) OVER (ORDER BY last_order_s, o_custkey) AS INT) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency,    o_custkey) AS INT) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary,     o_custkey) AS INT) AS m_score
+    FROM per_cust
+    """,
+)
+def window_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: per-customer recency (last order epoch),
+    frequency (order count), monetary (spend), each quartiled with
+    ``ntile(4)`` under a deterministic (metric, custkey) total order — the
+    classic CRM scoring query (Hive expresses it identically with three
+    windowed NTILEs over one aggregate).
+
+    Scale note: like ``window_ntile``, global NTILE is a deliberate
+    single-partition shape kept for parity — at 100 TB the quartile
+    boundaries come from ``approxQuantile``/percentile_approx and scores
+    from a map-side comparison against the broadcast boundaries
+    (docs/SCALE.md 'known non-scalable shapes')."""
+    o = T(spark, sf_dir, "orders")
+    # o_orderdate reads as timestamp_ntz (parquet ms, no tz) — route through
+    # a timestamp cast (UTC session ⇒ instant-preserving) before epoching
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(
+            F.col("o_orderdate").cast("timestamp").cast("long")
+        ).alias("last_order_s"),
+        F.count(F.lit(1)).alias("frequency"),
+        r2(F.sum("o_totalprice")).alias("monetary"),
+    )
+    return per_cust.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(Window.orderBy("last_order_s", "o_custkey"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .cast("int")
+        .alias("m_score"),
+    )

@@ -601,3 +601,30 @@ def events_gapfill_interpolate(spark, sf_dir):
         F.when(F.col("avg_v").isNotNull(), 0).otherwise(1).alias("is_gap"),
         ravg(filled).alias("value_filled"),
     )
+
+
+@query(
+    "events_heatmap_dow_hour",
+    oracle="""
+    SELECT dayofweek(ts)           AS dow,
+           CAST(hour(ts) AS INT)   AS hod,
+           count(*)                AS n,
+           round(avg(value) + 1e-9, 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_heatmap_dow_hour(spark, sf_dir):
+    """Activity heatmap: events bucketed by (day-of-week × hour-of-day) —
+    the classic usage-pattern grid. Convention trap handled explicitly:
+    Spark's dayofweek is 1=Sunday..7, DuckDB's is 0=Sunday..6, so the
+    engine side subtracts 1 to meet the oracle. One two-key groupBy, ≤168
+    output rows at any scale."""
+    e = T(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        ravg(F.avg("value")).alias("avg_value"),
+    )
