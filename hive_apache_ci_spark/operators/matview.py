@@ -79,3 +79,61 @@ def mv_rollup_rewrite(spark, sf_dir):
             ravg(F.sum("p_price") / F.sum("p_n"), 4).alias("avg_price"),
         )
     )
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+           event_type,
+           CAST(count(*) AS BIGINT)    AS n,
+           round(sum(value) + 1e-9, 4) AS sum_value,
+           round(avg(value) + 1e-9, 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def mv_incremental_refresh(spark, sf_dir):
+    """Incremental materialized-view maintenance law: the hourly MV built
+    from the 90% 'already materialized' slice MERGED with the partials of
+    the 10% 'newly arrived' delta must equal a full recompute over all
+    events — which is exactly what the oracle computes. Partials are
+    (count, sum); avg is composed at read time from the merged partials
+    (never avg-of-avgs — the algebraic-aggregate rule that makes MVs
+    incrementally maintainable).
+
+    100 TB shape: refresh cost ∝ delta size, not corpus size — the
+    continuous-aggregate maintenance pattern (TimescaleDB caggs, Hive MV
+    rebuild avoidance). The merge is a full-outer on the MV key; at scale
+    both sides are partitioned by bucket so the merge co-locates."""
+    e = T(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("ts").cast("long") / 3600) * 3600).cast("long")
+    split = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    tagged = e.select(
+        bucket.alias("bucket"), "event_type", "value", split.alias("bk")
+    )
+
+    def partials(df):
+        return df.groupBy("bucket", "event_type").agg(
+            F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psv")
+        )
+
+    base = partials(tagged.filter(F.col("bk") < 9))
+    delta = partials(tagged.filter(F.col("bk") >= 9))
+    merged = (
+        base.select("bucket", "event_type", "pn", "psv")
+        .unionByName(delta.select("bucket", "event_type", "pn", "psv"))
+        .groupBy("bucket", "event_type")
+        .agg(F.sum("pn").alias("n"), F.sum("psv").alias("sv"))
+    )
+    return merged.select(
+        "bucket",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        ravg(F.col("sv")).alias("sum_value"),
+        ravg(F.col("sv") / F.col("n")).alias("avg_value"),
+    )
