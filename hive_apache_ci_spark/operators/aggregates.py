@@ -579,3 +579,105 @@ def diagnose_key_skew(spark, sf_dir):
             "skew_factor"
         ),
     )
+
+
+@query(
+    "dq_constraint_report",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS constraint_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders)   AS n_checked,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_quantity <= 0 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'events_id_unique',
+           (SELECT CAST(count(*) AS BIGINT) FROM events),
+           (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+              (SELECT count(*) AS c FROM events GROUP BY event_id
+               HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'events_ts_in_range',
+           (SELECT CAST(count(*) AS BIGINT) FROM events),
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE ts < TIMESTAMP '2000-01-01'
+               OR ts >= TIMESTAMP '2100-01-01')
+    UNION ALL
+    SELECT 'documents_nchars_consistent',
+           (SELECT CAST(count(*) AS BIGINT) FROM documents),
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE n_chars <> length(text))
+    """,
+)
+def dq_constraint_report(spark, sf_dir):
+    """Data-quality constraint audit — the expectations report (Deequ/
+    Great-Expectations shape) a production pipeline runs before publishing
+    a table: referential integrity (orders→customer anti-join), numeric
+    range checks, key uniqueness (excess-copy count), timestamp sanity,
+    and a derived-column consistency check. Each constraint is one
+    aggregate; the anti-join is the only shuffle with a join (broadcast —
+    the dimension side is small), the rest are scan-local.
+
+    At 100 TB: every branch is a single pass over its table; Spark shares
+    the scans across branches of the union where AQE can, and a real
+    deployment runs the branches as one multi-aggregate pass per table."""
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    c = T(spark, sf_dir, "customer")
+    e = T(spark, sf_dir, "events")
+    d = T(spark, sf_dir, "documents")
+
+    def report(name, n_checked_df, viol_df):
+        n = n_checked_df.agg(F.count(F.lit(1)).cast("bigint").alias("n_checked"))
+        v = viol_df
+        return (
+            n.crossJoin(F.broadcast(v))
+            .select(
+                F.lit(name).alias("constraint_name"), "n_checked", "n_violations"
+            )
+        )
+
+    fk_viol = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+    )
+    qty_viol = li.filter(
+        (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+    disc_viol = li.filter(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+    dup_viol = (
+        e.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_violations")
+        )
+    )
+    ts_viol = e.filter(
+        (F.col("ts") < F.lit("2000-01-01").cast("timestamp"))
+        | (F.col("ts") >= F.lit("2100-01-01").cast("timestamp"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+    nchars_viol = d.filter(F.col("n_chars") != F.length("text")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_violations")
+    )
+    return (
+        report("orders_custkey_fk", o, fk_viol)
+        .unionByName(report("lineitem_qty_range", li, qty_viol))
+        .unionByName(report("lineitem_discount_range", li, disc_viol))
+        .unionByName(report("events_id_unique", e, dup_viol))
+        .unionByName(report("events_ts_in_range", e, ts_viol))
+        .unionByName(report("documents_nchars_consistent", d, nchars_viol))
+    )
