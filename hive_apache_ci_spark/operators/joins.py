@@ -841,3 +841,45 @@ def join_salted_skew(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         r2(F.sum("l_extendedprice")).alias("total"),
     )
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM customer a
+    JOIN customer b
+      ON substr(a.c_name, 1, 15) = substr(b.c_name, 1, 15)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def join_fuzzy_blocked(spark, sf_dir):
+    """Entity-resolution fuzzy join: candidate pairs via a blocking key
+    (shared 15-char name prefix — an equi-join, never a cross product),
+    confirmed by Levenshtein distance ≤ 1. The standard two-phase
+    block-then-verify topology of record linkage: the expensive edit
+    distance runs only inside blocks.
+
+    At 100 TB the blocking key is the shuffle key and block sizes bound the
+    quadratic work — the same candidate-verify discipline as the LSH dedup
+    ladder (docs/SCALE.md)."""
+    c = T(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.substring("c_name", 1, 15).alias("blk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.substring("c_name", 1, 15).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 1)
+        .select("key_a", "key_b", F.col("edit_dist").cast("int"))
+    )

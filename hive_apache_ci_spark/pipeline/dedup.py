@@ -396,7 +396,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
-def _confirmed_cosine_pairs(spark, sf_dir):
+def _confirmed_cosine_pairs(spark, sf_dir, th=_COS_DEDUP_TH):
     """(va, vb) with va > vb: distinct LSH-candidate pairs whose exact
     cosine exceeds the threshold. Candidate generation carries ONLY ids
     through the bucket join + the multi-table DISTINCT (two longs per row,
@@ -430,7 +430,7 @@ def _confirmed_cosine_pairs(spark, sf_dir):
     )
     sim = dot_fold(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        pairs.join(ea, "va").join(eb, "vb").filter(sim > _COS_DEDUP_TH)
+        pairs.join(ea, "va").join(eb, "vb").filter(sim > F.lit(th))
         .select("va", "vb")
     )
 
@@ -876,4 +876,87 @@ def dedup_semantic_text_confirm(spark, sf_dir):
             F.round(jac, 6).alias("jaccard"),
             F.when(jac >= 0.05, 1).otherwise(0).alias("text_confirmed"),
         )
+    )
+
+
+# ---- 12. triangle count over the near-dup graph -------------------------
+
+# Looser threshold than the dedup collapse: at 0.35 the graph is triangle-
+# free at test SFs (vacuous result); 0.25 keeps the op non-vacuous while
+# still bucketed-LSH-bounded.
+_TRI_TH = 0.25
+
+
+def _triangle_oracle() -> str:
+    from .similarity import N_TABLES, _bucket_sql, _cos_sql
+
+    tb = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, embedding, {t} AS tbl, {_bucket_sql(t)} AS bucket"
+        " FROM embeddings"
+        for t in range(N_TABLES)
+    )
+    return f"""
+    WITH tb AS (
+    {tb}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+             a.embedding AS ea, b.embedding AS eb
+      FROM tb a JOIN tb b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id < a.vec_id
+    ),
+    ed AS (
+      SELECT vb AS lo, va AS hi FROM cand
+      WHERE {_cos_sql('ea', 'eb')} > {_TRI_TH}
+    ),
+    tri AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM ed e1
+      JOIN ed e2 ON e2.lo = e1.hi
+      JOIN ed e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    )
+    SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT a AS vertex FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    GROUP BY vertex
+    """
+
+
+@query("graph_triangle_count", oracle=_triangle_oracle())
+def graph_triangle_count(spark, sf_dir):
+    """Per-vertex triangle counts over the confirmed near-dup graph — the
+    clustering-coefficient numerator (dense triangles ⇒ tight dup
+    clusters; an open wedge that never closes ⇒ chain-shaped borderline
+    similarity). Ordered-edge join (lo<hi throughout) enumerates each
+    triangle exactly once: e(a,b)⋈e(b,c)⋈e(a,c) with a<b<c.
+
+    Scale: the canonical two-join triangle enumeration — both joins key on
+    a vertex, so work ∝ Σ deg(v)² (wedges), never |V|³; at web scale add
+    the standard degree-ordering so high-degree vertices are always the
+    closing side."""
+    pairs = _confirmed_cosine_pairs(spark, sf_dir, th=_TRI_TH)
+    ed = pairs.select(
+        F.col("vb").alias("lo"), F.col("va").alias("hi")
+    ).localCheckpoint()
+    e1, e2, e3 = ed.alias("e1"), ed.alias("e2"), ed.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.hi") == F.col("e2.lo"))
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("e1.lo"))
+            & (F.col("e3.hi") == F.col("e2.hi")),
+        )
+        .select(
+            F.col("e1.lo").alias("a"),
+            F.col("e1.hi").alias("b"),
+            F.col("e2.hi").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
