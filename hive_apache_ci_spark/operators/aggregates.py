@@ -681,3 +681,44 @@ def dq_constraint_report(spark, sf_dir):
         .unionByName(report("events_ts_in_range", e, ts_viol))
         .unionByName(report("documents_nchars_consistent", d, nchars_viol))
     )
+
+
+@query(
+    "analyze_equi_depth_histogram",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_quantity,
+             ntile(10) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber)
+                 AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS INT)           AS bucket,
+           round(min(l_quantity), 2)     AS lo,
+           round(max(l_quantity), 2)     AS hi,
+           CAST(count(*) AS BIGINT)      AS n
+    FROM ranked GROUP BY bucket
+    """,
+)
+def analyze_equi_depth_histogram(spark, sf_dir):
+    """Equi-depth (equi-height) histogram — the statistics shape Hive's
+    ANALYZE ... COMPUTE STATISTICS stores for optimizer selectivity: 10
+    buckets of equal row count with their value boundaries. NTILE under a
+    deterministic total order makes the bucketing exact and
+    cross-engine-stable (vs the heuristic streaming histogram of
+    agg_histogram, which is rows-only by contract).
+
+    Scale note: global NTILE is the documented single-partition shape —
+    at 100 TB the same result comes from percentile_approx boundaries +
+    a map-side width classification (docs/SCALE.md)."""
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    ranked = li.select(
+        "l_quantity", F.ntile(10).over(w).cast("int").alias("bucket")
+    )
+    return ranked.groupBy("bucket").agg(
+        F.round(F.min("l_quantity"), 2).alias("lo"),
+        F.round(F.max("l_quantity"), 2).alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

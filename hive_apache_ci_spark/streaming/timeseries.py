@@ -628,3 +628,50 @@ def events_heatmap_dow_hour(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         ravg(F.avg("value")).alias("avg_value"),
     )
+
+
+@query(
+    "events_cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             min(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS h0
+      FROM events GROUP BY user_id
+    ),
+    hourly_new AS (
+      SELECT h0 AS bucket_start, count(*) AS new_users
+      FROM first_seen GROUP BY h0
+    )
+    SELECT bucket_start,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY bucket_start
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumulative_users
+    FROM hourly_new
+    """,
+)
+def events_cumulative_users(spark, sf_dir):
+    """Cumulative distinct users per hour WITHOUT any per-bucket
+    distinct state: each user collapses to their first-seen hour (one
+    groupBy), hourly new-user counts roll up with a running sum over the
+    tiny hour series.
+    The exact-streaming-cardinality idiom — a naive per-bucket
+    count(DISTINCT) over a growing window would rescan history at every
+    step; first-seen attribution makes cumulative cardinality a one-pass
+    aggregate at any scale (the final window runs over ~hours rows only)."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    hour = (F.floor(F.col("ts").cast("long") / 3600) * 3600).cast("long")
+    first_seen = e.groupBy("user_id").agg(F.min(hour).alias("h0"))
+    hourly_new = first_seen.groupBy(F.col("h0").alias("bucket_start")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hourly_new.select(
+        "bucket_start",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
