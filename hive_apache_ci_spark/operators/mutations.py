@@ -183,3 +183,85 @@ def cdc_latest_snapshot(spark, sf_dir):
             F.col("ts").cast("long").alias("updated_at"),
         )
     )
+
+
+_DIFF_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 20"
+)
+
+
+@query(
+    "table_diff_snapshots",
+    oracle=f"""
+    WITH snap AS (
+      SELECT o_orderkey,
+             CASE WHEN {_DIFF_BUCKET} = 1
+                  THEN round(o_totalprice * 1.1, 2)
+                  ELSE round(o_totalprice, 2) END AS price
+      FROM orders WHERE {_DIFF_BUCKET} <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, round(o_totalprice, 2)
+      FROM orders WHERE {_DIFF_BUCKET} = 2
+    ),
+    base AS (SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders)
+    SELECT coalesce(b.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                WHEN s.o_orderkey IS NULL THEN 'removed'
+                ELSE 'modified' END              AS diff_status,
+           b.price                               AS old_price,
+           s.price                               AS new_price
+    FROM base b FULL OUTER JOIN snap s ON b.o_orderkey = s.o_orderkey
+    WHERE b.o_orderkey IS NULL OR s.o_orderkey IS NULL
+       OR b.price <> s.price
+    """,
+)
+def table_diff_snapshots(spark, sf_dir):
+    """Snapshot reconciliation (the audit/migration-verification op): diff
+    two table versions into added / removed / modified rows via one
+    full-outer join on the key, emitting only the rows that differ. The
+    'new' snapshot is derived deterministically from orders (md5 buckets:
+    5% deleted, 5% price-modified, 5% duplicated under new keys) so the
+    oracle replays the identical derivation.
+
+    At 100 TB both snapshots partition by the join key (co-located diff);
+    emitting only differences keeps the output ∝ drift, not table size."""
+    o = T(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+        )
+        .cast("bigint")
+        % 20
+    )
+    base = o.select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    kept = o.filter(bucket != 0).select(
+        "o_orderkey",
+        F.when(bucket == 1, F.round(F.col("o_totalprice") * 1.1, 2))
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("price"),
+    )
+    added = o.filter(bucket == 2).select(
+        (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    snap = kept.unionByName(added)
+    b = base.alias("b")
+    s = snap.alias("s")
+    joined = b.join(s, F.col("b.o_orderkey") == F.col("s.o_orderkey"), "full_outer")
+    return (
+        joined.filter(
+            F.col("b.o_orderkey").isNull()
+            | F.col("s.o_orderkey").isNull()
+            | (F.col("b.price") != F.col("s.price"))
+        )
+        .select(
+            F.coalesce("b.o_orderkey", "s.o_orderkey").alias("o_orderkey"),
+            F.when(F.col("b.o_orderkey").isNull(), "added")
+            .when(F.col("s.o_orderkey").isNull(), "removed")
+            .otherwise("modified")
+            .alias("diff_status"),
+            F.col("b.price").alias("old_price"),
+            F.col("s.price").alias("new_price"),
+        )
+    )
