@@ -525,3 +525,35 @@ def corpus_end_to_end(spark, sf_dir):
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@query(
+    "sample_weighted_hash",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS keep_p,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000) / 1000.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, lang, round(keep_p, 6) AS keep_p
+    FROM scored WHERE u < keep_p
+    """,
+)
+def sample_weighted_hash(spark, sf_dir):
+    """Importance sampling with per-document keep probability ∝ a quality
+    proxy (here length, capped at 1.0), decided by the document's md5
+    bucket instead of RNG — the deterministic form of weighted corpus
+    downsampling (quality-weighted mixes): reproducible across engines,
+    reruns, and partitionings, pure map-side filter, zero shuffles."""
+    d = T(spark, sf_dir, "documents")
+    keep_p = F.least(F.col("n_chars").cast("double") / 400.0, F.lit(1.0))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1000
+    ) / 1000.0
+    return d.filter(u < keep_p).select(
+        "doc_id", "lang", F.round(keep_p, 6).alias("keep_p")
+    )

@@ -675,3 +675,58 @@ def events_cumulative_users(spark, sf_dir):
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+@query(
+    "events_debounce",
+    oracle="""
+    WITH marked AS (
+      SELECT event_id, user_id, event_type, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 300 THEN 1
+                  ELSE 0 END AS burst_head
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ),
+    bursts AS (
+      SELECT event_id, user_id, event_type, ts,
+             sum(burst_head) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS burst_id
+      FROM marked
+    )
+    SELECT user_id, event_type,
+           CAST(min(event_id) AS BIGINT)        AS kept_event_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS burst_start_s,
+           CAST(count(*) AS BIGINT)             AS n_collapsed
+    FROM bursts
+    GROUP BY user_id, event_type, burst_id
+    """,
+)
+def events_debounce(spark, sf_dir):
+    """Event debouncing: bursts of same (user, type) events separated by
+    < 5 minutes collapse to their first event (kept id + burst size) — the
+    duplicate-click / retry-storm hygiene filter, as gaps-and-islands
+    (burst head marking + running island id). Same shuffle topology as
+    sessionization: one window partitioned by the (user, type) key, total
+    order (ts, event_id) for cross-engine determinism."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.col("ts").cast("long")).over(w)
+    marked = e.withColumn(
+        "burst_head",
+        F.when(
+            prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts >= 300), 1
+        ).otherwise(0),
+    )
+    bursts = marked.withColumn(
+        "burst_id",
+        F.sum("burst_head").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return bursts.groupBy("user_id", "event_type", "burst_id").agg(
+        F.min("event_id").cast("bigint").alias("kept_event_id"),
+        F.min(F.col("ts").cast("long")).cast("bigint").alias("burst_start_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_collapsed"),
+    ).drop("burst_id")
