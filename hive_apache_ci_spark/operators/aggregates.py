@@ -722,3 +722,43 @@ def analyze_equi_depth_histogram(spark, sf_dir):
         F.round(F.max("l_quantity"), 2).alias("hi"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+@query(
+    "agg_contribution_share",
+    oracle="""
+    WITH nat_rev AS (
+      SELECT n.n_name,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ),
+    tot AS (SELECT sum(revenue) AS t FROM nat_rev)
+    SELECT n_name, revenue,
+           round(revenue / (SELECT t FROM tot) + 1e-9, 6) AS share
+    FROM nat_rev
+    """,
+)
+def agg_contribution_share(spark, sf_dir):
+    """Percent-of-total contribution analysis (revenue share per nation).
+    The total comes from a broadcast single-row aggregate, NOT a global
+    empty-partition window — the scale-correct way to divide by a grand
+    total (the window form would funnel every group through one reducer;
+    the broadcast form is one extra tiny stage)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    nat_rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    tot = nat_rev.agg(F.sum("revenue").alias("t"))
+    return nat_rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.col("t") + 1e-9, 6).alias("share"),
+    )

@@ -359,3 +359,40 @@ def window_rfm_segmentation(spark, sf_dir):
         .cast("int")
         .alias("m_score"),
     )
+
+
+@query(
+    "window_moving_median",
+    oracle="""
+    SELECT user_id, event_id,
+           round(median(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                 + 1e-9, 4) AS moving_median
+    FROM events
+    """,
+)
+def window_moving_median(spark, sf_dir):
+    """Moving median over a 5-row frame — the robust-smoothing window
+    Spark has no native windowed-median for: collect the frame, sort it,
+    take the middle (averaging the middle pair on even counts — exactly
+    DuckDB's interpolated median at q=0.5). The collect_list stays
+    bounded by the frame size (5), so this is frame-local memory, not a
+    partition materialization; deterministic under the (ts, event_id)
+    total order."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2.0
+    med = F.when(n % 2 == 1, odd).otherwise(even)
+    return T(spark, sf_dir, "events").select(
+        "user_id", "event_id", ravg(med).alias("moving_median")
+    )
