@@ -265,3 +265,61 @@ def table_diff_snapshots(spark, sf_dir):
             F.col("s.price").alias("new_price"),
         )
     )
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, round(value, 2) AS dim_value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+             CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)))
+                 AS BIGINT) AS valid_to
+      FROM events WHERE event_type = 'signup'
+    ),
+    fact AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts_s, h.dim_value, h.valid_from
+    FROM fact f
+    JOIN hist h
+      ON f.user_id = h.user_id
+     AND f.ts_s >= h.valid_from
+     AND (h.valid_to IS NULL OR f.ts_s < h.valid_to)
+    """,
+)
+def join_point_in_time_scd2(spark, sf_dir):
+    """Point-in-time (temporal/versioned-dimension) join: each purchase
+    fact row joins to the SCD2 dimension version that was valid AT ITS
+    OWN timestamp — equality on the key plus interval containment on the
+    version window. The warehouse lookup every versioned-dimension model
+    needs (and what naive 'latest snapshot' joins get wrong: facts must
+    see history as of their event time, not as of today).
+
+    Scale: the join is equi on user_id (SMJ/SHJ on the key); the interval
+    predicates are post-join filters within each key's small version list
+    — never a BNLJ over the fact table."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        e.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            r2(F.col("value")).alias("dim_value"),
+            F.col("ts").cast("long").alias("valid_from"),
+            F.lead(F.col("ts").cast("long")).over(w).alias("valid_to"),
+        )
+    )
+    fact = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ts_s")
+    )
+    return (
+        fact.join(hist, "user_id")
+        .filter(
+            (F.col("ts_s") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts_s") < F.col("valid_to")))
+        )
+        .select("event_id", "user_id", "ts_s", "dim_value", "valid_from")
+    )
