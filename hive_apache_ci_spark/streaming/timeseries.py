@@ -730,3 +730,46 @@ def events_debounce(spark, sf_dir):
         F.min(F.col("ts").cast("long")).cast("bigint").alias("burst_start_s"),
         F.count(F.lit(1)).cast("bigint").alias("n_collapsed"),
     ).drop("burst_id")
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    cnt AS (
+      SELECT src, dst, count(*) AS n FROM seq
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    tot AS (SELECT src, sum(n) AS t FROM cnt GROUP BY src)
+    SELECT c.src, c.dst, CAST(c.n AS BIGINT) AS n,
+           round(c.n / CAST(t.t AS DOUBLE) + 1e-9, 6) AS p
+    FROM cnt c JOIN tot t ON c.src = t.src
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current), from lead() over each user's timeline —
+    the journey-analytics / next-action model input. One window shuffle on
+    user_id, one small (|types|²) aggregation; the row-normalizing totals
+    join is over ≤|types| rows."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("src").agg(F.sum("n").alias("t"))
+    return cnt.join(tot, "src").select(
+        "src",
+        "dst",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("t").cast("double") + 1e-9, 6).alias("p"),
+    )
