@@ -197,7 +197,7 @@ _DIFF_BUCKET = (
     WITH snap AS (
       SELECT o_orderkey,
              CASE WHEN {_DIFF_BUCKET} = 1
-                  THEN round(o_totalprice * 1.1, 2)
+                  THEN round(o_totalprice * 1.1 + 1e-9, 2)
                   ELSE round(o_totalprice, 2) END AS price
       FROM orders WHERE {_DIFF_BUCKET} <> 0
       UNION ALL
@@ -237,7 +237,9 @@ def table_diff_snapshots(spark, sf_dir):
     base = o.select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
     kept = o.filter(bucket != 0).select(
         "o_orderkey",
-        F.when(bucket == 1, F.round(F.col("o_totalprice") * 1.1, 2))
+        # +1e-9: price*1.1 lands exactly on half-cents (x.xx5) for 2dp
+        # inputs; the epsilon shift makes both engines round identically
+        F.when(bucket == 1, F.round(F.col("o_totalprice") * 1.1 + 1e-9, 2))
         .otherwise(F.round("o_totalprice", 2))
         .alias("price"),
     )
