@@ -227,3 +227,56 @@ def split_train_valid_test(spark, sf_dir):
             "doc_share"
         ),
     )
+
+
+_BIGRAM_TOPK = 50
+
+_BIGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                               i -> concat(a[i], ' ', a[i+1]))) AS bigram
+  FROM tok
+),
+cnt AS (
+  SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS df
+  FROM bg WHERE bigram <> '' AND bigram <> ' ' GROUP BY bigram
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, bigram) AS BIGINT) AS rk,
+       bigram, CAST(n AS BIGINT) AS n, CAST(df AS BIGINT) AS df
+FROM cnt ORDER BY n DESC, bigram LIMIT {_BIGRAM_TOPK}
+"""
+
+
+@query("corpus_bigram_counts", oracle=_BIGRAM_SQL)
+def corpus_bigram_counts(spark, sf_dir):
+    """Corpus bigram frequency head (top-{_BIGRAM_TOPK} with doc
+    frequency) — the n-gram count table LM tokenizer/merge steps consume
+    (BPE merge candidates are exactly high-frequency adjacent pairs).
+    Non-distinct bigrams per doc (counts weight repetitions), one explode
+    + one groupBy(bigram) shuffle, distributed TakeOrdered for the head —
+    the same plan discipline as vocab_coverage_topk."""
+    from ..functions.hive_compat import ngram_array
+    from ..helpers import spread
+
+    d = spread(T(spark, sf_dir, "documents"), "doc_id")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            ngram_array(F.split(F.lower("text"), r"\s+"), 2)
+        ).alias("bigram"),
+    ).filter((F.col("bigram") != "") & (F.col("bigram") != " "))
+    cnt = bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df")
+    )
+    topk = cnt.orderBy(F.col("n").desc(), "bigram").limit(_BIGRAM_TOPK)
+    w = Window.orderBy(F.col("n").desc(), "bigram")
+    return topk.select(
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        "bigram",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("df").cast("bigint").alias("df"),
+    )

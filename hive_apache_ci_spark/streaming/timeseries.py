@@ -773,3 +773,45 @@ def events_transition_matrix(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n") / F.col("t").cast("double") + 1e-9, 6).alias("p"),
     )
+
+
+@query(
+    "events_trending_topk",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT bucket_start, event_type, n,
+             row_number() OVER (PARTITION BY bucket_start
+                                ORDER BY n DESC, event_type) AS rk
+      FROM hourly
+    )
+    SELECT bucket_start, CAST(rk AS INT) AS rk, event_type, CAST(n AS BIGINT) AS n
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def events_trending_topk(spark, sf_dir):
+    """Trending items: top-3 event types per hour by count — per-group
+    top-K via row_number over the (already tiny) hourly aggregate, with a
+    deterministic (count desc, type) tiebreak. The aggregation is the only
+    full-data shuffle; the ranking window runs over ≤|types| rows per
+    bucket. The per-group-top-K discipline at 100 TB: rank AFTER
+    aggregating, never window over raw events."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("ts").cast("long") / 3600) * 3600).cast("long")
+    hourly = e.groupBy(
+        bucket.alias("bucket_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("bucket_start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        hourly.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("bucket_start", "rk", "event_type", F.col("n").cast("bigint"))
+    )
