@@ -46,14 +46,41 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def _interleaved_names() -> list[str]:
+    """Round-robin the registry across registering modules.
+
+    The driver's CORRECTNESS sample grades the *first N* registry entries, so
+    plain import order would forever show only the first-imported modules
+    (aggregates/extensions/joins). Interleaving by module — first entry of
+    each module, then second of each, ... — makes any prefix of the registry
+    span every operator area (§2.1 relational through §2.11 pipeline), while
+    staying fully deterministic (module order = import order, within-module
+    order = registration order).
+    """
+    by_module: dict[str, list[str]] = {}
+    for name, fn in _QUERIES.items():
+        by_module.setdefault(fn.__module__, []).append(name)
+    buckets = list(by_module.values())
+    out: list[str] = []
+    depth = 0
+    while len(out) < len(_QUERIES):
+        for bucket in buckets:
+            if depth < len(bucket):
+                out.append(bucket[depth])
+        depth += 1
+    return out
+
+
 def all_queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return dict(_QUERIES)
+    return {name: _QUERIES[name] for name in _interleaved_names()}
 
 
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
-    return dict(_ORACLES)
+    return {
+        name: _ORACLES[name] for name in _interleaved_names() if name in _ORACLES
+    }
 
 
 _LOADED = False
