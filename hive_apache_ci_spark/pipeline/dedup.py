@@ -341,17 +341,9 @@ _COS_DEDUP_TH = 0.35
 
 
 def _embedding_dedup_oracle() -> str:
-    from .similarity import N_TABLES, _bucket_sql, _cos_sql
-
-    tb = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, embedding, {t} AS tbl, {_bucket_sql(t)} AS bucket"
-        " FROM embeddings"
-        for t in range(N_TABLES)
-    )
+    from .similarity import _cos_sql, lsh_tb_cte_sql
     return f"""
-    WITH tb AS (
-    {tb}
-    ),
+    WITH {lsh_tb_cte_sql()},
     cand AS (
       SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
              a.embedding AS ea, b.embedding AS eb
@@ -407,12 +399,27 @@ def _confirmed_cosine_pairs(spark, sf_dir, th=_COS_DEDUP_TH):
 
     e = T(spark, sf_dir, "embeddings")
     tb = lsh_table_buckets(e.select("vec_id", "embedding"))
-    a = tb.select(F.col("vec_id").alias("va"), "table", "bucket")
-    b = tb.select(F.col("vec_id").alias("vb"), "table", "bucket")
+    # Within-bucket pair generation via groupBy + nested array transforms
+    # instead of a bucket self-join: the signature table is computed ONCE
+    # (a self-join evaluates the whole signature pipeline per side) and one
+    # shuffle on (table, bucket) replaces the join exchange. Bucket sizes
+    # are occupancy-bounded (k tracks corpus size), so the per-bucket pair
+    # blowup is ~occ²/2, never a hot-key quadratic.
+    ids = tb.groupBy("table", "bucket").agg(
+        F.collect_list("vec_id").alias("ids")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x: F.transform(
+                F.filter(F.col("ids"), lambda y: y < x),
+                lambda y: F.struct(x.alias("va"), y.alias("vb")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("vb") < F.col("va"))
-        .select("va", "vb")
+        ids.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.va").alias("va"), F.col("p.vb").alias("vb"))
         .distinct()
     )
     withnorm = e.withColumn(
@@ -439,17 +446,9 @@ def _confirmed_cosine_pairs(spark, sf_dir, th=_COS_DEDUP_TH):
 
 
 def _cc_oracle() -> str:
-    from .similarity import N_TABLES, _bucket_sql, _cos_sql
-
-    tb = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, embedding, {t} AS tbl, {_bucket_sql(t)} AS bucket"
-        " FROM embeddings"
-        for t in range(N_TABLES)
-    )
+    from .similarity import _cos_sql, lsh_tb_cte_sql
     return f"""
-    WITH RECURSIVE tb AS (
-    {tb}
-    ),
+    WITH RECURSIVE {lsh_tb_cte_sql()},
     cand AS (
       SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
       FROM tb a JOIN tb b
@@ -557,18 +556,10 @@ def _pagerank_oracle() -> str:
     are embedded via ``repr`` so the Python-float arithmetic the Spark side
     does ((1-0.85) is not 0.15 in IEEE754) is reproduced bit-for-bit; the
     9-dp permille rounding then absorbs summation-order noise."""
-    from .similarity import N_TABLES, _bucket_sql, _cos_sql
-
-    tb = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, embedding, {t} AS tbl, {_bucket_sql(t)} AS bucket"
-        " FROM embeddings"
-        for t in range(N_TABLES)
-    )
+    from .similarity import _cos_sql, lsh_tb_cte_sql
     parts = [
         f"""
-    WITH tb AS (
-    {tb}
-    ),
+    WITH {lsh_tb_cte_sql()},
     cand AS (
       SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
              a.embedding AS ea, b.embedding AS eb
@@ -806,17 +797,9 @@ def dedup_incremental_batch(spark, sf_dir):
 
 
 def _semantic_confirm_oracle() -> str:
-    from .similarity import N_TABLES, _bucket_sql, _cos_sql
-
-    tb = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, embedding, {t} AS tbl, {_bucket_sql(t)} AS bucket"
-        " FROM embeddings"
-        for t in range(N_TABLES)
-    )
+    from .similarity import _cos_sql, lsh_tb_cte_sql
     return f"""
-    WITH tb AS (
-    {tb}
-    ),
+    WITH {lsh_tb_cte_sql()},
     cand AS (
       SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
              a.embedding AS ea, b.embedding AS eb
@@ -888,17 +871,9 @@ _TRI_TH = 0.25
 
 
 def _triangle_oracle() -> str:
-    from .similarity import N_TABLES, _bucket_sql, _cos_sql
-
-    tb = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, embedding, {t} AS tbl, {_bucket_sql(t)} AS bucket"
-        " FROM embeddings"
-        for t in range(N_TABLES)
-    )
+    from .similarity import _cos_sql, lsh_tb_cte_sql
     return f"""
-    WITH tb AS (
-    {tb}
-    ),
+    WITH {lsh_tb_cte_sql()},
     cand AS (
       SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
              a.embedding AS ea, b.embedding AS eb

@@ -137,8 +137,10 @@ def embeddings_label_stats(spark, sf_dir):
     )
 
 
-N_TABLES = 4       # independent LSH tables (recall lever: L tables)
-PLANES_PER_TABLE = 4  # 16 buckets per table (precision lever: k planes)
+N_TABLES = 4  # independent LSH tables (recall lever: L tables)
+K_MIN = 4     # planes/table floor — tiny corpora keep ≥16 buckets
+K_MAX = 10    # planes/table ceiling — caps signature cost per vector
+BUCKET_OCCUPANCY = 8  # target vectors per bucket; drives k below
 
 
 def _plane_sign(plane: int, dim: int) -> int:
@@ -149,49 +151,135 @@ def _plane_sign(plane: int, dim: int) -> int:
     return 1 if int(h[0], 16) % 2 else -1
 
 
-def lsh_bucket_expr(emb, table: int, n_planes: int = PLANES_PER_TABLE):
-    """Random-hyperplane bucket id for one LSH table: bit p =
-    sign(emb · plane_{table,p}), planes are ±1 vectors derived from md5 (the
-    index is reproducible on any engine/cluster with no stored model)."""
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        signs = [_plane_sign(table * n_planes + p, d) for d in range(64)]
-        signed = F.aggregate(
-            F.zip_with(
-                emb,
-                F.array(*[F.lit(float(s)) for s in signs]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+# k (planes per table) is DERIVED FROM CORPUS SIZE so bucket count tracks n:
+#   k = clamp(bitlength(ceil(n / OCCUPANCY) - 1), K_MIN, K_MAX)
+# i.e. the smallest k with 2^k >= n/OCCUPANCY — expected bucket occupancy
+# stays ~constant and the candidate/all-pairs ratio ~ L*OCC/n falls as the
+# corpus grows (a FIXED k would drift toward n²/2^k, the round-3 weak flag).
+# Integer-only bit-length via length(bin(m-1)) — both Spark and DuckDB have
+# bin(), so the two engines agree bitwise with no float log2 edge cases.
+# sf0.001 n=20 -> k=4 (16 buckets), sf0.01 n=500 -> k=6 (64), sf0.1
+# n=2000 -> k=8 (256, candidate ratio 1.75% measured vs 23% in round 3).
+_K_FORMULA = (
+    "GREATEST(LEAST(length(bin((CAST({n} AS BIGINT) + {occ1}) {div} {occ} - 1)), "
+    f"{K_MAX}), {K_MIN})"
+)
+
+
+def k_planes_expr(n_col):
+    """Spark Column: planes-per-table for a corpus of ``n_col`` vectors."""
+    return F.expr(
+        _K_FORMULA.format(
+            n=n_col, occ1=BUCKET_OCCUPANCY - 1, occ=BUCKET_OCCUPANCY, div="div"
         )
-        bucket = bucket + F.when(signed > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    )
+
+
+def k_planes_sql(src: str = "embeddings") -> str:
+    """DuckDB scalar: the same integer k formula over ``count(*)``."""
+    return _K_FORMULA.format(
+        n="count(*)", occ1=BUCKET_OCCUPANCY - 1, occ=BUCKET_OCCUPANCY, div="//"
+    )
+
+
+def k_planes_py(n: int) -> int:
+    """Python mirror of the k formula (for tests / bound computation)."""
+    m = (n + BUCKET_OCCUPANCY - 1) // BUCKET_OCCUPANCY
+    return max(K_MIN, min(K_MAX, max(1, (m - 1).bit_length() if m > 1 else 1)))
+
+
+_SIGNS_NP = None
+
+
+def _signs_np():
+    """±1 plane matrix (L*K_MAX × 64), cached; same md5 derivation as the
+    oracle's literal sign arrays."""
+    global _SIGNS_NP
+    if _SIGNS_NP is None:
+        import numpy as np
+
+        _SIGNS_NP = np.array(
+            [
+                [_plane_sign(j, d) for d in range(64)]
+                for j in range(N_TABLES * K_MAX)
+            ],
+            dtype=np.float64,
+        )
+    return _SIGNS_NP
+
+
+def _make_lsh_buckets_udf():
+    """Arrow-batched signature kernel: per input vector, every table's
+    bucket id in one numpy pass. This is the documented pandas-UDF
+    exception: the per-plane dot products are 40 sequential 64-term float
+    folds per row, which Spark's higher-order functions evaluate
+    interpreted per element (measured 2.5 s for 2k vectors at sf0.1 —
+    dominant); the numpy loop does the same arithmetic vectorized across
+    the batch. Bit-exactness vs the DuckDB oracle's list_sum: products are
+    x_d * ±1.0 (exact in IEEE754) and the accumulation loops over
+    dimensions in order, so every per-plane partial sum is the identical
+    left-associated float64 chain."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _lsh_buckets(emb, k):
+        import numpy as np
+
+        X = np.array(emb.tolist(), dtype=np.float64)  # n × 64
+        S = _signs_np()
+        nf = N_TABLES * K_MAX
+        dots = np.zeros((X.shape[0], nf))
+        for d in range(64):  # dimension-order accumulation — oracle-exact
+            dots += X[:, d : d + 1] * S[:, d][None, :]
+        bits = dots > 0
+        kk = k.to_numpy()
+        pmask = np.arange(K_MAX)[None, :] < kk[:, None]  # plane p active iff p < k
+        weights = 1 << np.arange(K_MAX)
+        buckets = np.stack(
+            [
+                ((bits[:, t * K_MAX : (t + 1) * K_MAX] & pmask) * weights).sum(
+                    axis=1
+                )
+                for t in range(N_TABLES)
+            ],
+            axis=1,
+        )
+        return pd.Series(list(buckets.astype("int32")))
+
+    # annotations set explicitly: the module's postponed annotations would
+    # leave 'pd.Series' unresolvable inside pandas_udf's type inference
+    _lsh_buckets.__annotations__ = {
+        "emb": pd.Series, "k": pd.Series, "return": pd.Series
+    }
+    return pandas_udf(_lsh_buckets, "array<int>")
 
 
 def lsh_table_buckets(df, emb_col: str = "embedding"):
     """(… , table, bucket) — one row per LSH table per vector. Multi-table
     LSH: a pair is a candidate if it collides in ANY table; recall =
-    1-(1-p^k)^L with p = 1-angle/pi (Charikar's SimHash LSH)."""
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                lsh_bucket_expr(F.col(emb_col), t).alias("bucket"),
-            )
-            for t in range(N_TABLES)
-        ]
+    1-(1-p^k)^L with p = 1-angle/pi (Charikar's SimHash LSH). k comes from
+    the corpus size via one count aggregate broadcast to every row (the
+    repo's scalar-total pattern — no driver-side action in the plan)."""
+    kdf = df.agg(F.count(F.lit(1)).alias("n_vec")).select(
+        k_planes_expr("n_vec").alias("k_planes")
     )
     # Repartition by id first: small parquet inputs arrive as one split, and
-    # the N_TABLES × PLANES_PER_TABLE × dim sign-folds are the expensive part
-    # — spread them across cores before exploding (see minhash_signatures).
+    # the Arrow signature batches are the expensive part — spread them
+    # across cores before exploding (see minhash_signatures).
+    # One-row scalar attach: compiles to a BroadcastNestedLoopJoin whose
+    # build side is the single k_planes value — constant network cost, and
+    # the plan gate (test_embedding_dedup_no_cartesian) allows exactly this
+    # shape while still forbidding table-sized nested loops.
     return (
         spread(df, df.columns[0])
-        .withColumn("tb", F.explode(tables))
+        .crossJoin(F.broadcast(kdf))
+        .withColumn(
+            "_buckets",
+            _make_lsh_buckets_udf()(F.col(emb_col), F.col("k_planes")),
+        )
         .select(
             *df.columns,
-            F.col("tb.table").alias("table"),
-            F.col("tb.bucket").alias("bucket"),
+            F.posexplode("_buckets").alias("table", "bucket"),
         )
     )
 
@@ -199,28 +287,42 @@ def lsh_table_buckets(df, emb_col: str = "embedding"):
 def _bucket_sql(table: int) -> str:
     """DuckDB bucket expression for one LSH table — the SAME md5-derived
     ±1 planes as lsh_bucket_expr, embedded as literals (the planes are
-    import-time constants, so the oracle reproduces the index exactly)."""
+    import-time constants, so the oracle reproduces the index exactly).
+    References scalar ``kk.k`` (the corpus-size-derived plane count), so it
+    must be used with ``CROSS JOIN kk`` — see lsh_tb_cte_sql."""
     terms = []
-    for p in range(PLANES_PER_TABLE):
-        signs = [_plane_sign(table * PLANES_PER_TABLE + p, d) for d in range(64)]
+    for p in range(K_MAX):
+        signs = [_plane_sign(table * K_MAX + p, d) for d in range(64)]
         arr = "[" + ", ".join(f"{s}.0" for s in signs) + "]"
         dot = (
             f"list_sum(list_transform(list_zip(embedding, {arr}), "
             "z -> CAST(z[1] AS DOUBLE) * z[2]))"
         )
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+        terms.append(
+            f"(CASE WHEN {p} < kk.k AND {dot} > 0 THEN {1 << p} ELSE 0 END)"
+        )
     return " + ".join(terms)
 
 
-_KNN_LSH_ORACLE = (
-    "WITH tb AS (\n"
-    + "\n  UNION ALL\n".join(
+def lsh_tb_cte_sql(src: str = "embeddings") -> str:
+    """The shared ``kk, tb`` CTE prefix for every LSH-indexed oracle:
+    ``kk`` computes planes-per-table from count(*) with the identical
+    integer formula as the Spark side; ``tb`` is one row per (vector,
+    table) with its bucket id. Embed as ``WITH {lsh_tb_cte_sql()}, ...``."""
+    union = "\n  UNION ALL\n".join(
         f"  SELECT vec_id, embedding, {t} AS tbl, {_bucket_sql(t)} AS bucket"
-        " FROM embeddings"
+        f" FROM {src} CROSS JOIN kk"
         for t in range(N_TABLES)
     )
-    + f"""
-    ),
+    return (
+        f"kk AS (SELECT {k_planes_sql(src)} AS k FROM {src}),\n"
+        f"    tb AS (\n{union}\n    )"
+    )
+
+
+_KNN_LSH_ORACLE = (
+    f"WITH {lsh_tb_cte_sql()}"
+    + f""",
     cands AS (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              q.embedding AS qe, c.embedding AS ce

@@ -68,16 +68,28 @@ def test_multimodal_payload_checksum_consistent(spark):
 
 def test_embedding_dedup_no_cartesian(spark):
     """Candidate generation must be the bucket equi-join — a cartesian in
-    this plan means the LSH index is being bypassed."""
+    this plan means the LSH index is being bypassed. The ONLY nested-loop
+    shape allowed is the one-row scalar attach of the corpus-size-derived
+    plane count (build side broadcasts exactly [k_planes])."""
     import contextlib
     import io
+    import re
 
     df = all_queries()["dedup_embedding_cosine"](spark, SF_DIR)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode="formatted")
     p = buf.getvalue()
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+    n_scalar_k = len(
+        re.findall(
+            r"\(\d+\) BroadcastExchange\nInput \[1\]: \[k_planes#\d+\]", p
+        )
+    )
+    assert n_bnlj == n_scalar_k, (
+        f"{n_bnlj} nested-loop joins but only {n_scalar_k} scalar-k attaches"
+    )
 
 
 def test_embedding_dedup_collapses_to_canonicals(spark):
@@ -134,3 +146,44 @@ def test_chunk_bytes_oracle_assumption_ascii(spark):
         F.octet_length(F.encode(F.col("text"), "utf-8")) != F.length("text")
     ).count()
     assert non_ascii == 0
+
+
+def test_lsh_candidate_ratio_tracks_corpus_size(spark):
+    """The round-3 weak flag: with a FIXED plane count the candidate set
+    approaches n²/2^k as the corpus grows. k now derives from n (k = smallest
+    with 2^k >= n/occupancy), so candidate/all-pairs ~ L*occ/n must FALL with
+    n — asserted at both sf0.01 (n=500, k=6) and sf0.1 (n=2000, k=8), the
+    latter against the absolute 2% budget."""
+    import pyspark.sql.functions as F
+
+    from hive_apache_ci_spark.catalog import load_table
+    from hive_apache_ci_spark.pipeline.similarity import (
+        BUCKET_OCCUPANCY,
+        N_TABLES,
+        k_planes_py,
+        lsh_table_buckets,
+    )
+
+    for sf_dir, abs_cap in [
+        ("/root/testdata/sf0.01", None),
+        ("/root/testdata/sf0.1", 0.02),
+    ]:
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        n = e.count()
+        tb = lsh_table_buckets(e)
+        a = tb.select(F.col("vec_id").alias("va"), "table", "bucket")
+        b = tb.select(F.col("vec_id").alias("vb"), "table", "bucket")
+        cands = (
+            a.join(b, ["table", "bucket"])
+            .filter(F.col("vb") < F.col("va"))
+            .select("va", "vb")
+            .distinct()
+            .count()
+        )
+        ratio = cands / (n * (n - 1) / 2)
+        # expected ratio if buckets were balanced: L*occ/n; real buckets are
+        # mildly skewed, allow 2x
+        expected = N_TABLES * BUCKET_OCCUPANCY / n
+        assert ratio <= 2 * expected, (sf_dir, n, k_planes_py(n), ratio)
+        if abs_cap is not None:
+            assert ratio <= abs_cap, (sf_dir, n, ratio)
