@@ -171,8 +171,9 @@ def window_running_total(spark, sf_dir):
 )
 def window_ntile(spark, sf_dir):
     """ntile bucketing over a global order (single-partition window — the
-    one shape that does NOT scale; kept for parity, large-scale variant is
-    window_percent's per-segment form)."""
+    one shape that does NOT scale; kept for Hive parity. The scale path is
+    ``window_ntile_scaled`` below: shard-ranked + broadcast offsets, same
+    output, no global window)."""
     w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return T(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -395,4 +396,84 @@ def window_moving_median(spark, sf_dir):
     med = F.when(n % 2 == 1, odd).otherwise(even)
     return T(spark, sf_dir, "events").select(
         "user_id", "event_id", ravg(med).alias("moving_median")
+    )
+
+
+@query(
+    "window_ntile_scaled",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4)  OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+    FROM customer
+    """,
+)
+def window_ntile_scaled(spark, sf_dir):
+    """NTILE without the single-partition global window — the 100 TB path
+    for ``window_ntile`` (same output on ANY input: the composite sort key
+    (c_acctbal DESC, c_custkey) is unique, so ranks — and therefore ntile
+    buckets — are fully determined).
+
+    Plan shape: (1) percentile_approx boundaries split the table into
+    value-range shards (the split is Spark-internal — any deterministic
+    split works, it never affects the result); (2) exact rank = within-
+    shard row_number + the broadcast prefix-count offset of earlier
+    shards; (3) bucket = Hive/ANSI ntile arithmetic on (rank, total) —
+    pure integers, so the plain ``ntile`` oracle hash-matches. Every
+    window here partitions by the shard id; the only exchanges are two
+    tiny aggregates (boundaries, shard counts)."""
+    n_shards = 16
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    fracs = [i / n_shards for i in range(1, n_shards)]
+    bnd = cust.agg(
+        F.percentile_approx("c_acctbal", fracs, 10000).alias("bs")
+    )
+    shard = F.aggregate(
+        F.col("bs"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("c_acctbal") < b, 1).otherwise(0),
+    )
+    sharded = (
+        cust.crossJoin(F.broadcast(bnd))
+        .withColumn("shard", shard)
+        .drop("bs")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    ranked = sharded.withColumn("rn", F.row_number().over(w))
+    counts = sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
+    earlier = counts.select(
+        F.col("shard").alias("eshard"), F.col("cnt").alias("ecnt")
+    )
+    # prefix offsets via tiny self-join (n_shards² rows), not a global
+    # cumulative window
+    offs = (
+        counts.join(earlier, F.col("eshard") < F.col("shard"), "left")
+        .groupBy("shard")
+        .agg(F.coalesce(F.sum("ecnt"), F.lit(0)).alias("off"))
+    )
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+
+    def ntile_bucket(i, n, buckets):
+        # ANSI NTILE: first (n mod B) buckets hold ceil(n/B) rows
+        q = (n / buckets).cast("bigint")  # floor div on nonneg ints
+        r = n % buckets
+        big = r * (q + 1)
+        return (
+            F.when(i < big, (i / (q + 1)).cast("bigint"))
+            .otherwise(r + ((i - big) / q).cast("bigint"))
+            + 1
+        ).cast("int")
+
+    i0 = (F.col("off") + F.col("rn") - 1).cast("bigint")  # 0-based rank
+    n = F.col("n_total").cast("bigint")
+    return (
+        ranked.join(F.broadcast(offs), "shard")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_custkey",
+            ntile_bucket(i0, n, F.lit(4)).alias("quartile"),
+            ntile_bucket(i0, n, F.lit(10)).alias("decile"),
+        )
     )

@@ -293,3 +293,24 @@ def test_gapfill_windows_partition_per_type(spark):
     p = plan(spark, "events_gapfill_interpolate")
     assert "hashpartitioning(event_type" in p, p
     assert "SinglePartition" not in p, p
+
+
+def test_ntile_scaled_no_global_window(spark):
+    """The boundary-broadcast NTILE variant must plan every window
+    partitioned by the shard id — no empty-partition windowspec (the
+    single-reducer shape window_ntile keeps for Hive parity)."""
+    import re
+
+    p = plan(spark, "window_ntile_scaled")
+    assert "Window" in p, p
+    assert "hashpartitioning(shard" in p, p
+    assert not re.search(r"windowspecdefinition\(c_acctbal", p), p
+
+
+def test_ntile_scaled_equals_global_ntile(spark):
+    """Exact-equality on the real table (unique composite sort key =>
+    identical ranks => identical buckets, ties included)."""
+    qs = all_queries()
+    a = sorted(map(tuple, qs["window_ntile"](spark, SF_DIR).collect()))
+    b = sorted(map(tuple, qs["window_ntile_scaled"](spark, SF_DIR).collect()))
+    assert a == b
