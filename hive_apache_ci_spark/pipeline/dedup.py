@@ -352,7 +352,7 @@ def _embedding_dedup_oracle() -> str:
     ),
     nbr AS (
       SELECT va AS vec_id, min(vb) AS min_nbr
-      FROM cand WHERE {_cos_sql('ea', 'eb')} > {_COS_DEDUP_TH}
+      FROM cand WHERE round({_cos_sql('ea', 'eb')} + 1e-9, 6) > {_COS_DEDUP_TH}
       GROUP BY va
     )
     SELECT e.vec_id,
@@ -437,7 +437,11 @@ def _confirmed_cosine_pairs(spark, sf_dir, th=_COS_DEDUP_TH):
     )
     sim = dot_fold(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        pairs.join(ea, "va").join(eb, "vb").filter(sim > F.lit(th))
+        # Quantized membership cut (repo epsilon discipline): a cosine within
+        # cross-engine float noise of the threshold must not flip pair
+        # membership vs the oracle — both sides compare round(sim+1e-9, 6).
+        pairs.join(ea, "va").join(eb, "vb")
+        .filter(F.round(sim + F.lit(1e-9), 6) > F.lit(th))
         .select("va", "vb")
     )
 
@@ -458,7 +462,7 @@ def _cc_oracle() -> str:
       SELECT c.va, c.vb FROM cand c
       JOIN embeddings x ON x.vec_id = c.va
       JOIN embeddings y ON y.vec_id = c.vb
-      WHERE {_cos_sql('x.embedding', 'y.embedding')} > {_COS_DEDUP_TH}
+      WHERE round({_cos_sql('x.embedding', 'y.embedding')} + 1e-9, 6) > {_COS_DEDUP_TH}
     ),
     edges AS (
       SELECT va AS s, vb AS d FROM confirmed
@@ -567,7 +571,7 @@ def _pagerank_oracle() -> str:
         ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id < a.vec_id
     ),
     pairs AS (
-      SELECT va, vb FROM cand WHERE {_cos_sql('ea', 'eb')} > {_COS_DEDUP_TH}
+      SELECT va, vb FROM cand WHERE round({_cos_sql('ea', 'eb')} + 1e-9, 6) > {_COS_DEDUP_TH}
     ),
     edges AS (
       SELECT va AS s, vb AS d FROM pairs
@@ -807,7 +811,7 @@ def _semantic_confirm_oracle() -> str:
         ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id < a.vec_id
     ),
     pairs AS (
-      SELECT va, vb FROM cand WHERE {_cos_sql('ea', 'eb')} > {_COS_DEDUP_TH}
+      SELECT va, vb FROM cand WHERE round({_cos_sql('ea', 'eb')} + 1e-9, 6) > {_COS_DEDUP_TH}
     ),
     sh AS (
       SELECT doc_id, list_distinct(
@@ -882,7 +886,7 @@ def _triangle_oracle() -> str:
     ),
     ed AS (
       SELECT vb AS lo, va AS hi FROM cand
-      WHERE {_cos_sql('ea', 'eb')} > {_TRI_TH}
+      WHERE round({_cos_sql('ea', 'eb')} + 1e-9, 6) > {_TRI_TH}
     ),
     tri AS (
       SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c

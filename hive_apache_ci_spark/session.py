@@ -82,14 +82,22 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     per JVM application (keyed by ``applicationId``, which is stable for the
     session's lifetime — ``id(spark)`` would be fooled by a recycled Python
     object address) — each conf.set is a py4j round-trip, and the catalog
-    calls this on every table load.
+    calls this on every table load. The short-circuit re-verifies ONE
+    sentinel conf first: sibling sessions of the same application (e.g.
+    ``spark.newSession()``) share the applicationId but carry their own
+    SQLConf, so the cache alone would silently skip them.
     """
     try:
         key_id = spark.sparkContext.applicationId
     except Exception:
         key_id = None
     if key_id is not None and key_id in _CONFS_APPLIED:
-        return spark
+        try:
+            sentinel = spark.conf.get("spark.sql.session.timeZone", None)
+        except Exception:
+            sentinel = None
+        if sentinel == RUNTIME_CONFS["spark.sql.session.timeZone"]:
+            return spark
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)

@@ -44,15 +44,18 @@ def _events_schema(ts_type: Ty.DataType) -> Ty.StructType:
     )
 
 
-def _staged_ts_unit(events_parquet: str) -> str:
+def _staged_ts_unit(events_parquet: str) -> tuple[str, str | None]:
     """Read the parquet footer (driver-side, O(KB)) and return the ``ts``
-    time unit ('us', 'ns', ...). The testdata switched TIMESTAMP(NANOS) →
-    TIMESTAMP(MICROS) between rounds 1 and 2; both must stream correctly
+    (time unit, timezone) pair — ('us', None), ('ns', None), ('us', 'UTC'),
+    ... The testdata switched TIMESTAMP(NANOS) → TIMESTAMP(MICROS) between
+    rounds 1 and 2; a tz-adjusted TIMESTAMP(MICROS, UTC) regeneration is
+    the third plausible encoding (it reads as TimestampType, so forcing the
+    NTZ streaming schema would crash). All three must stream correctly
     (tests/test_catalog_encoding.py)."""
     import pyarrow.parquet as pq
 
     t = pq.read_schema(events_parquet).field("ts").type
-    return getattr(t, "unit", "us")
+    return getattr(t, "unit", "us"), getattr(t, "tz", None)
 
 
 def _staged_events_dir(sf_dir: str) -> str:
@@ -89,8 +92,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit for streaming reads). ``ts`` is normalized to session-TZ
     timestamp exactly as ``catalog.load_table`` does for batch:
 
-    - MICROS testdata (current): read as TIMESTAMP_NTZ, cast to timestamp
-      (UTC session ⇒ instant-preserving).
+    - MICROS-NTZ testdata (current): read as TIMESTAMP_NTZ, cast to
+      timestamp (UTC session ⇒ instant-preserving).
+    - MICROS-UTC (tz-adjusted): already TimestampType — read as-is, no cast.
     - NANOS testdata (round 1): nanosAsLong yields raw int64; integer-divide
       to micros.
     """
@@ -98,7 +102,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_runtime_confs(spark)
     staged = _staged_events_dir(sf_dir)
-    unit = _staged_ts_unit(os.path.join(staged, "events.parquet"))
+    unit, tz = _staged_ts_unit(os.path.join(staged, "events.parquet"))
     if unit == "ns":
         raw = (
             spark.readStream.schema(_events_schema(Ty.LongType()))
@@ -106,6 +110,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(staged)
         )
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if tz is not None:
+        return (
+            spark.readStream.schema(_events_schema(Ty.TimestampType()))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
     raw = (
         spark.readStream.schema(_events_schema(Ty.TimestampNTZType()))
         .option("maxFilesPerTrigger", 1)

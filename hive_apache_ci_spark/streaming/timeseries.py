@@ -435,8 +435,8 @@ def events_temporal_rollup(spark, sf_dir):
     SELECT event_id, event_type, ts_s, value,
            round((value - mu) / sigma + 1e-9, 4) AS z
     FROM scored
-    WHERE n_hist >= 10 AND sigma > 0
-      AND abs((value - mu) / sigma) > 2.5
+    WHERE n_hist >= 10 AND round(sigma, 6) > 0
+      AND round(abs((value - mu) / sigma) + 1e-9, 4) > 2.5
     """,
 )
 def events_anomaly_zscore(spark, sf_dir):
@@ -468,10 +468,17 @@ def events_anomaly_zscore(spark, sf_dir):
         F.stddev_samp("value").over(w).alias("sigma"),
         F.count(F.lit(1)).over(w).alias("n_hist"),
     )
+    # Membership predicates are QUANTIZED on both sides (repo epsilon
+    # discipline): a z-score within cross-engine float noise of the 2.5 cut
+    # (or a sigma within noise of 0) must not flip row membership between
+    # Spark and the DuckDB oracle, so both engines compare the identically
+    # rounded value, not the raw double.
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
         scored.filter(
-            (F.col("n_hist") >= 10) & (F.col("sigma") > 0) & (F.abs(z) > 2.5)
+            (F.col("n_hist") >= 10)
+            & (F.round(F.col("sigma"), 6) > 0)
+            & (ravg(F.abs(z)) > 2.5)
         )
         .select(
             "event_id",

@@ -96,22 +96,26 @@ def test_streaming_source_matches_batch_instants(spark, tmp_path):
     import pyspark.sql.functions as F
     import pyspark.sql.types as Ty
 
-    for tag in ("micros_ntz", "nanos"):
+    for tag in ("micros_ntz", "nanos", "micros_utc"):
         sf_dir = _write_events(str(tmp_path), f"s_{tag}", ENCODINGS[tag])
         path = os.path.join(sf_dir, "events.parquet")
-        unit = _staged_ts_unit(path)
+        unit, tz = _staged_ts_unit(path)
         # batch-read the same file through the schema+conversion the stream
         # source uses (readStream itself is exercised in test_streaming.py)
         if unit == "ns":
             raw = spark.read.schema(_events_schema(Ty.LongType())).parquet(path)
             conv = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif tz is not None:
+            conv = spark.read.schema(_events_schema(Ty.TimestampType())).parquet(
+                path
+            )
         else:
             raw = spark.read.schema(_events_schema(Ty.TimestampNTZType())).parquet(
                 path
             )
             conv = raw.withColumn("ts", F.col("ts").cast("timestamp"))
         got = sorted(r[0] for r in conv.selectExpr("cast(ts as long)").collect())
-        assert got == sorted(EPOCHS), (tag, unit, got)
+        assert got == sorted(EPOCHS), (tag, unit, tz, got)
 
 
 def test_stream_staging_detects_regenerated_source(tmp_path):
@@ -208,3 +212,17 @@ def test_queries_survive_empty_tables(spark, tmp_path):
         "knn_topk_cosine",
     ):
         assert qs[name](spark, sf_dir).count() == 0, name
+
+
+def test_sibling_session_gets_runtime_confs(spark):
+    """spark.newSession() shares the applicationId but has its own SQLConf —
+    the apply_runtime_confs cache must not skip it (the sentinel-conf
+    re-check)."""
+    from hive_apache_ci_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)  # primes the applicationId cache
+    sib = spark.newSession()
+    sib.conf.set("spark.sql.session.timeZone", "America/New_York")
+    apply_runtime_confs(sib)
+    assert sib.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert sib.conf.get("spark.sql.ansi.enabled") == "false"
