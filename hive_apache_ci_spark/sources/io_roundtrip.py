@@ -485,3 +485,60 @@ def io_sorted_layout(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         ravg(F.sum("value")).alias("sum_value"),
     )
+
+
+@query(
+    "io_dpp_partitioned_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT year(o_orderdate) AS order_year
+      FROM orders WHERE o_totalprice > 450000
+    )
+    SELECT CAST(f.order_year AS INTEGER) AS order_year,
+           f.o_orderstatus,
+           count(*)                      AS n,
+           round(sum(f.o_totalprice), 2) AS total
+    FROM (SELECT year(o_orderdate) AS order_year, o_orderstatus, o_totalprice
+          FROM orders) f
+    JOIN dim USING (order_year)
+    GROUP BY 1, 2
+    """,
+)
+def io_dpp_partitioned_join(spark, sf_dir):
+    """Dynamic partition pruning over a partitioned fact (SURVEY §2.3 DPP
+    row — Hive's partition-pruning-by-join, Spark's PartitionPruning rule):
+    orders written partitioned by order_year, joined to a selectively
+    filtered year dimension (years containing a >450k mega-order). The
+    physical scan carries ``dynamicpruningexpression(order_year IN ...)``
+    (tests/test_plans.py::test_dpp_prunes_partitioned_scan), so at 100 TB
+    only the qualifying year directories are read — the filter is computed
+    from the dim side at runtime and reuses its broadcast exchange."""
+    out = _scratch(sf_dir, "orders_dpp")
+    o = T(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
+    (
+        o.repartition("order_year")
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    dim = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.year("o_orderdate").alias("order_year"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, "order_year")
+        .groupBy("order_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.sum("o_totalprice")).alias("total"),
+        )
+        .select(
+            F.col("order_year").cast("int").alias("order_year"),
+            "o_orderstatus",
+            "n",
+            "total",
+        )
+    )

@@ -314,3 +314,84 @@ def test_ntile_scaled_equals_global_ntile(spark):
     a = sorted(map(tuple, qs["window_ntile"](spark, SF_DIR).collect()))
     b = sorted(map(tuple, qs["window_ntile_scaled"](spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_dpp_prunes_partitioned_scan(spark):
+    """SURVEY §2.3 DPP row (was 'automatic, untested'): the partitioned-fact
+    join must inject a dynamicpruningexpression partition filter so only
+    qualifying year directories are scanned."""
+    p = plan(spark, "io_dpp_partitioned_join")
+    assert "dynamicpruning" in p, p
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert any("dynamicpruning" in l for l in pf), pf
+
+
+def test_cbo_join_reorder_uses_stats(spark):
+    """SURVEY §4.1 JoinReorder row (was 'automatic, untested'): ANALYZE
+    TABLE column stats + spark.sql.cbo must (a) attach rowCount statistics
+    to join nodes and (b) reorder the deliberately-bad join order
+    (orders x nation cartesian first) into pure equi-joins."""
+    import contextlib
+    import io
+
+    from hive_apache_ci_spark.helpers import T
+
+    import os
+    import shutil
+
+    SF = SF_DIR
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "/tmp/hive_apache_ci_spark_warehouse"
+    ).removeprefix("file:")
+    for t in ("cbo_orders", "cbo_customer", "cbo_nation"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a stale location from a previous process survives the DROP (the
+        # metastore is per-session in-memory) and blocks saveAsTable
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    T(spark, SF, "orders").write.mode("overwrite").saveAsTable("cbo_orders")
+    T(spark, SF, "customer").write.mode("overwrite").saveAsTable("cbo_customer")
+    T(spark, SF, "nation").write.mode("overwrite").saveAsTable("cbo_nation")
+    for t, cols in [
+        ("cbo_orders", "o_custkey"),
+        ("cbo_customer", "c_custkey, c_nationkey"),
+        ("cbo_nation", "n_nationkey"),
+    ]:
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    old_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    old_reorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        df = spark.sql(
+            """
+            SELECT n.n_name, count(*) AS n_orders
+            FROM cbo_orders o
+            JOIN cbo_nation n ON 1=1
+            JOIN cbo_customer c ON o.o_custkey = c.c_custkey
+                               AND c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+            """
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="cost")
+        p = buf.getvalue()
+        opt = p.split("== Optimized Logical Plan ==")[1].split(
+            "== Physical Plan =="
+        )[0]
+        # stats flowed into the optimizer
+        join_lines = [l for l in opt.splitlines() if "Join Inner" in l]
+        assert join_lines and all("rowCount" in l for l in join_lines), opt
+        # the written cartesian (orders x nation ON 1=1) was reordered away
+        assert "Join Inner, (c_nationkey" in opt, opt
+        assert "Join Inner, (o_custkey" in opt, opt
+        assert "1=1" not in opt and not any(
+            "Join Inner\n" in l for l in join_lines
+        ), opt
+        # and the result is right (25 nations at every SF)
+        assert df.count() == 25
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", old_reorder)
+        for t in ("cbo_orders", "cbo_customer", "cbo_nation"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
