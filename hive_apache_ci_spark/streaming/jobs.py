@@ -124,17 +124,22 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def _run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, mode: str = "complete", checkpoint: str | None = None
+) -> DataFrame:
     """Execute a streaming aggregation to completion (AvailableNow) into a
-    memory sink and return the materialized table."""
+    memory sink and return the materialized table. ``checkpoint`` makes the
+    run resumable (restart/resume equivalence tests)."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
+    w = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
     try:
         if not q.awaitTermination(300):
             raise TimeoutError(f"streaming query {name} did not finish in 300s")
@@ -142,6 +147,39 @@ def _run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
         q.stop()
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+# Restartable-job registry: name -> {mode, build, post, acc}.
+# ``build(src, spark, sf_dir)`` returns the streaming transformation, where
+# ``src`` is a ZERO-ARG factory yielding a fresh source stream (the
+# stream-stream join subscribes twice). ``post`` (optional) maps the
+# materialized sink table to the query result. ``acc`` says how a
+# two-phase (checkpoint-restart) run recovers the one-shot result:
+# 'last' — complete-mode sink, the final table IS the answer;
+# 'union' — update/append sinks emit deltas, union the phases' tables.
+# The restart/resume equivalence over this registry is pinned by
+# tests/test_streaming.py::test_stream_restart_resume_equivalence.
+_STREAM_JOBS: dict[str, dict] = {}
+
+
+def _stream_job(name: str, mode: str, acc: str = "last", post=None):
+    def deco(build):
+        _STREAM_JOBS[name] = {
+            "mode": mode,
+            "build": build,
+            "post": post,
+            "acc": acc,
+        }
+        return build
+
+    return deco
+
+
+def _run_registered(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    job = _STREAM_JOBS[name]
+    out = job["build"](lambda: events_stream(spark, sf_dir), spark, sf_dir)
+    table = _run_to_memory(out, job["mode"])
+    return job["post"](table) if job["post"] else table
 
 
 @query(
@@ -164,9 +202,14 @@ def stream_tumbling_counts(spark, sf_dir):
     SQL-expressible even though the execution isn't — the round-2 incident
     (silently 1000×-shifted buckets that rows-only checks could not see)
     is exactly what a real oracle here prevents."""
-    s = events_stream(spark, sf_dir)
-    agg = (
-        s.withWatermark("ts", "10 minutes")
+    return _run_registered("stream_tumbling_counts", spark, sf_dir)
+
+
+@_stream_job("stream_tumbling_counts", "complete")
+def _build_tumbling(src, spark, sf_dir):
+    return (
+        src()
+        .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), ravg(F.sum("value")).alias("sum_value"))
         .select(
@@ -176,7 +219,6 @@ def stream_tumbling_counts(spark, sf_dir):
             "sum_value",
         )
     )
-    return _run_to_memory(agg, "complete")
 
 
 @query(
@@ -191,12 +233,15 @@ def stream_dedup_watermark(spark, sf_dir):
     Oracle validity: event_ids are globally unique in the testdata (asserted
     by the count(distinct) check in tests), so within-watermark dedup is
     exhaustive dedup and per-type counts equal the raw counts."""
-    s = events_stream(spark, sf_dir)
-    deduped = s.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+    return _run_registered("stream_dedup_watermark", spark, sf_dir)
+
+
+@_stream_job("stream_dedup_watermark", "complete")
+def _build_dedup_watermark(src, spark, sf_dir):
+    deduped = src().withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    return _run_to_memory(agg, "complete")
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
 @query(
@@ -227,9 +272,14 @@ def stream_session_counts(spark, sf_dir):
     """Streaming session windows (30-minute gap) per user — stateful
     session assignment with watermark-bounded state. Oracled via the same
     gaps-and-islands SQL as the batch events_session_window."""
-    s = events_stream(spark, sf_dir)
-    agg = (
-        s.withWatermark("ts", "30 minutes")
+    return _run_registered("stream_session_counts", spark, sf_dir)
+
+
+@_stream_job("stream_session_counts", "complete")
+def _build_session_counts(src, spark, sf_dir):
+    return (
+        src()
+        .withWatermark("ts", "30 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -238,7 +288,6 @@ def stream_session_counts(spark, sf_dir):
             "n_events",
         )
     )
-    return _run_to_memory(agg, "complete")
 
 
 @query(
@@ -257,7 +306,17 @@ def stream_foreach_batch_sink(spark, sf_dir):
     tag = os.path.basename(os.path.normpath(sf_dir))
     sink = os.path.join("/tmp", "hive_apache_ci_spark_stream", tag, "sink_fb")
     shutil.rmtree(sink, ignore_errors=True)
-    s = events_stream(spark, sf_dir)
+    shutil.rmtree(sink + "_ckpt", ignore_errors=True)
+    run_foreach_batch_phase(events_stream(spark, sf_dir), sink)
+    shutil.rmtree(sink + "_ckpt", ignore_errors=True)
+    return foreach_batch_readback(spark, sink)
+
+
+def run_foreach_batch_phase(source: DataFrame, sink: str) -> None:
+    """One AvailableNow pass of the foreachBatch parquet-append pipeline
+    against ``sink`` (checkpoint at ``sink + '_ckpt'``). Restartable: a
+    later call with the same sink+checkpoint processes only new files
+    (tests/test_streaming.py::test_foreach_batch_restart_resume)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -269,7 +328,7 @@ def stream_foreach_batch_sink(spark, sf_dir):
         )
 
     q = (
-        s.writeStream.foreachBatch(write_batch)
+        source.writeStream.foreachBatch(write_batch)
         .trigger(availableNow=True)
         .option("checkpointLocation", sink + "_ckpt")
         .start()
@@ -279,7 +338,9 @@ def stream_foreach_batch_sink(spark, sf_dir):
             raise TimeoutError("foreachBatch stream did not finish in 300s")
     finally:
         q.stop()
-    shutil.rmtree(sink + "_ckpt", ignore_errors=True)
+
+
+def foreach_batch_readback(spark: SparkSession, sink: str) -> DataFrame:
     back = spark.read.parquet(sink)
     return back.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("n"))
 
@@ -298,10 +359,28 @@ def stream_stateful_counter(spark, sf_dir):
     Structured Streaming form of a custom stateful PTF): per-user running
     event count + value sum kept in explicit state across micro-batches.
     Equivalence vs the batch aggregation is asserted in tests."""
+    return _run_registered("stream_stateful_counter", spark, sf_dir)
+
+
+def _keep_final_state_row(table: DataFrame) -> DataFrame:
+    """update-mode emits one row per user per batch; keep the final
+    (largest-count) state row per user."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        table.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@_stream_job(
+    "stream_stateful_counter", "update", acc="union", post=_keep_final_state_row
+)
+def _build_stateful_counter(src, spark, sf_dir):
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    s = events_stream(spark, sf_dir)
 
     def update(key, pdfs, state: GroupState):
         n, total = state.get if state.exists else (0, 0.0)
@@ -320,22 +399,12 @@ def stream_stateful_counter(spark, sf_dir):
             }
         )
 
-    out = s.groupBy("user_id").applyInPandasWithState(
+    return src().groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id bigint, n_events bigint, sum_value double",
         stateStructType="n bigint, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    # update-mode emits one row per user per batch; keep the final state row
-    table = _run_to_memory(out, "update")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    return (
-        table.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
     )
 
 
@@ -362,8 +431,22 @@ def stream_stream_join(spark, sf_dir):
     join state on both sides (without them state grows forever at 100 TB
     stream rates). Result re-aggregated to per-user conversion counts;
     equality with the batch form is asserted in tests/test_streaming.py."""
+    return _run_registered("stream_stream_join", spark, sf_dir)
+
+
+def _agg_view_buy_pairs(pairs: DataFrame) -> DataFrame:
+    return pairs.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("buy_id").alias("n_buys"),
+    )
+
+
+@_stream_job(
+    "stream_stream_join", "append", acc="union", post=_agg_view_buy_pairs
+)
+def _build_stream_stream_join(src, spark, sf_dir):
     views = (
-        events_stream(spark, sf_dir)
+        src()
         .filter(F.col("event_type") == "view")
         .select(
             F.col("user_id").alias("v_user"),
@@ -373,7 +456,7 @@ def stream_stream_join(spark, sf_dir):
         .withWatermark("v_ts", "30 minutes")
     )
     buys = (
-        events_stream(spark, sf_dir)
+        src()
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("b_user"),
@@ -382,20 +465,12 @@ def stream_stream_join(spark, sf_dir):
         )
         .withWatermark("b_ts", "30 minutes")
     )
-    joined = views.join(
+    return views.join(
         buys,
         (F.col("v_user") == F.col("b_user"))
         & (F.col("b_ts") >= F.col("v_ts"))
         & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS")),
     ).select("v_user", "view_id", "buy_id")
-    pairs = _run_to_memory(joined, "append")
-    return (
-        pairs.groupBy(F.col("v_user").alias("user_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.countDistinct("buy_id").alias("n_buys"),
-        )
-    )
 
 
 @query(
@@ -413,22 +488,25 @@ def stream_static_join(spark, sf_dir):
     dimension (customer segment) — the dimension is broadcast into every
     micro-batch, no stream-side state at all (the standard way to decorate
     a 100 TB/day stream with reference data)."""
+    return _run_registered("stream_static_join", spark, sf_dir)
+
+
+@_stream_job("stream_static_join", "complete")
+def _build_static_join(src, spark, sf_dir):
     from ..helpers import T
 
-    s = events_stream(spark, sf_dir)
     dim = T(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    enriched = s.join(F.broadcast(dim), "user_id", "inner")
+    enriched = src().join(F.broadcast(dim), "user_id", "inner")
     # floor(+1e-6) instead of a bare cast("long"): Spark's double->long cast
     # truncates while DuckDB's rounds, and a float sum that is *meant* to be
     # integral can land a hair below the integer — epsilon-floor is stable
     # on both engines
-    agg = enriched.groupBy("c_mktsegment").agg(
+    return enriched.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.floor(F.sum("value") + F.lit(1e-6)).cast("long").alias("sum_value_long"),
     )
-    return _run_to_memory(agg, "complete")
 
 
 @query(
@@ -452,9 +530,14 @@ def stream_sliding_counts(spark, sf_dir):
     Structured Streaming form of events_sliding_hour. State is bounded by
     watermark + slide; at scale the window-assign explode is map-side and
     the shuffle key is (window, event_type)."""
-    s = events_stream(spark, sf_dir)
-    agg = (
-        s.withWatermark("ts", "10 minutes")
+    return _run_registered("stream_sliding_counts", spark, sf_dir)
+
+
+@_stream_job("stream_sliding_counts", "complete")
+def _build_sliding_counts(src, spark, sf_dir):
+    return (
+        src()
+        .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), ravg(F.sum("value")).alias("sum_value"))
         .select(
@@ -464,4 +547,3 @@ def stream_sliding_counts(spark, sf_dir):
             "sum_value",
         )
     )
-    return _run_to_memory(agg, "complete")
