@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""sf1 scaling canary (round-4, VERDICT item 4): measure sf0.1 → sf1 wall
+time for the heaviest queries and flag super-linear blowups EMPIRICALLY
+instead of asserting 100x-safety from plan shape alone.
+
+Generates a local "sf1" (10x sf0.1: 6M-row lineitem, 50k docs, 20k
+vectors, 1M events) into /tmp/hive_apache_ci_spark_sf1 by deterministic
+replication with DuckDB:
+
+- TPC-H tables: 10 copies with key offsets (o_orderkey/o_custkey/... keep
+  join integrity; nation/region stay fixed dimensions);
+- documents: copy tag prepended to the text, so copies are near- but not
+  exact-duplicates (an exact 10x dup corpus would quadratically inflate
+  every dedup operator and measure the DATA, not the engine);
+- embeddings: each copy is a cyclic rotation of the vector (norms and
+  pairwise-distance distribution preserved, no artificial duplicate pairs);
+- events: user_id offset per copy (sessions/windows scale linearly).
+
+Usage: python scripts/sf1_canary.py [--regen]  → one JSON line with
+{query: {sf01, sf1, ratio}} and a linearity verdict per query (data is
+10x, so ratio ≈ 10 is linear; > 30 ⇒ super-linear flag, recorded in
+docs/BENCH_TREND.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF01 = "/root/testdata/sf0.1"
+SF1_DIR = "/tmp/hive_apache_ci_spark_sf1"
+COPIES = 10
+
+# the heaviest registry queries (bench + round-3 trend), spanning every
+# expensive topology: scan-agg, star join, window, session, minhash,
+# hyperplane LSH, brute-force knn, iterative CC, retrieval, merge
+CANARY_QUERIES = [
+    "q1_pricing_summary",
+    "join_broadcast_star",
+    "tpch_q5_local_supplier",
+    "window_moving_rows",
+    "events_session_window",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "knn_topk_cosine",
+    "quality_lm_perplexity",
+    "search_bm25_topk",
+    "merge_into_upsert",
+    "dedup_connected_components",
+]
+
+
+def generate(force: bool = False) -> None:
+    marker = os.path.join(SF1_DIR, ".complete")
+    if os.path.exists(marker) and not force:
+        return
+    import duckdb
+
+    shutil.rmtree(SF1_DIR, ignore_errors=True)
+    os.makedirs(SF1_DIR, exist_ok=True)
+    con = duckdb.connect()
+    for t in (
+        "lineitem orders customer supplier part events documents embeddings "
+        "region nation".split()
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF01}/{t}.parquet'")
+
+    def copy_out(name: str, select_sql: str) -> None:
+        con.execute(
+            f"COPY ({select_sql}) TO '{SF1_DIR}/{name}.parquet'"
+            " (FORMAT PARQUET)"
+        )
+
+    # key strides (max+1 per copy keeps keys disjoint and joins consistent)
+    ok, ck, sk, pk = [
+        con.execute(f"SELECT max({c}) + 1 FROM {t}").fetchone()[0]
+        for c, t in [
+            ("o_orderkey", "orders"),
+            ("c_custkey", "customer"),
+            ("s_suppkey", "supplier"),
+            ("p_partkey", "part"),
+        ]
+    ]
+    copy_out(
+        "lineitem",
+        f"""SELECT l_orderkey + i*{ok} AS l_orderkey,
+                   l_partkey + i*{pk} AS l_partkey,
+                   l_suppkey + i*{sk} AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM lineitem, range({COPIES}) r(i)""",
+    )
+    copy_out(
+        "orders",
+        f"""SELECT o_orderkey + i*{ok} AS o_orderkey,
+                   o_custkey + i*{ck} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM orders, range({COPIES}) r(i)""",
+    )
+    copy_out(
+        "customer",
+        f"""SELECT c_custkey + i*{ck} AS c_custkey, c_name, c_nationkey,
+                   c_acctbal, c_mktsegment
+            FROM customer, range({COPIES}) r(i)""",
+    )
+    copy_out(
+        "supplier",
+        f"""SELECT s_suppkey + i*{sk} AS s_suppkey, s_name, s_nationkey,
+                   s_acctbal
+            FROM supplier, range({COPIES}) r(i)""",
+    )
+    copy_out(
+        "part",
+        f"""SELECT p_partkey + i*{pk} AS p_partkey, p_name, p_brand, p_type,
+                   p_size, p_retailprice
+            FROM part, range({COPIES}) r(i)""",
+    )
+    for t in ("region", "nation"):
+        copy_out(t, f"SELECT * FROM {t}")
+    ek, uk, dk, vk = [
+        con.execute(f"SELECT max({c}) + 1 FROM {t}").fetchone()[0]
+        for c, t in [
+            ("event_id", "events"),
+            ("user_id", "events"),
+            ("doc_id", "documents"),
+            ("vec_id", "embeddings"),
+        ]
+    ]
+    copy_out(
+        "events",
+        f"""SELECT event_id + i*{ek} AS event_id, ts,
+                   user_id + i*{uk} AS user_id, event_type, value, props
+            FROM events, range({COPIES}) r(i)""",
+    )
+    copy_out(
+        "documents",
+        f"""SELECT doc_id + i*{dk} AS doc_id,
+                   CASE WHEN i = 0 THEN text
+                        ELSE 'c' || i || ' ' || text END AS text,
+                   lang, source,
+                   n_chars + CASE WHEN i = 0 THEN 0
+                                  ELSE length('c' || i || ' ') END AS n_chars
+            FROM documents, range({COPIES}) r(i)""",
+    )
+    copy_out(
+        "embeddings",
+        f"""SELECT vec_id + i*{vk} AS vec_id,
+                   CASE WHEN i = 0 THEN embedding
+                        ELSE embedding[i+1:] || embedding[1:i] END AS embedding,
+                   label
+            FROM embeddings, range({COPIES}) r(i)""",
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
+
+def main() -> int:
+    force = "--regen" in sys.argv
+    generate(force)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from hive_apache_ci_spark.registry import all_queries
+    from hive_apache_ci_spark.session import get_spark
+
+    spark = get_spark("sf1-canary")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    out: dict[str, dict] = {}
+    for name in CANARY_QUERIES:
+        row: dict = {}
+        for tag, sf_dir in [("sf01", SF01), ("sf1", SF1_DIR)]:
+            try:
+                qs[name](spark, sf_dir).count()  # warm: plan + page cache
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    qs[name](spark, sf_dir).count()
+                    best = min(best, time.perf_counter() - t0)
+                row[tag] = round(best, 3)
+            except Exception as exc:  # noqa: BLE001
+                print(f"canary: {name}@{tag} FAILED: {exc}", file=sys.stderr)
+                row[tag] = None
+        if row.get("sf01") and row.get("sf1"):
+            row["ratio"] = round(row["sf1"] / row["sf01"], 1)
+            # 10x data: <= 3x headroom over linear before we call it
+            # super-linear (constant overheads make small ratios noisy)
+            row["verdict"] = "linear-ish" if row["ratio"] <= 30 else "SUPER-LINEAR"
+        out[name] = row
+        print(f"  {name}: {row}", file=sys.stderr)
+    print(json.dumps({"copies": COPIES, "queries": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
