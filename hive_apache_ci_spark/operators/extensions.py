@@ -295,3 +295,59 @@ def tablesample_bucket(spark, sf_dir):
         % 32
     )
     return l.filter(bucket == 0).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@query(
+    "matchpath_variable_length",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'k'
+                  WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
+                  ELSE 'e' END AS sym,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) - 1
+                  AS INTEGER) AS idx
+      FROM events
+    ),
+    nx AS (
+      SELECT user_id, sym, idx,
+             min(CASE WHEN sym NOT IN ('k', 'v') THEN idx END)
+               OVER (PARTITION BY user_id ORDER BY idx
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_hard
+      FROM seq
+    )
+    SELECT a.user_id AS part,
+           a.idx AS start_idx,
+           CAST(a.next_hard - a.idx + 1 AS INTEGER) AS match_len
+    FROM nx a JOIN seq b
+      ON b.user_id = a.user_id AND b.idx = a.next_hard
+    WHERE a.sym = 's' AND b.sym = 'p'
+    """,
+)
+def matchpath_variable_length(spark, sf_dir):
+    """Hive ``matchpath`` PTF, VARIABLE-length pattern ``s[kv]*p`` (signup,
+    any clicks/views, purchase) — the generic applyInPandas sequence
+    matcher (functions/hive_compat.matchpath), promoted from pytest-only to
+    a registered, fully-oracled query. Oracle equivalence: within a
+    ``s[kv]*p`` span only k/v symbols separate the s from the p, so
+    leftmost non-overlapping regex matches = every signup whose NEXT
+    non-click/view event is a purchase — expressible as one window min +
+    self-join in ANSI SQL.
+
+    Scale: one shuffle on user_id; each user's ordered sequence streams
+    through Arrow (the PTFRowContainer constraint: a partition fits in
+    worker memory)."""
+    from ..functions.hive_compat import matchpath
+
+    e = T(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'k' "
+            "WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p' ELSE 'e' END"
+        ).alias("sym"),
+    )
+    return matchpath(e, "user_id", ["ts", "event_id"], "sym", "s[kv]*p")
