@@ -243,6 +243,45 @@ def window_first_ignore_nulls(spark, sf_dir):
 
 
 @query(
+    "window_leadlag_ignore_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           first_value(big_key IGNORE NULLS) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_big_order,
+           last_value(big_key IGNORE NULLS) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_big_order
+    FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+                 CASE WHEN o_totalprice > 300000 THEN o_orderkey END AS big_key
+          FROM orders)
+    """,
+)
+def window_leadlag_ignore_nulls(spark, sf_dir):
+    """lead/lag with IGNORE NULLS — Hive's WindowingTableFunction supports
+    the IGNORE NULLS modifier on lead/lag (GenericUDAFLead/Lag with
+    skipNulls); Spark 4 exposes the same via SQL syntax
+    ``lead(x, 1) IGNORE NULLS``. 'Next/previous big order seen' per
+    customer. The DuckDB 1.0 oracle emulates it with the equivalent
+    first_value/last_value(IGNORE NULLS) over one-sided frames (the
+    standard rewrite; lead/lag IGNORE NULLS landed in DuckDB later).
+
+    Scale: one shuffle on o_custkey, streaming frame evaluation — same
+    cost envelope as any lead/lag window."""
+    o = T(spark, sf_dir, "orders").withColumn(
+        "big_key", F.when(F.col("o_totalprice") > 300000, F.col("o_orderkey"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.expr("lead(big_key, 1) ignore nulls").over(w).alias("next_big_order"),
+        F.expr("lag(big_key, 1) ignore nulls").over(w).alias("prev_big_order"),
+    )
+
+
+@query(
     "window_percent",
     oracle="""
     SELECT c_custkey, c_mktsegment,

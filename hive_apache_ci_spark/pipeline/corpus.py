@@ -405,6 +405,75 @@ def pack_sequences_greedy(spark, sf_dir):
     )
 
 
+# ---- heavy hitters: two-phase exact frequent tokens ---------------------
+
+_HH_DENOM = 32  # support threshold = 1/32 of all tokens (~3.1%)
+_HH_K = 64  # Misra-Gries counters per partition (2x slack over 1/s)
+
+_HH_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+  FROM documents
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+       round(count(*) * 1.0 / (SELECT n FROM tot) + 1e-9, 6) AS share
+FROM toks GROUP BY token
+HAVING count(*) >= (SELECT CAST(ceil(n * 1.0 / {_HH_DENOM}) AS BIGINT) FROM tot)
+"""
+
+
+@query("heavy_hitters_twophase", oracle=_HH_SQL)
+def heavy_hitters_twophase(spark, sf_dir):
+    """Exact heavy hitters (tokens with frequency >= N/32) via the
+    two-phase summary pattern: phase 1 runs a merged Misra-Gries sketch
+    (64 counters) per partition with ``mapInPandas`` — any token with
+    global count > N/65 is guaranteed to survive in at least one
+    partition's summary (pigeonhole over the per-partition MG bound), so
+    the union of candidates is a superset of every >= N/32 hitter; phase 2
+    exactly recounts ONLY the candidates (broadcast semi-join) and filters
+    by the true threshold. Final output is exact, so the DuckDB oracle is
+    a plain GROUP BY ... HAVING.
+
+    100 TB shape: phase 1 touches every token but emits <= 64 rows per
+    partition (no shuffle of the raw token stream for candidate finding);
+    phase 2's recount groupBy shuffles only rows matching the ~dozens of
+    candidate tokens. This is how you get EXACT top-frequency items
+    without shuffling the full 100 TB token multiset twice."""
+    d = T(spark, sf_dir, "documents")
+    toks = spread(
+        d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")),
+        "doc_id",
+    ).select("token")
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > _HH_K:
+                cut = sorted(counters.values(), reverse=True)[_HH_K]
+                counters = {t: c - cut for t, c in counters.items() if c > cut}
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = toks.mapInPandas(mg, "token string").distinct()
+    totals = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    recount = (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return (
+        recount.join(F.broadcast(totals))
+        .where(F.col("cnt") >= F.ceil(F.col("n") * 1.0 / _HH_DENOM).cast("bigint"))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") * 1.0 / F.col("n") + F.lit(1e-9), 6).alias("share"),
+        )
+    )
+
+
 # ---- 8. corpus mixture weights ------------------------------------------
 
 _MIX_SQL = """
