@@ -280,3 +280,152 @@ def corpus_bigram_counts(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         F.col("df").cast("bigint").alias("df"),
     )
+
+
+# ---- 5. BPE merge learning (fixed-iteration, fully oracled) -------------
+
+_BPE_MERGES = 6
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE in pure SQL, one (pair-count, argmax, re-segment) CTE
+    triple per merge step. Re-segmentation replays the engine-side fold:
+    ``list_reduce`` over the symbol array with a string accumulator whose
+    last token is tested via ``LIKE '% ' || l`` (symbols never contain
+    spaces or LIKE wildcards — lowercase word chars plus '</w>' and their
+    concatenations)."""
+    parts = [
+        f"""
+    WITH tok AS (
+      SELECT unnest({_TOK_SQL}) AS w FROM documents
+    ),
+    w AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM tok WHERE w <> '' GROUP BY w
+    ),
+    s0 AS (
+      SELECT word, freq,
+             array_to_string(string_split_regex(word, ''), ' ') || ' </w>' AS sym
+      FROM w
+    )"""
+    ]
+    for i in range(1, _BPE_MERGES + 1):
+        prev = f"s{i-1}"
+        parts.append(
+            f""",
+    p{i} AS (
+      SELECT split_part(pr, ' ', 1) AS l, split_part(pr, ' ', 2) AS r,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(list_transform(range(1, len(a)),
+                      j -> a[j] || ' ' || a[j+1])) AS pr, freq
+        FROM (SELECT string_split(sym, ' ') AS a, freq FROM {prev})
+      ) GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    s{i} AS (
+      SELECT word, freq,
+             list_reduce(string_split(sym, ' '),
+               (acc, x) -> CASE
+                 WHEN x = b.r AND (acc = b.l OR acc LIKE '% ' || b.l)
+                 THEN CASE WHEN acc = b.l THEN b.l || b.r
+                      ELSE substr(acc, 1, length(acc) - length(b.l) - 1)
+                           || ' ' || b.l || b.r END
+                 ELSE acc || ' ' || x END) AS sym
+      FROM {prev}, b{i} b
+    )"""
+        )
+    union = "\n    UNION ALL\n".join(
+        f"    SELECT CAST({i} AS INT) AS step, l AS left_sym, r AS right_sym, cnt"
+        f" FROM b{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+# The left-to-right non-overlapping re-segmentation fold (Sennrich BPE
+# convention), expressed once as a SQL expression template over columns
+# `sym` (space-joined symbols), `l`, `r` (the merge pair).
+_BPE_FOLD = """
+aggregate(
+  slice(split(sym, ' '), 2, size(split(sym, ' ')) - 1),
+  element_at(split(sym, ' '), 1),
+  (acc, x) -> CASE
+    WHEN x = r AND (acc = l OR endswith(acc, concat(' ', l)))
+    THEN CASE WHEN acc = l THEN concat(l, r)
+         ELSE concat(substr(acc, 1, length(acc) - length(l) - 1),
+                     ' ', l, r) END
+    ELSE concat(acc, ' ', x) END)
+"""
+
+
+@query("bpe_learn_merges", oracle=_bpe_oracle())
+def bpe_learn_merges(spark, sf_dir):
+    """Distributed BPE tokenizer induction: learn the first {K} merge rules
+    (Sennrich-style byte-pair encoding over the word-frequency table) and
+    emit (step, left_sym, right_sym, pair_count). Each iteration is (1) an
+    adjacent-pair count over the current segmentation, (2) a global argmax
+    with deterministic (count desc, left, right) tie-break, (3) a
+    re-segmentation applying ONLY that pair, as a left-to-right
+    non-overlapping fold. The argmax never touches the driver: the 1-row
+    best-pair relation is broadcast-joined into the next state, so the
+    whole K-step program is one lazy DAG.
+
+    100 TB shape: BPE learns from the *word-frequency table*, not the raw
+    corpus — the only corpus-sized shuffle is the initial groupBy(word);
+    every subsequent step works on |vocab| rows (tens of millions at web
+    scale, trivially partitionable), with per-step cost one groupBy(pair)
+    + one broadcast of a single row. This is exactly how production
+    tokenizer trainers (HuggingFace tokenizers, SentencePiece on Spark)
+    structure the counting phase.
+
+    DuckDB oracle: the same {K} iterations unrolled as CTEs (pagerank
+    pattern), with the identical fold replayed via list_reduce — exact
+    integer counts, so no float tolerance is needed anywhere."""
+    d = T(spark, sf_dir, "documents")
+    words = (
+        _tokens(d)
+        .groupBy(F.col("t").alias("word"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    state = words.select(
+        "word",
+        "freq",
+        F.concat(
+            F.concat_ws(" ", F.split(F.col("word"), "")), F.lit(" </w>")
+        ).alias("sym"),
+    )
+    bests = []
+    for i in range(1, _BPE_MERGES + 1):
+        pairs = state.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(sym, ' ')) - 1),"
+                    " j -> concat(element_at(split(sym, ' '), j), ' ',"
+                    "             element_at(split(sym, ' '), j + 1)))"
+                )
+            ).alias("pr"),
+            "freq",
+        )
+        pc = pairs.groupBy(
+            F.split_part(F.col("pr"), F.lit(" "), F.lit(1)).alias("l"),
+            F.split_part(F.col("pr"), F.lit(" "), F.lit(2)).alias("r"),
+        ).agg(F.sum("freq").cast("bigint").alias("cnt"))
+        best = pc.orderBy(F.desc("cnt"), "l", "r").limit(1)
+        bests.append(best.select(F.lit(i).cast("int").alias("step"), "l", "r", "cnt"))
+        state = state.crossJoin(F.broadcast(best.select("l", "r"))).select(
+            "word", "freq", F.expr(_BPE_FOLD).alias("sym")
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out.select(
+        "step",
+        F.col("l").alias("left_sym"),
+        F.col("r").alias("right_sym"),
+        "cnt",
+    )
+
+
+bpe_learn_merges.__doc__ = bpe_learn_merges.__doc__.replace("{K}", str(_BPE_MERGES))
