@@ -689,6 +689,123 @@ def pagerank_similarity_graph(spark, sf_dir):
     )
 
 
+# ---- 8b. label-propagation communities (fixed-iteration, oracled) -------
+
+_LPA_ITERS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation: per iteration, one
+    neighbor-label frequency CTE, one per-node argmax (count desc, label
+    asc — deterministic), one carry-forward for isolated nodes. Same
+    LSH-confirmed edge set as PageRank."""
+    from .similarity import _cos_sql, lsh_tb_cte_sql
+
+    parts = [
+        f"""
+    WITH {lsh_tb_cte_sql()},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+             a.embedding AS ea, b.embedding AS eb
+      FROM tb a JOIN tb b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id < a.vec_id
+    ),
+    pairs AS (
+      SELECT va, vb FROM cand WHERE round({_cos_sql('ea', 'eb')} + 1e-9, 6) > {_COS_DEDUP_TH}
+    ),
+    edges AS (
+      SELECT va AS s, vb AS d FROM pairs
+      UNION ALL
+      SELECT vb AS s, va AS d FROM pairs
+    ),
+    l0 AS (SELECT vec_id, vec_id AS label FROM embeddings)"""
+    ]
+    for i in range(1, _LPA_ITERS + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+      SELECT e.d AS vec_id, l.label, count(*) AS cnt
+      FROM edges e JOIN l{i-1} l ON e.s = l.vec_id
+      GROUP BY 1, 2
+    ),
+    m{i} AS (
+      SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    ),
+    l{i} AS (
+      SELECT p.vec_id, coalesce(m.label, p.label) AS label
+      FROM l{i-1} p LEFT JOIN m{i} m ON p.vec_id = m.vec_id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT vec_id, CAST(label AS BIGINT) AS community_id
+    FROM l{_LPA_ITERS}
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation over the
+    confirmed near-dup graph ({_LPA_ITERS} fixed iterations): every node
+    starts in its own community and repeatedly adopts the most frequent
+    label among its neighbors, ties broken toward the smallest label so the
+    update is fully deterministic (async/random-order LPA is the classic
+    nondeterminism trap — fixed-iteration synchronous updates sidestep it
+    and make the run exactly reproducible AND oracle-able).
+
+    100 TB shape: per iteration one shuffle keyed by destination vertex
+    (the neighbor-label count) + one window argmax partitioned by vertex —
+    both partition by high-cardinality vec_id; ``localCheckpoint`` bounds
+    lineage per round exactly as in connected components. LPA's cost is
+    O(edges) per iteration with no global state, which is why it's the
+    standard billion-node community algorithm (GraphX/GraphFrames ship the
+    same shape)."""
+    from pyspark.sql import Window as W
+
+    e = T(spark, sf_dir, "embeddings")
+    pairs = _confirmed_cosine_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("va").alias("s"), F.col("vb").alias("d"))
+        .unionByName(pairs.select(F.col("vb").alias("s"), F.col("va").alias("d")))
+        .localCheckpoint()
+    )
+    labels = e.select("vec_id", F.col("vec_id").alias("label"))
+    for _ in range(_LPA_ITERS):
+        counts = (
+            edges.join(labels, edges["s"] == labels["vec_id"])
+            .groupBy(F.col("d").alias("nid"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = W.partitionBy("nid").orderBy(F.desc("cnt"), "label")
+        mode = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("nid", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(mode, labels["vec_id"] == mode["nid"], "left")
+            .select(
+                "vec_id", F.coalesce("new_label", "label").alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        "vec_id", F.col("label").cast("bigint").alias("community_id")
+    )
+
+
+graph_label_propagation.__doc__ = graph_label_propagation.__doc__.replace(
+    "{_LPA_ITERS}", str(_LPA_ITERS)
+)
+
+
 # ---- 9. cluster-size report over the CC dedup ---------------------------
 
 
