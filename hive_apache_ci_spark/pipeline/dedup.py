@@ -277,6 +277,102 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+# 0.2 keeps the check non-vacuous at every test SF (max observed pairwise
+# containment after the df-cut is ~0.45 at sf0.01); the cut compares
+# c/na — a ratio of two exact integers — so both engines produce the
+# bit-identical double and the predicate cannot flip across engines.
+_CONTAIN_TH = 0.2
+
+_CONTAIN_ORACLE = f"""
+    WITH sh0 AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                              i -> concat(a[i], ' ', a[i+1])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+            FROM documents WHERE doc_id < 120)
+      ),
+    hot AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING count(*) > {_JACCARD_MAX_DF}
+    ),
+    sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_a, doc_b, c, sa.n AS na, sb.n AS nb
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a AS doc_sub, doc_b AS doc_sup,
+           round(c * 1.0 / na, 6) AS containment
+    FROM scored WHERE c * 1.0 / na >= {_CONTAIN_TH}
+    UNION ALL
+    SELECT doc_b AS doc_sub, doc_a AS doc_sup,
+           round(c * 1.0 / nb, 6) AS containment
+    FROM scored WHERE c * 1.0 / nb >= {_CONTAIN_TH}
+"""
+
+
+@query("dedup_containment", oracle=_CONTAIN_ORACLE)
+def dedup_containment(spark, sf_dir):
+    """Shingle-containment dedup: directed containment
+    C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ {TH} flags doc A
+    as (near-)subsumed by doc B — the asymmetric complement of Jaccard that
+    catches a short doc quoted whole inside a long one, which symmetric
+    Jaccard misses because the union is dominated by the long doc
+    (Broder's containment measure). Same shared-shingle join + >10%-df hot
+    cut as ``dedup_ngram_jaccard``: one intersection count per unordered
+    pair, then BOTH directions are scored from that single count (no
+    second pairwise join)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sh0 = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _JACCARD_MAX_DF)
+        .select("shingle")
+    )
+    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        common.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "c",
+            F.col("sa.n").alias("na"), F.col("sb.n").alias("nb"),
+        )
+    )
+    fwd = scored.where(F.col("c") * 1.0 / F.col("na") >= _CONTAIN_TH).select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_sup"),
+        F.round(F.col("c") * 1.0 / F.col("na"), 6).alias("containment"),
+    )
+    rev = scored.where(F.col("c") * 1.0 / F.col("nb") >= _CONTAIN_TH).select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_sup"),
+        F.round(F.col("c") * 1.0 / F.col("nb"), 6).alias("containment"),
+    )
+    return fwd.unionAll(rev)
+
+
+dedup_containment.__doc__ = dedup_containment.__doc__.replace("{TH}", str(_CONTAIN_TH))
+
+
 _SIMHASH_BITS = 16
 
 
