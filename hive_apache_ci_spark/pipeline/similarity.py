@@ -850,3 +850,170 @@ def embedding_scalar_quantize(spark, sf_dir):
             F.array_max("codes").cast("int").alias("code_max"),
         )
     )
+
+
+# ---- Lloyd k-means (fixed-iteration, fully oracled) ----------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations: per round one argmin-assignment CTE
+    (squared-L2 rounded to 9dp, centroid-id tie-break) and one centroid
+    update whose per-dimension means are rounded to 6dp — rounding the
+    shared state each round is what keeps both engines' trajectories
+    bit-identical despite unordered float summation (same discipline as
+    the PageRank/LPA oracles)."""
+    parts = [
+        f"""
+    WITH vv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    dd AS (
+      SELECT vec_id, u.pos AS pos, u.val AS val
+      FROM (
+        SELECT vec_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {{'pos': i, 'val': CAST(embedding[i] AS DOUBLE)}})) AS u
+        FROM embeddings
+      )
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, emb AS cvec FROM vv ORDER BY vec_id LIMIT {_KM_K}
+    )"""
+    ]
+    d2 = (
+        "round(list_sum(list_transform(list_zip(v.emb, c.cvec), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 9)"
+    )
+    for i in range(1, _KM_ITERS + 1):
+        parts.append(
+            f""",
+    a{i} AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT v.vec_id, c.cid, {d2} AS d2,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM vv v CROSS JOIN c{i-1} c
+      ) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT p.cid, coalesce(m.cvec, p.cvec) AS cvec
+      FROM c{i-1} p LEFT JOIN (
+        SELECT cid, list(c ORDER BY pos) AS cvec FROM (
+          SELECT a.cid, d.pos, round(avg(d.val) + 1e-12, 6) AS c
+          FROM a{i} a JOIN dd d USING (vec_id)
+          GROUP BY a.cid, d.pos
+        ) GROUP BY cid
+      ) m ON p.cid = m.cid
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT c.cid,
+           CAST(coalesce(s.n, 0) AS BIGINT) AS n_members,
+           round(coalesce(s.inertia, 0.0) + 1e-9, 4) AS inertia,
+           round(list_sum(list_transform(c.cvec, x -> x * x)) + 1e-9, 6)
+               AS sq_norm
+    FROM c{_KM_ITERS} c LEFT JOIN (
+      SELECT cid, count(*) AS n, sum(d2) AS inertia
+      FROM a{_KM_ITERS} GROUP BY cid
+    ) s ON c.cid = s.cid
+    """
+    )
+    return "".join(parts)
+
+
+@query("kmeans_lloyd", oracle=_kmeans_oracle())
+def kmeans_lloyd(spark, sf_dir):
+    """Distributed Lloyd k-means over the embedding corpus: k={K} seeds
+    (the k smallest vec_ids — deterministic, no RNG state), {I} fixed
+    iterations of assign (squared-L2 argmin, centroid-id tie-break) +
+    update (per-dimension mean). Per-round centroid means are rounded to
+    6dp and distances to 9dp BEFORE the argmin on both engines, pinning
+    the whole trajectory bit-identically — which is what lets an
+    inherently iterative ML algorithm carry a full value-hash oracle.
+
+    100 TB shape: the k×d centroid table is broadcast every round (k·d
+    doubles — KBs); assignment is map-side (no shuffle of the corpus);
+    the update is ONE groupBy(cid, dim) shuffle of (corpus × d) narrow
+    rows. Lineage is cut per round with localCheckpoint. This is exactly
+    MLlib KMeans' dataflow, re-expressed in DataFrame ops so the
+    trajectory is auditable and oracle-able."""
+    e = T(spark, sf_dir, "embeddings")
+    vv = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    dd = vv.select("vec_id", F.posexplode("emb").alias("pos0", "val")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "val"
+    )
+    cent = (
+        vv.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cvec"))
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("emb", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    from pyspark.sql import Window as W
+
+    assign = None
+    for _ in range(_KM_ITERS):
+        scored = vv.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid", d2.alias("d2")
+        )
+        w = W.partitionBy("vec_id").orderBy("d2", "cid")
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid", "d2")
+            .localCheckpoint()
+        )
+        upd = (
+            assign.join(dd, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val") + F.lit(1e-12), 6).alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s.getField("c"),
+                ).alias("new_cvec")
+            )
+        )
+        cent = (
+            cent.join(upd, "cid", "left")
+            .select("cid", F.coalesce("new_cvec", "cvec").alias("cvec"))
+            .localCheckpoint()
+        )
+    stats = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("d2").alias("inertia")
+    )
+    return cent.join(stats, "cid", "left").select(
+        "cid",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_members"),
+        F.round(F.coalesce("inertia", F.lit(0.0)) + F.lit(1e-9), 4).alias("inertia"),
+        F.round(
+            F.aggregate(
+                F.transform("cvec", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("sq_norm"),
+    )
+
+
+kmeans_lloyd.__doc__ = kmeans_lloyd.__doc__.replace("{K}", str(_KM_K)).replace(
+    "{I}", str(_KM_ITERS)
+)
