@@ -547,3 +547,51 @@ def _build_sliding_counts(src, spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@query(
+    "stream_hourly_distinct_users",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_start,
+             user_id
+      FROM events
+    ),
+    mx AS (SELECT max(epoch(ts)) AS m FROM events)
+    SELECT bucket_start, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM b GROUP BY 1
+    HAVING bucket_start + 3600 < (SELECT m - 600 FROM mx)
+    """,
+)
+def stream_hourly_distinct_users(spark, sf_dir):
+    """Streaming exact distinct users per hour via CHAINED stateful
+    aggregations (Spark 3.5+/4 multiple-stateful-operator support): first
+    a (window, user_id) keyed aggregate dedups users within the hour, then
+    a second window aggregate counts the surviving keys — the documented
+    streaming form of COUNT(DISTINCT), which a single streaming agg cannot
+    express. Chained stateful ops force APPEND mode, so a window emits
+    only once the 10-minute watermark passes its end; the oracle keeps
+    exactly the hour buckets whose end is strictly before the final
+    watermark (max event time − 600 s) — deterministic under AvailableNow.
+    The unemitted trailing window is withheld-not-lost: a restarted run
+    with later data emits it (restart/resume equivalence test covers the
+    checkpoint path)."""
+    return _run_registered("stream_hourly_distinct_users", spark, sf_dir)
+
+
+@_stream_job("stream_hourly_distinct_users", "append", acc="union")
+def _build_hourly_distinct_users(src, spark, sf_dir):
+    per_user = (
+        src()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        per_user.groupBy(F.window(F.col("w"), "1 hour").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("distinct_users"))
+        .select(
+            F.col("w2.start").cast("long").alias("bucket_start"),
+            "distinct_users",
+        )
+    )
