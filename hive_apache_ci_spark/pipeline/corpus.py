@@ -626,3 +626,115 @@ def sample_weighted_hash(spark, sf_dir):
     return d.filter(u < keep_p).select(
         "doc_id", "lang", F.round(keep_p, 6).alias("keep_p")
     )
+
+
+# ---- CCNet-style repeated-segment removal --------------------------------
+
+_SEG_LEN = 4  # tokens per non-overlapping segment
+_SEG_DUP_MIN = 3  # segments occurring >= this many times corpus-wide are cut
+
+_SEG_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a FROM documents
+),
+segs AS (
+  SELECT doc_id, u AS seg_idx,
+         array_to_string(
+           list_slice(a, u * {_SEG_LEN} + 1,
+                      least((u + 1) * {_SEG_LEN}, len(a))), ' ') AS seg
+  FROM (SELECT doc_id, a,
+               unnest(range(0, CAST(ceil(len(a) / {_SEG_LEN}.0) AS INT))) AS u
+        FROM toks)
+),
+dup AS (
+  SELECT seg FROM segs GROUP BY seg HAVING count(*) >= {_SEG_DUP_MIN}
+),
+kept AS (
+  SELECT s.doc_id, s.seg_idx, s.seg
+  FROM segs s ANTI JOIN dup d ON s.seg = d.seg
+),
+perdoc AS (
+  SELECT doc_id,
+         count(*) AS n_kept,
+         coalesce(string_agg(seg, ' ' ORDER BY seg_idx), '') AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(ceil(len(t.a) / {_SEG_LEN}.0) AS INT) AS n_segments,
+       CAST(CAST(ceil(len(t.a) / {_SEG_LEN}.0) AS INT)
+            - coalesce(p.n_kept, 0) AS INT) AS n_dropped,
+       md5(coalesce(p.kept_text, '')) AS kept_hash
+FROM toks t LEFT JOIN perdoc p ON t.doc_id = p.doc_id
+"""
+
+
+@query("dedup_repeated_segments", oracle=_SEG_DEDUP_SQL)
+def dedup_repeated_segments(spark, sf_dir):
+    """CCNet-style repeated-segment removal: cut every non-overlapping
+    {S}-token segment that occurs >= {M} times corpus-wide (boilerplate,
+    headers, license blurbs), then reassemble each document from its
+    surviving segments in order. Per doc: segment count, segments dropped,
+    and the md5 of the reassembled text (so the oracle hash-checks the
+    actual surviving CONTENT, not just counts).
+
+    100 TB shape: one explode to (doc, seg_idx, segment); the duplicate
+    table is `groupBy(segment).count() >= {M}` — shuffle keyed on segment
+    text, map-side partial counts do the heavy lifting since duplicate
+    segments collapse early; the cut is a shuffle anti-join on the same
+    key (exchange reuse), never a broadcast of the (potentially huge)
+    segment table; reassembly is one groupBy(doc_id) with an in-group
+    sort by seg_idx. No pairwise doc comparison anywhere."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("a")
+    )
+    n_segs = F.ceil(F.size("a") / float(_SEG_LEN)).cast("int")
+    segs = spread(
+        toks.select(
+            "doc_id",
+            n_segs.alias("n_segments"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda u: F.array_join(
+                        F.slice("a", u * _SEG_LEN + 1, _SEG_LEN), " "
+                    ),
+                )
+            ).alias("seg_idx", "seg"),
+        ),
+        "seg",
+    )
+    dup = (
+        segs.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _SEG_DUP_MIN)
+        .select("seg")
+    )
+    kept = segs.join(dup, "seg", "left_anti")
+    perdoc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s.getField("seg"),
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        toks.select("doc_id", n_segs.alias("n_segments"))
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            (F.col("n_segments") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_dropped"),
+            F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_hash"),
+        )
+    )
+
+
+dedup_repeated_segments.__doc__ = dedup_repeated_segments.__doc__.replace(
+    "{S}", str(_SEG_LEN)
+).replace("{M}", str(_SEG_DUP_MIN))
