@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..helpers import T
+from ..helpers import T, spread
 from ..registry import query
 
 _TOPK = 100
@@ -429,3 +429,113 @@ def bpe_learn_merges(spark, sf_dir):
 
 
 bpe_learn_merges.__doc__ = bpe_learn_merges.__doc__.replace("{K}", str(_BPE_MERGES))
+
+
+# ---- DSIR-style hashed-feature importance weights ------------------------
+
+_DSIR_B = 512  # hashed feature-space size
+_DSIR_TGT = "en"  # target-domain proxy: English docs
+
+_DSIR_BUCKET_SQL = (
+    f"CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {_DSIR_B}"
+)
+
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOK_SQL}) AS t FROM documents
+),
+occ AS (
+  SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b FROM tok WHERE t <> ''
+),
+src AS (SELECT b, count(*) AS sc FROM occ GROUP BY b),
+tgt AS (SELECT b, count(*) AS tc FROM occ WHERE lang = '{_DSIR_TGT}' GROUP BY b),
+tot AS (
+  SELECT CAST((SELECT count(*) FROM occ) AS DOUBLE) AS st,
+         CAST((SELECT count(*) FROM occ WHERE lang = '{_DSIR_TGT}') AS DOUBLE)
+             AS tt
+),
+ratio AS (
+  SELECT s.b,
+         ln((coalesce(t.tc, 0) + 1.0) / (tot.tt + {_DSIR_B}))
+         - ln((s.sc + 1.0) / (tot.st + {_DSIR_B})) AS lr
+  FROM src s LEFT JOIN tgt t ON s.b = t.b CROSS JOIN tot
+)
+SELECT o.doc_id,
+       any_value(o.lang) AS lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(r.lr) / count(*) + 1e-12, 6) AS logw
+FROM occ o JOIN ratio r ON o.b = r.b
+GROUP BY o.doc_id
+"""
+
+
+@query("dsir_importance_weights", oracle=_DSIR_SQL)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023): per-document importance
+    weight = mean over tokens of ln(p_target/p_source) under add-1-smoothed
+    hashed-unigram LMs (feature space = {B} md5 buckets; target domain =
+    lang='{TGT}' docs, source = the whole corpus). Docs whose token
+    distribution resembles the target get logw > 0 and would be upsampled
+    by an importance resampler (sample_weighted_hash is the mechanism).
+
+    100 TB shape: the feature tables collapse to {B} rows each (broadcast,
+    regardless of corpus size) — that collapse is the whole point of
+    DSIR's hashing trick; per-doc scoring is one groupBy(doc_id, bucket)
+    count plus a broadcast join, so the only corpus-sized shuffle is keyed
+    on (doc, bucket). No vocab-sized state anywhere."""
+    d = spread(T(spark, sf_dir, "documents"), "doc_id")
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint")
+        % _DSIR_B
+    )
+    occ = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .select("doc_id", "lang", bucket.alias("b"))
+    )
+    docb = occ.groupBy("doc_id", "b").agg(
+        F.any_value("lang").alias("lang"), F.count(F.lit(1)).alias("c")
+    )
+    src = docb.groupBy("b").agg(F.sum("c").alias("sc"))
+    tgt = (
+        docb.filter(F.col("lang") == _DSIR_TGT)
+        .groupBy("b")
+        .agg(F.sum("c").alias("tc"))
+    )
+    tot = docb.agg(
+        F.sum("c").cast("double").alias("st"),
+        F.sum(F.when(F.col("lang") == _DSIR_TGT, F.col("c")).otherwise(0))
+        .cast("double")
+        .alias("tt"),
+    )
+    ratio = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("tc", F.lit(0)) + 1.0) / (F.col("tt") + _DSIR_B))
+                - F.log((F.col("sc") + 1.0) / (F.col("st") + _DSIR_B))
+            ).alias("lr"),
+        )
+    )
+    return (
+        docb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.col("lr")) / F.sum("c") + 1e-12, 6
+            ).alias("logw"),
+        )
+    )
+
+
+dsir_importance_weights.__doc__ = dsir_importance_weights.__doc__.replace(
+    "{B}", str(_DSIR_B)
+).replace("{TGT}", _DSIR_TGT)
