@@ -162,3 +162,55 @@ def text_fingerprint(spark, sf_dir):
         norm.alias("fp"),
         F.conv(F.substring(norm, 1, 8), 16, 10).cast("bigint").alias("fp_bucket"),
     )
+
+
+@query(
+    "text_token_entropy",
+    oracle="""
+    WITH cnt AS (
+      SELECT doc_id, t, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+            FROM documents)
+      WHERE t <> ''
+      GROUP BY doc_id, t
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)   AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-12, 6) AS entropy,
+           CASE WHEN count(*) > 1
+                THEN round((ln(sum(c)) - sum(c * ln(c)) / sum(c))
+                           / ln(count(*)) + 1e-12, 6)
+                ELSE 0.0 END AS norm_entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def text_token_entropy(spark, sf_dir):
+    """Per-document Shannon token entropy H = ln n − Σ c·ln c / n (nats)
+    plus the entropy normalized by its per-doc maximum ln(n_types) — the
+    repetition/diversity quality signal (near-0 ⇒ one token repeated,
+    near-1 ⇒ uniform usage). Computed from integer type counts so both
+    engines evaluate identical ln() terms; 6-dp rounding absorbs summation
+    order. One tokenize explode + one (doc, type) count + one per-doc agg —
+    all narrow-keyed shuffles, no global state."""
+    d = T(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    h = F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.round(h + F.lit(1e-12), 6).alias("entropy"),
+        F.when(
+            F.count(F.lit(1)) > 1,
+            F.round(h / F.log(F.count(F.lit(1))) + F.lit(1e-12), 6),
+        )
+        .otherwise(0.0)
+        .alias("norm_entropy"),
+    )
