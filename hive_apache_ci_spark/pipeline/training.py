@@ -1,0 +1,196 @@
+"""Distributed model-training loops (SURVEY.md §2.11 extension).
+
+The iterative-ML counterpart to pipeline/similarity.py's k-means: training
+runs expressed as fixed-iteration DataFrame dataflows whose per-round state
+is quantized (9-dp rounding) so the whole trajectory is bit-reproducible
+across engines — which is what lets a gradient-descent training loop carry
+a full value-hash DuckDB oracle (same discipline as the PageRank / LPA /
+k-means / BPE oracles).
+
+``train_logreg_quality`` — batch-gradient-descent logistic regression that
+predicts lang='en' from surface text statistics: the distributed form of
+the fastText-style quality/language classifier step in a pretraining data
+pipeline. 100 TB shape: the model is a handful of doubles broadcast to the
+data every round; each round is ONE full-corpus aggregate (map-side partial
+sums → 4 gradient components), so the per-round cost is a single scan with
+no corpus-sized shuffle at all — exactly how MLlib's LogisticRegression
+aggregates gradients, re-expressed auditably.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..helpers import T
+from ..registry import query
+from .text_analysis import STOPWORDS, _STOP_SQL
+
+_LR_ITERS = 4
+_LR_RATE = 1.0
+_FEATS = ["x0", "x1", "x2", "x3"]
+
+
+def _feat_sql() -> str:
+    """DuckDB feature CTE — 6-dp-rounded features, y = (lang='en')."""
+    return f"""
+    feat AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             1.0 AS x0,
+             round(least(len(a) / 100.0, 2.0), 6) AS x1,
+             round(len(list_distinct(a)) * 1.0 / len(a), 6) AS x2,
+             round(len(list_filter(a, t -> t IN {_STOP_SQL})) * 1.0
+                   / len(a), 6) AS x3
+      FROM (SELECT doc_id, lang,
+                   string_split_regex(lower(text), '\\s+') AS a
+            FROM documents)
+    )"""
+
+
+def _z_sql(w: str) -> str:
+    """The margin w·x with a FIXED term order + 9-dp quantization — both
+    engines evaluate the identical decimal before the (libm-dependent)
+    exp(), so 1-ulp sigmoid noise never compounds across rounds."""
+    return (
+        f"round({w}.w0 * f.x0 + {w}.w1 * f.x1 + {w}.w2 * f.x2 "
+        f"+ {w}.w3 * f.x3, 9)"
+    )
+
+
+def _logreg_oracle() -> str:
+    parts = [
+        f"WITH {_feat_sql()},",
+        "    w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
+    ]
+    for i in range(1, _LR_ITERS + 1):
+        z = _z_sql("w")
+        sig = f"1.0 / (1.0 + exp(-({z})))"
+        comps = ", ".join(
+            f"round(any_value(w.w{j}) + {_LR_RATE} * avg((f.y - {sig}) * f.x{j})"
+            f" + 1e-12, 9) AS w{j}"
+            for j in range(4)
+        )
+        parts.append(
+            f",\n    w{i} AS (SELECT {comps} FROM feat f CROSS JOIN w{i-1} w)"
+        )
+    zf = _z_sql("w")
+    pf = f"1.0 / (1.0 + exp(-({zf})))"
+    parts.append(
+        f"""
+    , metrics AS (
+      SELECT round(avg(-(f.y * ln({pf} + 1e-12)
+                         + (1.0 - f.y) * ln(1.0 - {pf} + 1e-12)))
+                   + 1e-12, 6) AS log_loss,
+             round(avg(CASE WHEN (round({pf}, 6) >= 0.5) = (f.y = 1.0)
+                            THEN 1.0 ELSE 0.0 END) + 1e-12, 6) AS accuracy
+      FROM feat f CROSS JOIN w{_LR_ITERS} w
+    )
+    SELECT u.feature, u.weight, m.log_loss, m.accuracy
+    FROM (
+      SELECT 'x0' AS feature, w0 AS weight FROM w{_LR_ITERS}
+      UNION ALL SELECT 'x1', w1 FROM w{_LR_ITERS}
+      UNION ALL SELECT 'x2', w2 FROM w{_LR_ITERS}
+      UNION ALL SELECT 'x3', w3 FROM w{_LR_ITERS}
+    ) u CROSS JOIN metrics m
+    """
+    )
+    return "".join(parts)
+
+
+@query("train_logreg_quality", oracle=_logreg_oracle())
+def train_logreg_quality(spark, sf_dir):
+    """Batch-GD logistic regression (lr={LR}, {I} fixed full-batch rounds,
+    w init 0) predicting lang='en' from per-doc surface features (capped
+    length, type-token ratio, stopword fraction + bias) — the quality /
+    language classifier training step of an LLM data pipeline, expressed
+    as a deterministic distributed dataflow.
+
+    Determinism contract (what makes a GD loop hash-oracle-able): features
+    rounded to 6dp at construction; the margin w·x evaluated in a fixed
+    term order and quantized to 9dp BEFORE the sigmoid (so libm exp()
+    differences see identical inputs and contribute ≤1 ulp); per-round
+    weights rounded to 9dp after the gradient step. DuckDB unrolls the
+    same {I} rounds.
+
+    100 TB shape: the model state is 4 doubles carried as a 1-row
+    broadcast DataFrame; each round is one corpus scan aggregated into 4
+    partial-summed gradient components (no shuffle wider than the 4-value
+    agg), lineage cut per round with localCheckpoint. Returns the weight
+    vector plus final log-loss/accuracy."""
+    d = T(spark, sf_dir, "documents")
+    a = F.split(F.lower("text"), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    feat = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.round(F.least(F.size(a) / 100.0, F.lit(2.0)), 6).alias("x1"),
+        F.round(F.size(F.array_distinct(a)) * 1.0 / F.size(a), 6).alias("x2"),
+        F.round(
+            F.size(F.filter(a, lambda t: F.array_contains(stop_arr, t)))
+            * 1.0
+            / F.size(a),
+            6,
+        ).alias("x3"),
+    ).localCheckpoint()
+
+    w = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0)], ["w0", "w1", "w2", "w3"]
+    )
+    z = F.round(
+        F.col("w0") * F.col("x0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3"),
+        9,
+    )
+    for _ in range(_LR_ITERS):
+        joined = feat.crossJoin(F.broadcast(w))
+        sig = 1.0 / (1.0 + F.exp(-z))
+        w = joined.agg(
+            *[
+                F.round(
+                    F.any_value(f"w{j}")
+                    + _LR_RATE * F.avg((F.col("y") - sig) * F.col(f"x{j}"))
+                    + F.lit(1e-12),
+                    9,
+                ).alias(f"w{j}")
+                for j in range(4)
+            ]
+        ).localCheckpoint()
+
+    scored = feat.crossJoin(F.broadcast(w))
+    p = 1.0 / (1.0 + F.exp(-z))
+    metrics = scored.agg(
+        F.round(
+            F.avg(
+                -(
+                    F.col("y") * F.log(p + 1e-12)
+                    + (1.0 - F.col("y")) * F.log(1.0 - p + 1e-12)
+                )
+            )
+            + F.lit(1e-12),
+            6,
+        ).alias("log_loss"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.round(p, 6) >= 0.5) == (F.col("y") == 1.0), 1.0
+                ).otherwise(0.0)
+            )
+            + F.lit(1e-12),
+            6,
+        ).alias("accuracy"),
+    )
+    weights = None
+    for j, name in enumerate(_FEATS):
+        row = w.select(
+            F.lit(name).alias("feature"), F.col(f"w{j}").alias("weight")
+        )
+        weights = row if weights is None else weights.unionAll(row)
+    return weights.crossJoin(F.broadcast(metrics))
+
+
+train_logreg_quality.__doc__ = train_logreg_quality.__doc__.replace(
+    "{LR}", str(_LR_RATE)
+).replace("{I}", str(_LR_ITERS))

@@ -116,6 +116,7 @@ def _ensure_loaded() -> None:
         retrieval,
         similarity,
         text_analysis,
+        training,
     )
 
     _LOADED = True
