@@ -1017,3 +1017,176 @@ def kmeans_lloyd(spark, sf_dir):
 kmeans_lloyd.__doc__ = kmeans_lloyd.__doc__.replace("{K}", str(_KM_K)).replace(
     "{I}", str(_KM_ITERS)
 )
+
+
+# ---- Product quantization (per-subspace Lloyd codebooks) -----------------
+
+_PQ_M = 4        # subspaces
+_PQ_SUB = 16     # dims per subspace (64-dim embeddings)
+_PQ_K = 4        # codes per subspace codebook
+_PQ_ITERS = 2
+
+
+def _pq_oracle() -> str:
+    """Unrolled per-subspace Lloyd rounds — the k-means oracle with a
+    subspace key `s` carried through every CTE, so all {M} codebooks train
+    in the same unrolled SQL (per-round 6dp centroid / 9dp distance
+    quantization pins the trajectory, as in _kmeans_oracle)."""
+    parts = [
+        f"""
+    WITH vv AS (
+      SELECT e.vec_id, sp.s,
+             list_transform(list_slice(e.embedding,
+                                       sp.s * {_PQ_SUB} + 1,
+                                       sp.s * {_PQ_SUB} + {_PQ_SUB}),
+                            x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) sp
+    ),
+    dd AS (
+      SELECT vec_id, s, u.pos AS pos, u.val AS val
+      FROM (
+        SELECT vec_id, s,
+               unnest(list_transform(range(1, len(emb) + 1),
+                      i -> {{'pos': i, 'val': emb[i]}})) AS u
+        FROM vv
+      )
+    ),
+    c0 AS (
+      SELECT s, vec_id AS cid, emb AS cvec FROM vv
+      WHERE vec_id IN (SELECT vec_id FROM embeddings
+                       ORDER BY vec_id LIMIT {_PQ_K})
+    )"""
+    ]
+    d2 = (
+        "round(list_sum(list_transform(list_zip(v.emb, c.cvec), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 9)"
+    )
+    for i in range(1, _PQ_ITERS + 1):
+        parts.append(
+            f""",
+    a{i} AS (
+      SELECT vec_id, s, cid, d2 FROM (
+        SELECT v.vec_id, v.s, c.cid, {d2} AS d2,
+               row_number() OVER (PARTITION BY v.vec_id, v.s
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM vv v JOIN c{i-1} c ON v.s = c.s
+      ) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT p.s, p.cid, coalesce(m.cvec, p.cvec) AS cvec
+      FROM c{i-1} p LEFT JOIN (
+        SELECT s, cid, list(c ORDER BY pos) AS cvec FROM (
+          SELECT a.s, a.cid, d.pos, round(avg(d.val) + 1e-12, 6) AS c
+          FROM a{i} a JOIN dd d ON a.vec_id = d.vec_id AND a.s = d.s
+          GROUP BY a.s, a.cid, d.pos
+        ) GROUP BY s, cid
+      ) m ON p.s = m.s AND p.cid = m.cid
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT vec_id,
+           string_agg(CAST(cid AS VARCHAR), '|' ORDER BY s) AS codes,
+           round(sum(d2) + 1e-9, 6) AS quant_err
+    FROM a{_PQ_ITERS}
+    GROUP BY vec_id
+    """
+    )
+    return "".join(parts)
+
+
+@query("embedding_pq_codes", oracle=_pq_oracle())
+def embedding_pq_codes(spark, sf_dir):
+    """Product quantization: split each embedding into {M} subspaces of
+    {SUB} dims, train a {K}-entry Lloyd codebook per subspace ({I} fixed
+    rounds, seeds = the {K} smallest vec_ids' sub-vectors), and emit each
+    vector's code word ('c0|c1|...') plus total squared reconstruction
+    error. PQ compresses {M}x{SUB} floats to {M} small ints — the memory
+    side of IVF-PQ ANN (ivf_* ops are the routing side).
+
+    All {M} codebooks train in ONE dataflow: subspace id `s` rides along
+    as a grouping key, so per round there is one broadcast of the (s, cid)
+    centroid table ({M}·{K} rows), one map-side argmin, and one
+    groupBy(s, cid, pos) shuffle of narrow rows — identical topology to
+    kmeans_lloyd, M codebooks for the price of one. Per-round 6dp/9dp
+    quantization makes the full trajectory (and thus the codes) carry a
+    value-hash oracle."""
+    from pyspark.sql import Window as W
+
+    e = T(spark, sf_dir, "embeddings")
+    sub = spark.range(_PQ_M).select(F.col("id").cast("int").alias("s"))
+    vv = (
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb64"),
+        )
+        .crossJoin(F.broadcast(sub))
+        .select(
+            "vec_id",
+            "s",
+            F.slice("emb64", F.col("s") * _PQ_SUB + 1, _PQ_SUB).alias("emb"),
+        )
+    )
+    dd = vv.select(
+        "vec_id", "s", F.posexplode("emb").alias("pos0", "val")
+    ).select("vec_id", "s", (F.col("pos0") + 1).alias("pos"), "val")
+    seeds = e.orderBy("vec_id").limit(_PQ_K).select("vec_id")
+    cent = vv.join(F.broadcast(seeds), "vec_id").select(
+        "s", F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("emb", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    assign = None
+    for _ in range(_PQ_ITERS):
+        scored = vv.join(F.broadcast(cent), "s").select(
+            "vec_id", "s", "cid", d2.alias("d2")
+        )
+        w = W.partitionBy("vec_id", "s").orderBy("d2", "cid")
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "s", "cid", "d2")
+            .localCheckpoint()
+        )
+        upd = (
+            assign.join(dd, ["vec_id", "s"])
+            .groupBy("s", "cid", "pos")
+            .agg(F.round(F.avg("val") + F.lit(1e-12), 6).alias("c"))
+            .groupBy("s", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda st: st.getField("c"),
+                ).alias("new_cvec")
+            )
+        )
+        cent = (
+            cent.join(upd, ["s", "cid"], "left")
+            .select("s", "cid", F.coalesce("new_cvec", "cvec").alias("cvec"))
+            .localCheckpoint()
+        )
+    return assign.groupBy("vec_id").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "cid"))),
+                lambda st: st.getField("cid").cast("string"),
+            ),
+        ).alias("codes"),
+        F.round(F.sum("d2") + F.lit(1e-9), 6).alias("quant_err"),
+    )
+
+
+embedding_pq_codes.__doc__ = (
+    embedding_pq_codes.__doc__.replace("{M}", str(_PQ_M))
+    .replace("{SUB}", str(_PQ_SUB))
+    .replace("{K}", str(_PQ_K))
+    .replace("{I}", str(_PQ_ITERS))
+)
