@@ -1152,3 +1152,91 @@ def graph_triangle_count(spark, sf_dir):
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+# ---- structural (SCAN-style) edge similarity ----------------------------
+
+
+def _node_jaccard_oracle() -> str:
+    from .similarity import _cos_sql, lsh_tb_cte_sql
+    return f"""
+    WITH {lsh_tb_cte_sql()},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+             a.embedding AS ea, b.embedding AS eb
+      FROM tb a JOIN tb b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id < a.vec_id
+    ),
+    confirmed AS (
+      SELECT va, vb FROM cand
+      WHERE round({_cos_sql('ea', 'eb')} + 1e-9, 6) > {_COS_DEDUP_TH}
+    ),
+    sym AS (
+      SELECT va AS s, vb AS d FROM confirmed
+      UNION ALL SELECT vb, va FROM confirmed
+    ),
+    deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY s),
+    common AS (
+      SELECT c.va, c.vb, count(*) AS cn
+      FROM confirmed c
+      JOIN sym x ON x.s = c.va
+      JOIN sym y ON y.s = c.vb AND y.d = x.d
+      GROUP BY c.va, c.vb
+    )
+    SELECT c.va, c.vb,
+           CAST(da.deg AS BIGINT) AS deg_a,
+           CAST(db.deg AS BIGINT) AS deg_b,
+           CAST(coalesce(m.cn, 0) AS BIGINT) AS common_neighbors,
+           round(coalesce(m.cn, 0) * 1.0
+                 / (da.deg + db.deg - coalesce(m.cn, 0)) + 1e-9, 6)
+               AS jaccard
+    FROM confirmed c
+    JOIN deg da ON da.s = c.va
+    JOIN deg db ON db.s = c.vb
+    LEFT JOIN common m ON m.va = c.va AND m.vb = c.vb
+    """
+
+
+@query("graph_node_jaccard", oracle=_node_jaccard_oracle())
+def graph_node_jaccard(spark, sf_dir):
+    """Structural similarity of each confirmed near-dup edge: Jaccard of
+    the endpoints' (open) neighbor sets — SCAN-style graph clustering's
+    core measure. Low-Jaccard edges are bridges between otherwise separate
+    duplicate clusters (candidates for cutting before transitive-closure
+    dedup over-merges); high-Jaccard edges sit inside dense near-dup
+    communities.
+
+    100 TB shape: common neighbors come from ONE wedge join keyed on the
+    shared neighbor (sym.d) — the same degree-bounded topology as
+    graph_triangle_count, never an all-pairs comparison; degrees are a
+    single groupBy. The edge list is LSH-bucket-generated and
+    localCheckpoint-ed once, then reused by all three joins."""
+    pairs = _confirmed_cosine_pairs(spark, sf_dir).localCheckpoint()
+    sym = pairs.select(F.col("va").alias("s"), F.col("vb").alias("d")).unionAll(
+        pairs.select(F.col("vb").alias("s"), F.col("va").alias("d"))
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    x = sym.select(F.col("s").alias("va"), F.col("d").alias("w"))
+    y = sym.select(F.col("s").alias("vb"), F.col("d").alias("w"))
+    common = (
+        pairs.join(x, "va").join(y, ["vb", "w"])
+        .groupBy("va", "vb")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    da = deg.select(F.col("s").alias("va"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("s").alias("vb"), F.col("deg").alias("deg_b"))
+    cn = F.coalesce("cn", F.lit(0))
+    return (
+        pairs.join(da, "va").join(db, "vb").join(common, ["va", "vb"], "left")
+        .select(
+            "va",
+            "vb",
+            F.col("deg_a").cast("bigint").alias("deg_a"),
+            F.col("deg_b").cast("bigint").alias("deg_b"),
+            cn.cast("bigint").alias("common_neighbors"),
+            F.round(
+                cn * 1.0 / (F.col("deg_a") + F.col("deg_b") - cn) + F.lit(1e-9),
+                6,
+            ).alias("jaccard"),
+        )
+    )
