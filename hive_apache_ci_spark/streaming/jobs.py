@@ -595,3 +595,57 @@ def _build_hourly_distinct_users(src, spark, sf_dir):
             "distinct_users",
         )
     )
+
+
+@query(
+    "stream_topk_trending",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT bucket_start, rk, event_type, n FROM (
+      SELECT bucket_start, event_type, CAST(n AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY bucket_start
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c
+    ) WHERE rk <= 3
+    """,
+)
+def stream_topk_trending(spark, sf_dir):
+    """Streaming 'trending topics': hourly tumbling counts per event_type
+    maintained by the stateful windowed aggregation; the top-3 ranking per
+    closed window runs as a batch post-pass over the materialized sink —
+    the standard topology, because per-group ranking is not an incremental
+    streaming operator but the sink holds only aggregate state (windows ×
+    types, thousands of rows at any corpus scale), so ranking it is O(sink),
+    not O(stream). Complete-mode AvailableNow makes the result equal the
+    batch hourly ranking, which is exactly what the oracle states."""
+    return _run_registered("stream_topk_trending", spark, sf_dir)
+
+
+def _rank_topk_sink(table: DataFrame) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("bucket_start").orderBy(F.desc("n"), F.col("event_type"))
+    return (
+        table.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("bucket_start", "rk", "event_type", "n")
+    )
+
+
+@_stream_job("stream_topk_trending", "complete", post=_rank_topk_sink)
+def _build_topk_trending(src, spark, sf_dir):
+    return (
+        src()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "n",
+        )
+    )
