@@ -1190,3 +1190,192 @@ embedding_pq_codes.__doc__ = (
     .replace("{K}", str(_PQ_K))
     .replace("{I}", str(_PQ_ITERS))
 )
+
+
+# ---- MMR diversified re-ranking ------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_CAND = 20
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR: selection state grows one row per step; every
+    score the argmax ranks on is computed from 6-dp-quantized relevance /
+    pairwise similarities (then 9-dp-quantized), so the greedy trajectory
+    is engine-independent."""
+    cos_qc = _cos_sql("q.qe", "c.embedding")
+    cos_ab = _cos_sql("x.embedding", "y.embedding")
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT qid, cid, rel FROM (
+        SELECT q.qid, c.vec_id AS cid,
+               round({cos_qc} + 1e-9, 6) AS rel,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round({cos_qc} + 1e-9, 6) DESC, c.vec_id) AS rn
+        FROM q JOIN embeddings c ON c.vec_id <> q.qid
+      ) WHERE rn <= {_MMR_CAND}
+    ),
+    sim AS (
+      SELECT a.qid, a.cid AS ca, b.cid AS cb,
+             round({cos_ab} + 1e-9, 6) AS s
+      FROM cand a
+      JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+      JOIN embeddings x ON x.vec_id = a.cid
+      JOIN embeddings y ON y.vec_id = b.cid
+    ),
+    sel1 AS (
+      SELECT qid, cid, rel, 1 AS step FROM (
+        SELECT qid, cid, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, cid) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )"""
+    ]
+    for t in range(2, _MMR_K + 1):
+        parts.append(
+            f""",
+    m{t} AS (
+      SELECT si.qid, si.ca AS cid, max(si.s) AS mx
+      FROM sim si JOIN sel{t-1} s ON si.qid = s.qid AND si.cb = s.cid
+      GROUP BY si.qid, si.ca
+    ),
+    p{t} AS (
+      SELECT c.qid, c.cid, c.rel,
+             row_number() OVER (PARTITION BY c.qid
+               ORDER BY round({_MMR_LAMBDA} * c.rel
+                              - {round(1 - _MMR_LAMBDA, 6)} * m.mx, 9) DESC,
+                        c.cid) AS rn
+      FROM cand c
+      JOIN m{t} m ON m.qid = c.qid AND m.cid = c.cid
+      ANTI JOIN sel{t-1} s ON s.qid = c.qid AND s.cid = c.cid
+    ),
+    sel{t} AS (
+      SELECT qid, cid, rel, {t} AS step FROM p{t} WHERE rn = 1
+      UNION ALL SELECT qid, cid, rel, step FROM sel{t-1}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT qid AS query_id, step AS rank, cid AS neighbor_id, rel
+    FROM sel{_MMR_K}
+    """
+    )
+    return "".join(parts)
+
+
+@query("knn_mmr_rerank", oracle=_mmr_oracle())
+def knn_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    for each query, greedily pick {K} results from its top-{C} cosine
+    candidates maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    selected (λ={L}) — the diversity-aware retrieval pass RAG pipelines
+    run after ANN. Greedy selection is inherently sequential, but only in
+    the {K}-step depth: each step is one (query-keyed) join + anti-join +
+    window argmax over ≤{C} candidates per query, all queries advancing in
+    parallel — so wall-clock is {K} tiny stages regardless of query count.
+    Candidate relevances and the {C}×{C} pairwise sims are computed once,
+    quantized to 6dp (argmax inputs to 9dp), localCheckpoint-ed, and reused
+    every step — which is also what pins the greedy trajectory across
+    engines for the unrolled DuckDB oracle."""
+    from pyspark.sql import Window as W
+
+    e = T(spark, sf_dir, "embeddings").withColumn(
+        "nrm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    rel = F.round(
+        dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+        + F.lit(1e-9),
+        6,
+    )
+    wq = W.partitionBy("qid")
+    cand = (
+        F.broadcast(q)
+        .join(c, F.col("cid") != F.col("qid"))
+        .select("qid", "cid", rel.alias("rel"))
+        .withColumn(
+            "rn", F.row_number().over(wq.orderBy(F.desc("rel"), F.col("cid")))
+        )
+        .filter(F.col("rn") <= _MMR_CAND)
+        .select("qid", "cid", "rel")
+        .localCheckpoint()
+    )
+    ea = e.select(F.col("vec_id").alias("ca"), F.col("embedding").alias("xa"),
+                  F.col("nrm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("cb"), F.col("embedding").alias("xb"),
+                  F.col("nrm").alias("nb"))
+    s = F.round(
+        dot_fold(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb"))
+        + F.lit(1e-9),
+        6,
+    )
+    sim = (
+        cand.select("qid", F.col("cid").alias("ca"))
+        .join(cand.select("qid", F.col("cid").alias("cb")), "qid")
+        .filter(F.col("ca") != F.col("cb"))
+        .join(ea, "ca")
+        .join(eb, "cb")
+        .select("qid", "ca", "cb", s.alias("s"))
+        .localCheckpoint()
+    )
+    sel = (
+        cand.withColumn(
+            "rn", F.row_number().over(wq.orderBy(F.desc("rel"), F.col("cid")))
+        )
+        .filter(F.col("rn") == 1)
+        .select("qid", "cid", "rel", F.lit(1).alias("step"))
+    )
+    for t in range(2, _MMR_K + 1):
+        m = (
+            sim.join(
+                sel.select("qid", F.col("cid").alias("cb")), ["qid", "cb"]
+            )
+            .groupBy("qid", "ca")
+            .agg(F.max("s").alias("mx"))
+            .withColumnRenamed("ca", "cid")
+        )
+        score = F.round(
+            _MMR_LAMBDA * F.col("rel")
+            - round(1 - _MMR_LAMBDA, 6) * F.col("mx"),
+            9,
+        )
+        pick = (
+            cand.join(sel.select("qid", "cid"), ["qid", "cid"], "left_anti")
+            .join(m, ["qid", "cid"])
+            .withColumn(
+                "rn",
+                F.row_number().over(wq.orderBy(score.desc(), F.col("cid"))),
+            )
+            .filter(F.col("rn") == 1)
+            .select("qid", "cid", "rel", F.lit(t).alias("step"))
+        )
+        sel = sel.unionAll(pick).localCheckpoint()
+    return sel.select(
+        F.col("qid").alias("query_id"),
+        F.col("step").alias("rank"),
+        F.col("cid").alias("neighbor_id"),
+        "rel",
+    )
+
+
+knn_mmr_rerank.__doc__ = (
+    knn_mmr_rerank.__doc__.replace("{K}", str(_MMR_K))
+    .replace("{C}", str(_MMR_CAND))
+    .replace("{L}", str(_MMR_LAMBDA))
+)
