@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..helpers import T
+from ..helpers import T, spread
 from ..registry import query
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
@@ -214,3 +214,153 @@ def text_token_entropy(spark, sf_dir):
         .otherwise(0.0)
         .alias("norm_entropy"),
     )
+
+
+# ---- winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003) -------------
+
+_WIN_K = 3  # tokens per k-gram
+_WIN_W = 4  # k-grams per winnowing window
+
+_WINNOW_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(concat(a[i], ' ', a[i+1], ' ', a[i+2])),
+                              1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, a,
+               unnest(range(1, greatest(len(a) - {_WIN_K - 1}, 0) + 1)) AS i
+        FROM toks)
+),
+frames AS (
+  SELECT doc_id, pos AS j,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW)
+             AS mn
+  FROM grams
+  QUALIFY pos >= {_WIN_W}
+),
+sel AS (
+  SELECT DISTINCT f.doc_id, max(g.pos) AS fp_pos, f.mn AS h
+  FROM frames f
+  JOIN grams g ON g.doc_id = f.doc_id
+             AND g.pos BETWEEN f.j - {_WIN_W - 1} AND f.j
+             AND g.h = f.mn
+  GROUP BY f.doc_id, f.j, f.mn
+),
+fp AS (
+  SELECT doc_id, count(*) AS n_fp,
+         md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY fp_pos)) AS digest
+  FROM (SELECT DISTINCT doc_id, fp_pos, h FROM sel)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(len(t.a) - {_WIN_K - 1}, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(fp.n_fp, 0) AS BIGINT) AS n_fingerprints,
+       round(coalesce(fp.n_fp, 0) * 1.0
+             / greatest(len(t.a) - {_WIN_K - 1}, 1) + 1e-9, 6) AS density,
+       coalesce(fp.digest, '') AS fp_digest
+FROM toks t LEFT JOIN fp ON t.doc_id = fp.doc_id
+"""
+
+
+@query("text_winnow_fingerprints", oracle=_WINNOW_SQL)
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    {K}-token k-gram, slide a window of {W} consecutive k-gram hashes, and
+    select each window's minimum (rightmost position on ties) — the
+    guaranteed-coverage local sampling scheme for substring-level dup
+    detection. Emits per doc the fingerprint count, density (theoretical
+    expectation 2/(w+1)), and an order-sensitive digest of the selected
+    hashes, so the oracle pins the exact fingerprint SET, not just counts.
+
+    100 TB shape: everything is per-document — one explode to k-grams, a
+    {W}-row window min on the (doc, pos)-sorted exchange, and a {W}-wide
+    self-join to find the rightmost argmin (bounded blowup, never
+    corpus-pairwise); the final digest is one groupBy(doc_id). Documents
+    with fewer than {W} k-grams emit zero fingerprints by construction."""
+    from pyspark.sql import Window as W
+
+    d = spread(T(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("a")
+    )
+    n_grams = F.greatest(F.size("a") - (_WIN_K - 1), F.lit(0))
+    gram = F.concat_ws(
+        " ", *[F.element_at("a", F.col("i") + k) for k in range(_WIN_K)]
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), n_grams)).alias("i"),
+            "a",
+        )
+        .select(
+            "doc_id",
+            F.col("i").alias("pos"),
+            F.conv(F.substring(F.md5(gram), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    wmin = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), W.currentRow)
+    )
+    frames = (
+        grams.withColumn("mn", F.min("h").over(wmin))
+        .filter(F.col("pos") >= _WIN_W)
+        .select("doc_id", F.col("pos").alias("j"), "mn")
+    )
+    g2 = grams.select(
+        F.col("doc_id").alias("doc_id"), F.col("pos").alias("gpos"),
+        F.col("h").alias("gh"),
+    )
+    sel = (
+        frames.join(
+            g2,
+            (frames["doc_id"] == g2["doc_id"])
+            & (F.col("gpos").between(F.col("j") - (_WIN_W - 1), F.col("j")))
+            & (F.col("gh") == F.col("mn")),
+        )
+        .groupBy(frames["doc_id"].alias("doc_id"), "j", "mn")
+        .agg(F.max("gpos").alias("fp_pos"))
+        .select("doc_id", "fp_pos", F.col("mn").alias("h"))
+        .distinct()
+    )
+    fp = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("fp_pos", "h"))),
+                    lambda s: s.getField("h").cast("string"),
+                ),
+            )
+        ).alias("digest"),
+    )
+    return (
+        toks.select("doc_id", n_grams.cast("bigint").alias("n_grams"))
+        .join(fp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_fp", F.lit(0)).cast("bigint").alias("n_fingerprints"),
+            F.round(
+                F.coalesce("n_fp", F.lit(0))
+                * 1.0
+                / F.greatest(F.col("n_grams"), F.lit(1))
+                + F.lit(1e-9),
+                6,
+            ).alias("density"),
+            F.coalesce("digest", F.lit("")).alias("fp_digest"),
+        )
+    )
+
+
+text_winnow_fingerprints.__doc__ = text_winnow_fingerprints.__doc__.replace(
+    "{K}", str(_WIN_K)
+).replace("{W}", str(_WIN_W))
