@@ -1027,14 +1027,16 @@ _PQ_K = 4        # codes per subspace codebook
 _PQ_ITERS = 2
 
 
-def _pq_oracle() -> str:
-    """Unrolled per-subspace Lloyd rounds — the k-means oracle with a
-    subspace key `s` carried through every CTE, so all {M} codebooks train
-    in the same unrolled SQL (per-round 6dp centroid / 9dp distance
-    quantization pins the trajectory, as in _kmeans_oracle)."""
+def _pq_ctes() -> str:
+    """Unrolled per-subspace Lloyd rounds as a CTE body (no WITH, no final
+    SELECT) — the k-means oracle with a subspace key `s` carried through
+    every CTE, so all {M} codebooks train in the same unrolled SQL
+    (per-round 6dp centroid / 9dp distance quantization pins the
+    trajectory, as in _kmeans_oracle). Final codebook = c{ITERS}, final
+    assignment = a{ITERS}; shared by the PQ-codes and IVF-PQ oracles."""
     parts = [
         f"""
-    WITH vv AS (
+    vv AS (
       SELECT e.vec_id, sp.s,
              list_transform(list_slice(e.embedding,
                                        sp.s * {_PQ_SUB} + 1,
@@ -1084,16 +1086,18 @@ def _pq_oracle() -> str:
       ) m ON p.s = m.s AND p.cid = m.cid
     )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH {_pq_ctes()}
     SELECT vec_id,
            string_agg(CAST(cid AS VARCHAR), '|' ORDER BY s) AS codes,
            round(sum(d2) + 1e-9, 6) AS quant_err
     FROM a{_PQ_ITERS}
     GROUP BY vec_id
     """
-    )
-    return "".join(parts)
 
 
 @query("embedding_pq_codes", oracle=_pq_oracle())
@@ -1112,6 +1116,23 @@ def embedding_pq_codes(spark, sf_dir):
     kmeans_lloyd, M codebooks for the price of one. Per-round 6dp/9dp
     quantization makes the full trajectory (and thus the codes) carry a
     value-hash oracle."""
+    _, _, assign = _pq_train(spark, sf_dir)
+    return assign.groupBy("vec_id").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "cid"))),
+                lambda st: st.getField("cid").cast("string"),
+            ),
+        ).alias("codes"),
+        F.round(F.sum("d2") + F.lit(1e-9), 6).alias("quant_err"),
+    )
+
+
+def _pq_train(spark, sf_dir):
+    """Shared PQ training dataflow: returns (vv sub-vectors, final (s, cid)
+    codebook, final (vec_id, s, cid, d2) assignment) after the fixed Lloyd
+    rounds — consumed by embedding_pq_codes and ivf_pq_topk."""
     from pyspark.sql import Window as W
 
     e = T(spark, sf_dir, "embeddings")
@@ -1172,16 +1193,7 @@ def embedding_pq_codes(spark, sf_dir):
             .select("s", "cid", F.coalesce("new_cvec", "cvec").alias("cvec"))
             .localCheckpoint()
         )
-    return assign.groupBy("vec_id").agg(
-        F.concat_ws(
-            "|",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("s", "cid"))),
-                lambda st: st.getField("cid").cast("string"),
-            ),
-        ).alias("codes"),
-        F.round(F.sum("d2") + F.lit(1e-9), 6).alias("quant_err"),
-    )
+    return vv, cent, assign
 
 
 embedding_pq_codes.__doc__ = (
@@ -1378,4 +1390,193 @@ knn_mmr_rerank.__doc__ = (
     knn_mmr_rerank.__doc__.replace("{K}", str(_MMR_K))
     .replace("{C}", str(_MMR_CAND))
     .replace("{L}", str(_MMR_LAMBDA))
+)
+
+
+# ---- IVF-PQ: coarse routing + asymmetric-distance scoring ----------------
+
+
+def _ivf_pq_oracle() -> str:
+    sub_d2 = (
+        "round(list_sum(list_transform(list_zip(q.emb, c.cvec), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 9)"
+    )
+    full_d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    return f"""
+    WITH {_pq_ctes()},
+    dims AS (
+      SELECT label, u.pos AS pos, u.val AS val
+      FROM (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {{'pos': i, 'val': CAST(embedding[i] AS DOUBLE)}})) AS u
+        FROM embeddings
+      )
+    ),
+    centroids AS (
+      SELECT label, pos, avg(val) AS c FROM dims GROUP BY label, pos
+    ),
+    cvl AS (
+      SELECT label AS c_label, list(c ORDER BY pos) AS cvec
+      FROM centroids GROUP BY label
+    ),
+    assigned AS (
+      SELECT vec_id,
+             arg_min(c_label,
+                     {full_d2.format(a='embedding', b='cvec')}
+                     + c_label * 1e-12) AS c_label
+      FROM embeddings CROSS JOIN cvl
+      GROUP BY vec_id
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, c_label FROM (
+        SELECT e.vec_id, c.c_label,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {full_d2.format(a='e.embedding', b='c.cvec')}
+                          + c.c_label * 1e-12) AS rk
+        FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) e
+        CROSS JOIN cvl c
+      ) WHERE rk <= {_IVF_PROBE}
+    ),
+    cands AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a USING (c_label)
+      WHERE a.vec_id <> p.query_id
+    ),
+    qsub AS (
+      SELECT vec_id AS query_id, s, emb FROM vv WHERE vec_id < {N_QUERIES}
+    ),
+    lut AS (
+      SELECT q.query_id, c.s, c.cid, {sub_d2} AS pd2
+      FROM qsub q JOIN c{_PQ_ITERS} c ON q.s = c.s
+    ),
+    adc AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             round(sum(l.pd2) + 1e-12, 8) AS adc_d2
+      FROM cands cd
+      JOIN a{_PQ_ITERS} a ON a.vec_id = cd.neighbor_id
+      JOIN lut l ON l.query_id = cd.query_id AND l.s = a.s AND l.cid = a.cid
+      GROUP BY cd.query_id, cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, adc_d2 FROM (
+      SELECT query_id, neighbor_id, adc_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, neighbor_id) AS rank
+      FROM adc
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query("ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ ANN search (Jégou et al. 2011) — the two halves joined:
+    IVF routing (label-mean coarse centroids, nprobe={P}) picks candidate
+    inverted lists exactly as in ivf_probe_topk, and candidates are scored
+    by PQ ASYMMETRIC DISTANCE: each query precomputes a lookup table of
+    partial distances to every codebook entry ({M}·{K} values per query),
+    and a candidate's distance is the SUM of {M} table lookups keyed by its
+    stored code — no candidate vector is ever touched at query time, which
+    is the entire memory story of IVF-PQ at 100 TB (codes are {M} small
+    ints vs {M}×{SUB} floats; the corpus embedding column is read once at
+    index build, never at search).
+
+    Topology: codebooks from the shared _pq_train dataflow; the LUT is
+    queries×{M}×{K} rows — broadcast; scoring is one join from candidates
+    to their codes (shuffle keyed on neighbor id) plus {M} broadcast-hash
+    lookups, then a per-query top-K window. Everything is quantized
+    (9dp partials, 8dp sums) so ranks are engine-stable."""
+    from pyspark.sql import Window
+
+    vv, cent, assign = _pq_train(spark, sf_dir)
+    e = T(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "val_f")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    centroids = dims.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    cvl = (
+        centroids.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    tiebreak = F.col("d2") + F.col("c_label") * 1e-12
+    assigned = (
+        e.select("vec_id", "embedding")
+        .join(F.broadcast(cvl))
+        .select("vec_id", "c_label", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min_by("c_label", tiebreak).alias("c_label"))
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(tiebreak)
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .join(F.broadcast(cvl))
+        .select("query_id", "c_label", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(wprobe))
+        .filter(F.col("rk") <= _IVF_PROBE)
+        .select("query_id", "c_label")
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(assigned, "c_label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qsub = vv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("emb").alias("qemb")
+    )
+    pd2 = F.round(
+        F.aggregate(
+            F.zip_with("qemb", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    lut = qsub.join(cent, "s").select("query_id", "s", "cid", pd2.alias("pd2"))
+    codes = assign.select(
+        F.col("vec_id").alias("neighbor_id"), "s", "cid"
+    )
+    adc = (
+        cands.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "s", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("pd2") + F.lit(1e-12), 8).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_d2")
+    )
+
+
+ivf_pq_topk.__doc__ = (
+    ivf_pq_topk.__doc__.replace("{P}", str(_IVF_PROBE))
+    .replace("{M}", str(_PQ_M))
+    .replace("{K}", str(_PQ_K))
+    .replace("{SUB}", str(_PQ_SUB))
 )
