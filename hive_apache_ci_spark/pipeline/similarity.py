@@ -288,7 +288,14 @@ def lsh_table_buckets(df, emb_col: str = "embedding"):
         )
         .select(
             *df.columns,
-            F.posexplode("_buckets").alias("table", "bucket"),
+            # _outer: the plain generator implies `size(_buckets) > 0 AND
+            # isnotnull(_buckets)`, which InferFiltersFromConstraints pushes
+            # into the scalar-attach BNLJ — Catalyst then warns, rewrites the
+            # join to a cross join, and re-evaluates the Python UDF a second
+            # time in the moved-out filter. The kernel always returns exactly
+            # N_TABLES buckets, so the outer variant is semantically
+            # identical and keeps the UDF evaluated once.
+            F.posexplode_outer("_buckets").alias("table", "bucket"),
         )
     )
 
