@@ -38,6 +38,11 @@ EXTRA_HEADLINERS = (
     "merge_into_upsert",
     "quality_lm_perplexity",
     "search_bm25_topk",
+    # round-4 additions: the iterative-ML family + segment dedup + IVF-PQ
+    "kmeans_lloyd",
+    "train_logreg_quality",
+    "dedup_repeated_segments",
+    "ivf_pq_topk",
 )
 
 
