@@ -874,16 +874,18 @@ _KM_K = 8
 _KM_ITERS = 3
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled Lloyd iterations: per round one argmin-assignment CTE
-    (squared-L2 rounded to 9dp, centroid-id tie-break) and one centroid
-    update whose per-dimension means are rounded to 6dp — rounding the
-    shared state each round is what keeps both engines' trajectories
-    bit-identical despite unordered float summation (same discipline as
-    the PageRank/LPA oracles)."""
+def _kmeans_ctes() -> str:
+    """Unrolled Lloyd iterations as a CTE body (no WITH / final SELECT):
+    per round one argmin-assignment CTE (squared-L2 rounded to 9dp,
+    centroid-id tie-break) and one centroid update whose per-dimension
+    means are rounded to 6dp — rounding the shared state each round is
+    what keeps both engines' trajectories bit-identical despite unordered
+    float summation (same discipline as the PageRank/LPA oracles). Final
+    assignment = a{ITERS}, final centroids = c{ITERS}; shared by the
+    k-means and SemDeDup oracles."""
     parts = [
         f"""
-    WITH vv AS (
+    vv AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
@@ -927,8 +929,12 @@ def _kmeans_oracle() -> str:
       ) m ON p.cid = m.cid
     )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+    WITH {_kmeans_ctes()}
     SELECT c.cid,
            CAST(coalesce(s.n, 0) AS BIGINT) AS n_members,
            round(coalesce(s.inertia, 0.0) + 1e-9, 4) AS inertia,
@@ -939,8 +945,6 @@ def _kmeans_oracle() -> str:
       FROM a{_KM_ITERS} GROUP BY cid
     ) s ON c.cid = s.cid
     """
-    )
-    return "".join(parts)
 
 
 @query("kmeans_lloyd", oracle=_kmeans_oracle())
@@ -959,6 +963,30 @@ def kmeans_lloyd(spark, sf_dir):
     rows. Lineage is cut per round with localCheckpoint. This is exactly
     MLlib KMeans' dataflow, re-expressed in DataFrame ops so the
     trajectory is auditable and oracle-able."""
+    cent, assign = _kmeans_train(spark, sf_dir)
+    stats = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("d2").alias("inertia")
+    )
+    return cent.join(stats, "cid", "left").select(
+        "cid",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_members"),
+        F.round(F.coalesce("inertia", F.lit(0.0)) + F.lit(1e-9), 4).alias("inertia"),
+        F.round(
+            F.aggregate(
+                F.transform("cvec", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("sq_norm"),
+    )
+
+
+def _kmeans_train(spark, sf_dir):
+    """Shared Lloyd training dataflow: returns (final centroids (cid,
+    cvec), final assignment (vec_id, cid, d2)) after the fixed rounds —
+    consumed by kmeans_lloyd and dedup_semdedup_clusters."""
     e = T(spark, sf_dir, "embeddings")
     vv = e.select(
         "vec_id",
@@ -1011,23 +1039,7 @@ def kmeans_lloyd(spark, sf_dir):
             .select("cid", F.coalesce("new_cvec", "cvec").alias("cvec"))
             .localCheckpoint()
         )
-    stats = assign.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("d2").alias("inertia")
-    )
-    return cent.join(stats, "cid", "left").select(
-        "cid",
-        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_members"),
-        F.round(F.coalesce("inertia", F.lit(0.0)) + F.lit(1e-9), 4).alias("inertia"),
-        F.round(
-            F.aggregate(
-                F.transform("cvec", lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            + F.lit(1e-9),
-            6,
-        ).alias("sq_norm"),
-    )
+    return cent, assign
 
 
 kmeans_lloyd.__doc__ = kmeans_lloyd.__doc__.replace("{K}", str(_KM_K)).replace(
@@ -1596,3 +1608,98 @@ ivf_pq_topk.__doc__ = (
     .replace("{K}", str(_PQ_K))
     .replace("{SUB}", str(_PQ_SUB))
 )
+
+
+# ---- SemDeDup: semantic dedup within k-means clusters --------------------
+
+_SEMDEDUP_TH = 0.3
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH {_kmeans_ctes()},
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, a.cid
+      FROM a{_KM_ITERS} a JOIN a{_KM_ITERS} b
+        ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    ),
+    close AS (
+      SELECT p.va, p.vb
+      FROM pairs p
+      JOIN embeddings x ON x.vec_id = p.va
+      JOIN embeddings y ON y.vec_id = p.vb
+      WHERE round({_cos_sql('x.embedding', 'y.embedding')} + 1e-9, 6)
+            > {_SEMDEDUP_TH}
+    )
+    SELECT a.vec_id,
+           a.cid AS cluster_id,
+           CAST(coalesce(s.n_close, 0) AS BIGINT) AS n_close,
+           CASE WHEN coalesce(s.min_nbr, a.vec_id) < a.vec_id
+                THEN 1 ELSE 0 END AS removed
+    FROM a{_KM_ITERS} a LEFT JOIN (
+      SELECT va, count(*) AS n_close, min(vb) AS min_nbr
+      FROM close GROUP BY va
+    ) s ON a.vec_id = s.va
+    """
+
+
+@query("dedup_semdedup_clusters", oracle=_semdedup_oracle())
+def dedup_semdedup_clusters(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal that only
+    compares embeddings WITHIN their k-means cluster — cluster first (the
+    shared fixed-iteration Lloyd dataflow, k={K}), then exact cosine among
+    cluster members, then keep the smallest vec_id of each close group
+    (removed = some smaller-id clustermate is above cosine {TH}). Emits
+    per vector: cluster, close-neighbor count, removal verdict.
+
+    100 TB shape: this is the dedup topology for corpora where LSH recall
+    on raw vectors is poor — clustering makes the pairwise step O(n²/k)
+    with k grown proportionally to n in production (k here is pinned to
+    the oracle-able Lloyd run); the pairwise join shuffles on cluster id,
+    ids-only, vectors re-attached once per side. Cluster assignment
+    trajectories are quantized per round, so the WHOLE operator —
+    clustering included — carries a value-hash oracle."""
+    cent, assign = _kmeans_train(spark, sf_dir)
+    e = T(spark, sf_dir, "embeddings")
+    a = assign.select("vec_id", "cid")
+    pa = a.select(F.col("vec_id").alias("va"), "cid")
+    pb = a.select(F.col("vec_id").alias("vb"), "cid")
+    pairs = pa.join(pb, "cid").filter(F.col("va") != F.col("vb"))
+    withnorm = e.withColumn(
+        "nrm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+    )
+    ea = withnorm.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("xa"),
+        F.col("nrm").alias("na"),
+    )
+    eb = withnorm.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("xb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = dot_fold(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb"))
+    close = (
+        pairs.join(ea, "va")
+        .join(eb, "vb")
+        .filter(F.round(sim + F.lit(1e-9), 6) > F.lit(_SEMDEDUP_TH))
+        .select("va", "vb")
+    )
+    s = close.groupBy("va").agg(
+        F.count(F.lit(1)).alias("n_close"), F.min("vb").alias("min_nbr")
+    )
+    return a.join(s, a["vec_id"] == s["va"], "left").select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.coalesce("n_close", F.lit(0)).cast("bigint").alias("n_close"),
+        F.when(
+            F.coalesce("min_nbr", F.col("vec_id")) < F.col("vec_id"), 1
+        )
+        .otherwise(0)
+        .alias("removed"),
+    )
+
+
+dedup_semdedup_clusters.__doc__ = dedup_semdedup_clusters.__doc__.replace(
+    "{K}", str(_KM_K)
+).replace("{TH}", str(_SEMDEDUP_TH))
