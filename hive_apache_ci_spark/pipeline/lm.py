@@ -287,16 +287,17 @@ def corpus_bigram_counts(spark, sf_dir):
 _BPE_MERGES = 6
 
 
-def _bpe_oracle() -> str:
-    """Unrolled BPE in pure SQL, one (pair-count, argmax, re-segment) CTE
-    triple per merge step. Re-segmentation replays the engine-side fold:
-    ``list_reduce`` over the symbol array with a string accumulator whose
-    last token is tested via ``LIKE '% ' || l`` (symbols never contain
-    spaces or LIKE wildcards — lowercase word chars plus '</w>' and their
-    concatenations)."""
+def _bpe_ctes() -> str:
+    """Unrolled BPE as a CTE body (no WITH / final SELECT), one
+    (pair-count, argmax, re-segment) CTE triple per merge step.
+    Re-segmentation replays the engine-side fold: ``list_reduce`` over the
+    symbol array with a string accumulator whose last token is tested via
+    ``LIKE '% ' || l`` (symbols never contain spaces or LIKE wildcards —
+    lowercase word chars plus '</w>' and their concatenations). Final
+    segmentation state = s{K}; shared by the learn and encode oracles."""
     parts = [
         f"""
-    WITH tok AS (
+    tok AS (
       SELECT unnest({_TOK_SQL}) AS w FROM documents
     ),
     w AS (
@@ -335,13 +336,16 @@ def _bpe_oracle() -> str:
       FROM {prev}, b{i} b
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle() -> str:
     union = "\n    UNION ALL\n".join(
         f"    SELECT CAST({i} AS INT) AS step, l AS left_sym, r AS right_sym, cnt"
         f" FROM b{i}"
         for i in range(1, _BPE_MERGES + 1)
     )
-    parts.append("\n" + union)
-    return "".join(parts)
+    return f"WITH {_bpe_ctes()}\n{union}"
 
 
 # The left-to-right non-overlapping re-segmentation fold (Sennrich BPE
@@ -383,6 +387,14 @@ def bpe_learn_merges(spark, sf_dir):
     DuckDB oracle: the same {K} iterations unrolled as CTEs (pagerank
     pattern), with the identical fold replayed via list_reduce — exact
     integer counts, so no float tolerance is needed anywhere."""
+    _, merges = _bpe_train(spark, sf_dir)
+    return merges
+
+
+def _bpe_train(spark, sf_dir):
+    """Shared BPE training dataflow: returns (final (word, freq, sym)
+    segmentation state, the (step, left_sym, right_sym, cnt) merge table)
+    — consumed by bpe_learn_merges and bpe_encode_corpus."""
     d = T(spark, sf_dir, "documents")
     words = (
         _tokens(d)
@@ -420,12 +432,70 @@ def bpe_learn_merges(spark, sf_dir):
     out = bests[0]
     for b in bests[1:]:
         out = out.unionAll(b)
-    return out.select(
+    merges = out.select(
         "step",
         F.col("l").alias("left_sym"),
         F.col("r").alias("right_sym"),
         "cnt",
     )
+    return state, merges
+
+
+def _bpe_encode_oracle() -> str:
+    return f"""
+WITH {_bpe_ctes()},
+doctok AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS w FROM documents
+),
+enc AS (
+  SELECT word, len(string_split(sym, ' ')) AS n_sub FROM s{_BPE_MERGES}
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
+       round(sum(e.n_sub) * 1.0 / count(*) + 1e-9, 6) AS subwords_per_word
+FROM doctok d JOIN enc e ON d.w = e.word
+WHERE d.w <> ''
+GROUP BY d.doc_id
+"""
+
+
+@query("bpe_encode_corpus", oracle=_bpe_encode_oracle())
+def bpe_encode_corpus(spark, sf_dir):
+    """BPE ENCODING — the apply side completing bpe_learn_merges: train
+    the {K}-rule merge table, keep the final per-word segmentation (the
+    subword lexicon), and tokenize the corpus against it: per document,
+    word count, subword count after the merges, and subwords-per-word (the
+    fertility metric tokenizer teams track). Encoding through the WORD
+    table is the production topology: merges apply once per vocabulary
+    TYPE (|V| rows), and documents join word→segmentation instead of
+    re-running the merge fold per token occurrence — at web scale that is
+    a Zipf-sized saving (occurrences/type ≫ 1). The join shuffles on the
+    word key (AQE broadcasts when the lexicon fits); the per-doc agg is
+    the only other shuffle. Fully oracled: the DuckDB side unrolls the
+    same {K} merges and re-derives the identical lexicon."""
+    state, _ = _bpe_train(spark, sf_dir)
+    enc = state.select(
+        "word", F.size(F.split("sym", " ")).alias("n_sub")
+    )
+    d = T(spark, sf_dir, "documents")
+    doctok = _tokens(d).select("doc_id", F.col("t").alias("word"))
+    return (
+        doctok.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_subwords"),
+            F.round(
+                F.sum("n_sub") * 1.0 / F.count(F.lit(1)) + F.lit(1e-9), 6
+            ).alias("subwords_per_word"),
+        )
+    )
+
+
+bpe_encode_corpus.__doc__ = bpe_encode_corpus.__doc__.replace(
+    "{K}", str(_BPE_MERGES)
+)
 
 
 bpe_learn_merges.__doc__ = bpe_learn_merges.__doc__.replace("{K}", str(_BPE_MERGES))
