@@ -187,3 +187,43 @@ def multimodal_chunk_bytes(spark, sf_dir):
             F.md5(F.expr(f"substring(payload, s, {_BCHUNK})")).alias("chunk_md5"),
         )
     )
+
+
+@query(
+    "multimodal_dedup_exact",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(text) AS checksum,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT checksum,
+           CAST(min(n_bytes) AS BIGINT) AS n_bytes,
+           CAST(count(*) AS BIGINT)     AS n_copies,
+           CAST(min(doc_id) AS BIGINT)  AS keep_id
+    FROM h GROUP BY checksum
+    """,
+)
+def multimodal_dedup_exact(spark, sf_dir):
+    """Exact media dedup by payload checksum — the first pass every
+    multimodal pipeline runs (identical bytes = identical asset,
+    whatever the filename): group by the content hash, keep the smallest
+    id per group, report every group with its copy count (n_copies > 1 =
+    removable duplicates; the full table doubles as the asset manifest). Uses the meta.checksum column only —
+    the payload bytes are never read (columnar pruning), which at 100 TB
+    of media is the entire point: dedup cost is metadata-sized. One
+    hash-keyed shuffle with map-side partial counts."""
+    d = with_binary_payload(T(spark, sf_dir, "documents"))
+    return (
+        d.select(
+            "doc_id",
+            F.col("meta.checksum").alias("checksum"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("checksum")
+        .agg(
+            F.min("n_bytes").cast("bigint").alias("n_bytes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+        )
+    )

@@ -395,3 +395,36 @@ def test_cbo_join_reorder_uses_stats(spark):
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", old_reorder)
         for t in ("cbo_orders", "cbo_customer", "cbo_nation"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_repeated_segments_cut_is_shuffled_anti_join(spark):
+    """The CCNet segment cut must be an anti join keyed on the segment text
+    (shuffle or broadcast hash — AQE picks; the forbidden shapes are a
+    cartesian/nested-loop pairing, which would be corpus-squared)."""
+    p = plan(spark, "dedup_repeated_segments")
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_ivf_pq_scoring_broadcasts_lut(spark):
+    """IVF-PQ's ADC scoring join (candidate codes x per-query lookup table)
+    must broadcast the LUT (queries x M x K rows — constant-sized) so the
+    only corpus-sized exchange is keyed on the neighbor id."""
+    p = plan(spark, "ivf_pq_topk")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_semdedup_pairs_join_on_cluster_key(spark):
+    """SemDeDup's pairwise stage must equi-join on the cluster id (O(n²/k)
+    within clusters), never a global cartesian over the corpus."""
+    p = plan(spark, "dedup_semdedup_clusters")
+    assert "CartesianProduct" not in p, p
+
+
+def test_winnow_fingerprints_no_pairwise(spark):
+    """Winnowing is per-document: the rightmost-argmin join is bounded by
+    the window width and keyed on (doc_id, position) — no corpus-pairwise
+    or nested-loop shape anywhere."""
+    p = plan(spark, "text_winnow_fingerprints")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
