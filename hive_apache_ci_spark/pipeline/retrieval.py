@@ -256,3 +256,99 @@ def search_bm25_topk(spark, sf_dir):
         .filter(F.col("rk") <= 20)
         .select("rk", "doc_id", "score")
     )
+
+
+_QL_MU = 200.0
+_QL_TERMS = ("hash", "join", "scan")
+
+
+def _ql_term_sql(t: str) -> str:
+    return (
+        f"ln((coalesce(max(CASE WHEN term = '{t}' THEN tf END), 0)"
+        f" + {_QL_MU} * max(CASE WHEN term = '{t}' THEN pc END))"
+        f" / (max(dl) + {_QL_MU}))"
+    )
+
+
+@query(
+    "search_query_likelihood",
+    oracle=f"""
+    WITH toks AS ({_TOKENS_SQL}),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    cstat AS (SELECT count(*) AS c FROM toks),
+    cf AS (
+      SELECT term, count(*) * 1.0 / (SELECT c FROM cstat) AS pc
+      FROM toks WHERE term IN {str(_QL_TERMS)} GROUP BY term
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN {str(_QL_TERMS)} GROUP BY doc_id, term
+    ),
+    cells AS (
+      SELECT d.doc_id, c.term, d.dl, c.pc, t.tf
+      FROM dl d CROSS JOIN cf c
+      LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.term = c.term
+    ),
+    scored AS (
+      SELECT doc_id,
+             round({' + '.join(_ql_term_sql(t) for t in _QL_TERMS)}
+                   + 1e-9, 6) AS score
+      FROM cells GROUP BY doc_id
+    )
+    SELECT rk, doc_id, score
+    FROM (SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+          FROM scored)
+    WHERE rk <= 20
+    """,
+)
+def search_query_likelihood(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty):
+    score(q,d) = Σ_t ln((tf_td + μ·p(t|C)) / (|d| + μ)), μ={MU} — the
+    language-modeling ranking family next to BM25's probabilistic one.
+    Smoothing means every document scores against every query term (tf=0
+    falls back to the collection model), so the dataflow densifies: doc
+    lengths × the |q|-row term-stat table (broadcast cross), left-joined
+    with the sparse tf cells — at 100 TB that is one doc-keyed shuffle
+    plus broadcasts, with the per-term sum evaluated in FIXED textual
+    order (conditional pivot) and 6-dp-rounded before ranking, the repo's
+    ln()-determinism discipline."""
+    toks = _term_rows(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    cstat = toks.agg(F.count(F.lit(1)).cast("double").alias("c"))
+    qt = toks.filter(F.col("term").isin(*_QL_TERMS))
+    cf = (
+        qt.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(cstat))
+        .select("term", (F.col("cnt") / F.col("c")).alias("pc"))
+    )
+    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cells = (
+        dl.crossJoin(F.broadcast(cf))
+        .join(tf, ["doc_id", "term"], "left")
+    )
+    def term_score(t):
+        tfv = F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+        )
+        pcv = F.max(F.when(F.col("term") == t, F.col("pc")))
+        return F.log((tfv + _QL_MU * pcv) / (F.max("dl") + _QL_MU))
+
+    total = term_score(_QL_TERMS[0])
+    for t in _QL_TERMS[1:]:
+        total = total + term_score(t)
+    scored = cells.groupBy("doc_id").agg(
+        F.round(total + F.lit(1e-9), 6).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("rk", "doc_id", "score")
+    )
+
+
+search_query_likelihood.__doc__ = search_query_likelihood.__doc__.replace(
+    "{MU}", str(_QL_MU)
+)

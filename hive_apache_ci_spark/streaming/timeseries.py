@@ -822,3 +822,34 @@ def events_trending_topk(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("bucket_start", "rk", "event_type", F.col("n").cast("bigint"))
     )
+
+
+@query(
+    "events_hourly_quantiles",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_start,
+           event_type,
+           CAST(count(*) AS BIGINT)                       AS n,
+           round(quantile_cont(value, 0.5) + 1e-9, 6)     AS p50,
+           round(quantile_cont(value, 0.95) + 1e-9, 6)    AS p95,
+           round(max(value) + 1e-9, 6)                    AS vmax
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_quantiles(spark, sf_dir):
+    """Exact hourly latency-style percentiles per event type (p50/p95/max)
+    — the SLO dashboard aggregate. Exact interpolated percentile (Hive
+    `percentile` bridge ≡ DuckDB quantile_cont) over the (hour, type)
+    groups: one shuffle keyed on the group, map-side partial collection.
+    At 100 TB the exact form is viable exactly because the grouping bounds
+    each sort to one (hour, type) cell; the streaming/sketch alternative
+    (approx_percentile) is the documented rows-only path."""
+    e = T(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("ts").cast("long") / 3600) * 3600).cast("long")
+    return e.groupBy(bucket.alias("bucket_start"), "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)) + F.lit(1e-9), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)) + F.lit(1e-9), 6).alias("p95"),
+        F.round(F.max("value") + F.lit(1e-9), 6).alias("vmax"),
+    )
