@@ -542,3 +542,106 @@ def io_dpp_partitioned_join(spark, sf_dir):
             "total",
         )
     )
+
+
+# ---- Z-order clustering layout ------------------------------------------
+
+_Z_BITS = 16  # low bits interleaved per key
+_Z_BUCKETS_LOG2 = 6  # top z bits -> 64 layout buckets
+
+
+def _z_value_sql(x: str, y: str, spark_syntax: bool) -> str:
+    """Bit-interleave expression for z = interleave(x_bits, y_bits), built
+    once and rendered for either engine (Spark: shiftleft/shiftright
+    functions; DuckDB: << / >> operators). Identical integer arithmetic ⇒
+    identical z-values, no tolerance anywhere."""
+    def shl(e, n):
+        return f"shiftleft({e}, {n})" if spark_syntax else f"(({e}) << {n})"
+
+    def shr(e, n):
+        return f"shiftright({e}, {n})" if spark_syntax else f"(({e}) >> {n})"
+
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(shl(f"({shr(x, i)} & 1)", 2 * i))
+        terms.append(shl(f"({shr(y, i)} & 1)", 2 * i + 1))
+    return " + ".join(terms)
+
+
+@query(
+    "io_zorder_layout",
+    oracle=f"""
+    WITH stats AS (
+      SELECT min(l_orderkey) AS mno, max(l_orderkey) AS mxo,
+             min(l_partkey) AS mnp, max(l_partkey) AS mxp
+      FROM lineitem
+    ),
+    z AS (
+      SELECT l_orderkey, l_partkey,
+             {_z_value_sql(
+                 f"(((l_orderkey - mno) * {1 << _Z_BITS}) // (mxo - mno + 1))",
+                 f"(((l_partkey - mnp) * {1 << _Z_BITS}) // (mxp - mnp + 1))",
+                 spark_syntax=False)} AS zval
+      FROM lineitem CROSS JOIN stats
+    )
+    SELECT CAST(zval >> {2 * _Z_BITS - _Z_BUCKETS_LOG2} AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT)      AS n,
+           CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+           CAST(min(l_partkey) AS BIGINT)  AS min_partkey,
+           CAST(max(l_partkey) AS BIGINT)  AS max_partkey
+    FROM z GROUP BY 1
+    """,
+)
+def io_zorder_layout(spark, sf_dir):
+    """Z-order (Morton-curve) clustering layout — the multi-column
+    file-skipping primitive behind Delta/Iceberg `OPTIMIZE ZORDER BY`:
+    interleave the low {B} bits of two join/filter keys into a z-value,
+    range-bucket on its top {L2} bits, and report per-bucket min/max of
+    BOTH keys. Because the curve preserves locality in both dimensions at
+    once, every bucket covers a bounded rectangle of (orderkey, partkey) —
+    so parquet footer min/max stats prune files for predicates on EITHER
+    key, which a single-column sort cannot do. At 100 TB the layout step
+    is `repartitionByRange(zval) + sortWithinPartitions(zval)` before the
+    write (io_sorted_layout is the one-dimensional form), with keys
+    range-normalized to {B}-bit grid cells from one broadcast min/max
+    scalar (exactly how engines bin z-order on arbitrary key domains);
+    this query is
+    the layout auditor: the per-bucket key-range report IS the skipping
+    guarantee, and it hash-matches DuckDB computing the identical
+    interleave. Pure integer bit arithmetic — one shuffle on the bucket."""
+    li = T(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_orderkey").alias("mno"),
+        F.max("l_orderkey").alias("mxo"),
+        F.min("l_partkey").alias("mnp"),
+        F.max("l_partkey").alias("mxp"),
+    )
+    z = F.expr(
+        _z_value_sql(
+            f"(((l_orderkey - mno) * {1 << _Z_BITS}) div (mxo - mno + 1))",
+            f"(((l_partkey - mnp) * {1 << _Z_BITS}) div (mxp - mnp + 1))",
+            spark_syntax=True,
+        )
+    )
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select("l_orderkey", "l_partkey", z.alias("zval"))
+        .groupBy(
+            F.shiftright("zval", 2 * _Z_BITS - _Z_BUCKETS_LOG2)
+            .cast("bigint")
+            .alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("l_orderkey").cast("bigint").alias("min_orderkey"),
+            F.max("l_orderkey").cast("bigint").alias("max_orderkey"),
+            F.min("l_partkey").cast("bigint").alias("min_partkey"),
+            F.max("l_partkey").cast("bigint").alias("max_partkey"),
+        )
+    )
+
+
+io_zorder_layout.__doc__ = io_zorder_layout.__doc__.replace(
+    "{B}", str(_Z_BITS)
+).replace("{L2}", str(_Z_BUCKETS_LOG2))
