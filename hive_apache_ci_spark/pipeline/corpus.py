@@ -738,3 +738,110 @@ def dedup_repeated_segments(spark, sf_dir):
 dedup_repeated_segments.__doc__ = dedup_repeated_segments.__doc__.replace(
     "{S}", str(_SEG_LEN)
 ).replace("{M}", str(_SEG_DUP_MIN))
+
+
+# ---- quality-tier mixture table ------------------------------------------
+
+_N_TIERS = 5
+
+
+@query(
+    "corpus_quality_tiers",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+             round(0.4 * least(len(string_split_regex(lower(text), '\\s+')) / 60.0, 1.0)
+                   + 0.6 * (len(list_distinct(string_split_regex(lower(text), '\\s+'))) * 1.0
+                            / len(string_split_regex(lower(text), '\\s+')))
+                   + 1e-9, 6) AS q
+      FROM documents
+    ),
+    bounds AS (
+      SELECT {", ".join(
+          f"round(quantile_cont(q, {i / _N_TIERS}) + 1e-9, 6) AS b{i}"
+          for i in range(1, _N_TIERS)
+      )}
+      FROM scored
+    ),
+    tiered AS (
+      SELECT s.doc_id, s.n_tokens,
+             CASE {" ".join(
+                 f"WHEN s.q < b.b{i} THEN {i - 1}" for i in range(1, _N_TIERS)
+             )} ELSE {_N_TIERS - 1} END AS tier
+      FROM scored s CROSS JOIN bounds b
+    ),
+    tot AS (SELECT sum(n_tokens) AS all_tokens FROM tiered)
+    SELECT tier,
+           CAST(count(*) AS BIGINT)       AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)  AS token_mass,
+           round(sum(n_tokens) * 1.0 / (SELECT all_tokens FROM tot) + 1e-9, 6)
+               AS token_share
+    FROM tiered GROUP BY tier
+    """,
+)
+def corpus_quality_tiers(spark, sf_dir):
+    """Quality-tier mixture table: score every document (length +
+    lexical-diversity composite, 6dp-quantized), split the corpus into
+    {N} equal-mass tiers by exact score quantiles, and report each tier's
+    document count and token mass/share — the table a data-mixing stage
+    consumes to up/down-sample by quality band (the Llama/Gopher-style
+    quality-bucket mix).
+
+    Scale shape — the boundary-broadcast discipline (window_ntile_scaled's
+    pattern): tier boundaries come from ONE exact-percentile aggregate
+    ({NB} doubles, broadcast), and tier assignment is a comparison chain —
+    no global window, no single-partition sort anywhere; the per-tier agg
+    is a {N}-key shuffle with map-side partials. Boundaries and scores are
+    rounded to the same 6dp before comparison, so tier membership is
+    engine-stable."""
+    d = T(spark, sf_dir, "documents")
+    a = F.split(F.lower(F.col("text")), r"\s+")
+    n_tok = F.size(a)
+    q = F.round(
+        0.4 * F.least(n_tok / 60.0, F.lit(1.0))
+        + 0.6 * (F.size(F.array_distinct(a)) * 1.0 / n_tok)
+        + F.lit(1e-9),
+        6,
+    )
+    scored = d.select("doc_id", n_tok.alias("n_tokens"), q.alias("q"))
+    bounds = scored.agg(
+        *[
+            F.round(
+                F.percentile("q", F.lit(i / _N_TIERS)) + F.lit(1e-9), 6
+            ).alias(f"b{i}")
+            for i in range(1, _N_TIERS)
+        ]
+    )
+    tier = F.coalesce(
+        *[
+            F.when(F.col("q") < F.col(f"b{i}"), F.lit(i - 1))
+            for i in range(1, _N_TIERS)
+        ],
+        F.lit(_N_TIERS - 1),
+    )
+    tiered = scored.crossJoin(F.broadcast(bounds)).select(
+        "doc_id", "n_tokens", tier.alias("tier")
+    )
+    tot = tiered.agg(F.sum("n_tokens").alias("all_tokens"))
+    return (
+        tiered.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("token_mass"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tier",
+            "n_docs",
+            "token_mass",
+            F.round(
+                F.col("token_mass") * 1.0 / F.col("all_tokens") + F.lit(1e-9), 6
+            ).alias("token_share"),
+        )
+    )
+
+
+corpus_quality_tiers.__doc__ = corpus_quality_tiers.__doc__.replace(
+    "{N}", str(_N_TIERS)
+).replace("{NB}", str(_N_TIERS - 1))
