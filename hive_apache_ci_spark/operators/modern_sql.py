@@ -260,3 +260,75 @@ def variant_roundtrip(spark, sf_dir):
         )
         """,
     )
+
+
+# ---- SQL pipe syntax (Spark 4.0, SQL:2023-adjacent) ----------------------
+
+_PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+|> AGGREGATE count(*) AS n,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)), 2)
+                  AS DOUBLE) AS revenue
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE n > 0
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "pipe_syntax_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING count(*) > 0
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pipe_syntax_agg(spark, sf_dir):
+    """SQL pipe syntax (Spark 4.0 `|>` operators): the same
+    scan→filter→aggregate→having→sort program written as a linear pipeline
+    — each `|>` stage consumes the previous relation, so query text reads
+    in dataflow order. Catalyst compiles it to the identical plan as the
+    classic form (the oracle IS the classic form in DuckDB), so adopting
+    the modern surface costs nothing at any scale."""
+    return _sql(spark, sf_dir, _PIPE_SQL)
+
+
+# ---- collation-aware comparison (Spark 4.0 COLLATE) ----------------------
+
+
+@query(
+    "collation_case_insensitive",
+    oracle="""
+    SELECT lower(c_mktsegment) AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM customer
+    GROUP BY lower(c_mktsegment)
+    """,
+)
+def collation_case_insensitive(spark, sf_dir):
+    """Collation-aware grouping (Spark 4.0 ``COLLATE UTF8_LCASE``):
+    grouping on a case-insensitive collated column — comparison semantics
+    move into the TYPE, so every operator downstream (joins, group-bys,
+    distinct) is case-insensitive without scattering lower() through the
+    query. The oracle states the equivalent explicit-normalization query;
+    the emitted group key is lower()ed on both sides so the hash compares
+    representation, not just cardinality."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT lower(seg) AS segment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+        FROM (SELECT c_mktsegment COLLATE UTF8_LCASE AS seg, c_nationkey
+              FROM customer)
+        GROUP BY seg
+        """,
+    )
