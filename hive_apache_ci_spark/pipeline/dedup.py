@@ -1240,3 +1240,115 @@ def graph_node_jaccard(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+# ---- k-core decomposition (iterative peel) -------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    from .similarity import _cos_sql, lsh_tb_cte_sql
+    parts = [
+        f"""
+    WITH {lsh_tb_cte_sql()},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+             a.embedding AS ea, b.embedding AS eb
+      FROM tb a JOIN tb b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id < a.vec_id
+    ),
+    confirmed AS (
+      SELECT va, vb FROM cand
+      WHERE round({_cos_sql('ea', 'eb')} + 1e-9, 6) > {_COS_DEDUP_TH}
+    ),
+    e0 AS (
+      SELECT va AS s, vb AS d FROM confirmed
+      UNION ALL SELECT vb, va FROM confirmed
+    )"""
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+    v{i} AS (
+      SELECT s AS v FROM e{i-1} GROUP BY s
+      HAVING count(*) >= {_KCORE_K}
+    ),
+    e{i} AS (
+      SELECT e.s, e.d FROM e{i-1} e
+      JOIN v{i} x ON e.s = x.v
+      JOIN v{i} y ON e.d = y.v
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT emb.vec_id,
+           CASE WHEN v.v IS NOT NULL THEN 1 ELSE 0 END AS in_core,
+           CAST(coalesce(dg.deg, 0) AS BIGINT)          AS core_degree
+    FROM embeddings emb
+    LEFT JOIN v{_KCORE_ROUNDS} v ON emb.vec_id = v.v
+    LEFT JOIN (SELECT s, count(*) AS deg FROM e{_KCORE_ROUNDS} GROUP BY s) dg
+           ON emb.vec_id = dg.s
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_kcore_membership", oracle=_kcore_oracle())
+def graph_kcore_membership(spark, sf_dir):
+    """{K}-core decomposition of the confirmed near-dup graph by iterative
+    peeling ({R} fixed rounds): repeatedly drop vertices with degree < {K}
+    and the edges touching them. The surviving core is the dense
+    duplicate-mass region (clusters worth aggressive collapse); peeled
+    vertices are weakly-attached near-dups that transitive closure would
+    over-merge. Emits per vector the core verdict and its within-core
+    degree.
+
+    100 TB shape: each peel round is one groupBy(vertex) degree count plus
+    one semi-join of edges against surviving vertices — O(edges) per
+    round, the same bounded-iteration discipline as PageRank/LPA, lineage
+    cut per round with localCheckpoint; the oracle unrolls the identical
+    {R} rounds."""
+    e = T(spark, sf_dir, "embeddings")
+    pairs = _confirmed_cosine_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("va").alias("s"), F.col("vb").alias("d"))
+        .unionAll(pairs.select(F.col("vb").alias("s"), F.col("va").alias("d")))
+        .localCheckpoint()
+    )
+    surv = None
+    for _ in range(_KCORE_ROUNDS):
+        surv = (
+            edges.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("s").alias("v"))
+            .localCheckpoint()
+        )
+        edges = (
+            edges.join(surv.withColumnRenamed("v", "s"), "s", "left_semi")
+            .join(surv.withColumnRenamed("v", "d"), "d", "left_semi")
+            .localCheckpoint()
+        )
+    # core membership = the final round's degree-filtered vertex set (a
+    # vertex can survive the round-R cut yet lose its last edges when its
+    # neighbors are peeled in the same round — it is still in the round-R
+    # core; one more round would peel it)
+    core_v = surv
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        e.select("vec_id")
+        .join(core_v, e["vec_id"] == core_v["v"], "left")
+        .join(deg, e["vec_id"] == deg["s"], "left")
+        .select(
+            "vec_id",
+            F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("in_core"),
+            F.coalesce("deg", F.lit(0)).cast("bigint").alias("core_degree"),
+        )
+    )
+
+
+graph_kcore_membership.__doc__ = graph_kcore_membership.__doc__.replace(
+    "{K}", str(_KCORE_K)
+).replace("{R}", str(_KCORE_ROUNDS))
