@@ -1016,11 +1016,11 @@ def _kmeans_train(spark, sf_dir):
             "vec_id", "cid", d2.alias("d2")
         )
         w = W.partitionBy("vec_id").orderBy("d2", "cid")
+        # per-round assign is not checkpointed — see _pq_train
         assign = (
             scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("vec_id", "cid", "d2")
-            .localCheckpoint()
         )
         upd = (
             assign.join(dd, "vec_id")
@@ -1039,7 +1039,7 @@ def _kmeans_train(spark, sf_dir):
             .select("cid", F.coalesce("new_cvec", "cvec").alias("cvec"))
             .localCheckpoint()
         )
-    return cent, assign
+    return cent, assign.localCheckpoint()
 
 
 kmeans_lloyd.__doc__ = kmeans_lloyd.__doc__.replace("{K}", str(_KM_K)).replace(
@@ -1198,11 +1198,13 @@ def _pq_train(spark, sf_dir):
             "vec_id", "s", "cid", d2.alias("d2")
         )
         w = W.partitionBy("vec_id", "s").orderBy("d2", "cid")
+        # assign carries NO cross-round state (next round scores from vv +
+        # cent only), so it is not checkpointed per round — each barrier
+        # was a full extra job; only the tiny cent table pins the lineage
         assign = (
             scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("vec_id", "s", "cid", "d2")
-            .localCheckpoint()
         )
         upd = (
             assign.join(dd, ["vec_id", "s"])
@@ -1221,7 +1223,8 @@ def _pq_train(spark, sf_dir):
             .select("s", "cid", F.coalesce("new_cvec", "cvec").alias("cvec"))
             .localCheckpoint()
         )
-    return vv, cent, assign
+    # final assignment IS consumed repeatedly downstream — checkpoint once
+    return vv, cent, assign.localCheckpoint()
 
 
 embedding_pq_codes.__doc__ = (
