@@ -199,3 +199,81 @@ def join_range_binned(spark, sf_dir):
         r2(F.min("value")).alias("min_value"),
         r2(F.max("value")).alias("max_value"),
     )
+
+
+_ASOF_FWD_SQL = """
+WITH views AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+buys AS (
+  SELECT user_id, event_id AS buy_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT b.user_id, b.buy_id, v.view_id,
+       CAST(floor(epoch(b.ts)) AS BIGINT) AS buy_ts,
+       CAST(floor(epoch(v.ts)) - floor(epoch(b.ts)) AS BIGINT) AS gap_s
+FROM buys b ASOF LEFT JOIN views v
+  ON b.user_id = v.user_id AND v.ts > b.ts
+"""
+
+
+@query("join_asof_forward", oracle=_ASOF_FWD_SQL)
+def join_asof_forward(spark, sf_dir):
+    """As-of join (forward): each purchase matched to the same user's next
+    view STRICTLY after it — the post-conversion-behavior direction
+    (kdb ``aj`` reversed). Same scalable shape as the backward op: union
+    both event roles, ONE shuffle on user_id, and a forward-looking
+    window (`first(..., ignorenulls)` over currentRow→unboundedFollowing)
+    streaming each timeline once — no range join, no per-row subquery.
+    Views sort before purchases at equal ts, so a same-instant view is
+    correctly EXCLUDED by the strict inequality on both engines. Oracled
+    against DuckDB's native forward ASOF JOIN (`v.ts > b.ts`)."""
+    e = T(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), "ts"
+    )
+    tagged = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        "view_id",
+        F.lit(None).cast("long").alias("buy_id"),
+    ).unionByName(
+        buys.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("tag"),
+            F.lit(None).cast("long").alias("view_id"),
+            "buy_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "buy_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn("nv_id", F.first("view_id", ignorenulls=True).over(w))
+        .withColumn(
+            "nv_ts",
+            F.first(
+                F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("tag") == 1)
+        .select(
+            "user_id",
+            "buy_id",
+            F.col("nv_id").alias("view_id"),
+            F.col("ts").cast("long").alias("buy_ts"),
+            (F.col("nv_ts").cast("long") - F.col("ts").cast("long")).alias(
+                "gap_s"
+            ),
+        )
+    )
