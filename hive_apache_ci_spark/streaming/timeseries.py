@@ -853,3 +853,54 @@ def events_hourly_quantiles(spark, sf_dir):
         F.round(F.percentile("value", F.lit(0.95)) + F.lit(1e-9), 6).alias("p95"),
         F.round(F.max("value") + F.lit(1e-9), 6).alias("vmax"),
     )
+
+
+@query(
+    "events_path_analysis",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      FROM ordered WHERE e3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT rk, path, n FROM (
+      SELECT path, CAST(n AS BIGINT) AS n,
+             row_number() OVER (ORDER BY n DESC, path) AS rk
+      FROM paths
+    ) WHERE rk <= 10
+    """,
+)
+def events_path_analysis(spark, sf_dir):
+    """Behavioral path mining: the 10 most frequent 3-step event-type
+    sequences across user timelines (funnel discovery — what journeys
+    actually happen, vs events_funnel which checks one prescribed
+    journey). Per-user trigrams come from two lead() calls over ONE
+    (user, time)-ordered window exchange — no self-joins on the event
+    table; counting is a path-keyed shuffle with map-side partials; the
+    final ranking runs over the tiny aggregate. Deterministic (ts,
+    event_id) ordering pins tie cases in both engines."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = ordered.groupBy(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wr = Window.orderBy(F.desc("n"), "path")
+    return (
+        paths.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 10)
+        .select("rk", "path", "n")
+    )

@@ -428,3 +428,13 @@ def test_winnow_fingerprints_no_pairwise(spark):
     or nested-loop shape anywhere."""
     p = plan(spark, "text_winnow_fingerprints")
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_iterative_trainers_no_cartesian(spark):
+    """The GD / Lloyd / peel loops attach scalar or broadcast state per
+    round; the only nested-loop shape allowed is the 1-row scalar attach —
+    a true CartesianProduct anywhere would be the corpus-squared trap."""
+    for name in ("train_logreg_quality", "kmeans_lloyd",
+                 "graph_kcore_membership"):
+        p = plan(spark, name)
+        assert "CartesianProduct" not in p, (name, p)
