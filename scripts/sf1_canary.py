@@ -50,6 +50,15 @@ CANARY_QUERIES = [
     "search_bm25_topk",
     "merge_into_upsert",
     "dedup_connected_components",
+    # round-4 heavy additions: iterative trainers + segment/winnow text
+    # passes + composed ANN search
+    "kmeans_lloyd",
+    "train_logreg_quality",
+    "dedup_repeated_segments",
+    "text_winnow_fingerprints",
+    "dedup_semdedup_clusters",
+    "ivf_pq_topk",
+    "bpe_encode_corpus",
 ]
 
 
