@@ -1352,3 +1352,107 @@ def graph_kcore_membership(spark, sf_dir):
 graph_kcore_membership.__doc__ = graph_kcore_membership.__doc__.replace(
     "{K}", str(_KCORE_K)
 ).replace("{R}", str(_KCORE_ROUNDS))
+
+
+# ---- dedup threshold-sensitivity sweep -----------------------------------
+
+_SWEEP_THRESHOLDS = (0.05, 0.1, 0.15, 0.2, 0.3)
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH sh0 AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                              i -> concat(a[i], ' ', a[i+1])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+            FROM documents WHERE doc_id < 120)
+    ),
+    hot AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING count(*) > {_JACCARD_MAX_DF}
+    ),
+    sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             c * 1.0 / (sa.n + sb.n - c) AS jacc
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    ),
+    th AS (SELECT CAST(unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}])
+                       AS DOUBLE) AS threshold)
+    SELECT t.threshold,
+           CAST(count(CASE WHEN p.jacc >= t.threshold THEN 1 END) AS BIGINT)
+               AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN p.jacc >= t.threshold
+                                    THEN p.doc_b END) AS BIGINT)
+               AS n_docs_removed
+    FROM th t CROSS JOIN pairs p
+    GROUP BY t.threshold
+    """,
+)
+def dedup_threshold_sweep(spark, sf_dir):
+    """Dedup aggressiveness curve: for a ladder of Jaccard cutoffs, how
+    many near-dup pairs fire and how many documents the min-id rule would
+    remove — the sensitivity report a data team reads BEFORE picking the
+    production threshold (too low ⇒ real content removed; too high ⇒
+    boilerplate survives). The pairwise Jaccard table (shared-shingle
+    keyed, df-cut — dedup_ngram_jaccard's exact topology) is computed ONCE
+    and swept against the broadcast threshold ladder; each Jaccard is a
+    ratio of exact integers, so the ≥-cuts are bit-identical across
+    engines with no epsilon games."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sh0 = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _JACCARD_MAX_DF)
+        .select("shingle")
+    )
+    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    pairs = (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))).alias(
+                "jacc"
+            ),
+        )
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], ["threshold"]
+    )
+    fired = F.when(F.col("jacc") >= F.col("threshold"), 1)
+    return (
+        pairs.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.count(fired).cast("bigint").alias("n_pairs"),
+            F.count_distinct(
+                F.when(F.col("jacc") >= F.col("threshold"), F.col("doc_b"))
+            )
+            .cast("bigint")
+            .alias("n_docs_removed"),
+        )
+    )
