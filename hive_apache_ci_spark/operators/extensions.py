@@ -351,3 +351,52 @@ def matchpath_variable_length(spark, sf_dir):
         ).alias("sym"),
     )
     return matchpath(e, "user_id", ["ts", "event_id"], "sym", "s[kv]*p")
+
+
+@query(
+    "pandas_udaf_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(exp(sum(l_quantity * ln(l_extendedprice))
+                     / sum(l_quantity)) + 1e-9, 4) AS weighted_geomean
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pandas_udaf_grouped(spark, sf_dir):
+    """User-defined AGGREGATE function via a grouped-agg pandas UDF
+    (Series→scalar, Arrow-batched) — the §2.9 UDAF extension surface
+    (Hive's AbstractGenericUDAFResolver role): quantity-weighted geometric
+    mean of price per return flag, an aggregate Spark has no builtin for.
+    The UDF computes exp(Σ w·ln x / Σ w) with float64 numpy sums; the
+    4dp epsilon-shift rounding absorbs group-order accumulation noise
+    (~1e-8 relative) exactly like the engine's own float aggregates.
+    Scale: grouped-agg pandas UDFs get whole groups per Arrow batch — fine
+    for bounded group counts like this 3-flag rollup; unbounded-cardinality
+    aggregates should stay in JVM two-phase aggs (docs/SCALE.md)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _wgm(x: pd.Series, w: pd.Series) -> float:
+        import numpy as np
+
+        xs = x.to_numpy(dtype="float64")
+        ws = w.to_numpy(dtype="float64")
+        return float(np.exp((ws * np.log(xs)).sum() / ws.sum()))
+
+    wgm = pandas_udf(_wgm, "double")
+    li = T(spark, sf_dir, "lineitem")
+    # Catalyst forbids mixing pandas group-aggs with JVM aggs in one agg
+    # list (INVALID_PANDAS_UDF_PLACEMENT) — so the JVM count runs in its
+    # own tiny agg and joins back on the 3-row group key.
+    udaf_side = li.groupBy("l_returnflag").agg(
+        F.round(
+            wgm(F.col("l_extendedprice"), F.col("l_quantity")) + F.lit(1e-9), 4
+        ).alias("weighted_geomean")
+    )
+    counts = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return counts.join(udaf_side, "l_returnflag").select(
+        "l_returnflag", "n", "weighted_geomean"
+    )
