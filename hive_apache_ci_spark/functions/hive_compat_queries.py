@@ -222,3 +222,43 @@ def uniontype_tagged(spark, sf_dir):
         .otherwise("double")
         .alias("branch"),
     )
+
+
+@query(
+    "secured_view_policy",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+               AS c_name_masked,
+           c_mktsegment,
+           round(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal >= 0
+    """,
+)
+def secured_view_policy(spark, sf_dir):
+    """Row-filter + column-mask security policy as a VIEW (the Hive/Ranger
+    row-level-security and data-masking model, SURVEY §3.3 DDL surface):
+    an analyst-facing view that (a) filters rows to the caller's allowed
+    segments, (b) masks the PII column with the GenericUDFMask shim, and
+    (c) exposes only policy-approved columns. Queries hit the VIEW, and
+    Catalyst inlines it so the row filter pushes down to the parquet scan
+    like any predicate — policy enforcement costs nothing at 100 TB
+    because it IS just predicates and projections after inlining."""
+    from ..catalog import load_tables
+    from . import hive_compat as hc
+
+    load_tables(spark, sf_dir, register=True)
+    c = spark.table("customer")
+    secured = c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        & (F.col("c_acctbal") >= 0)
+    ).select(
+        "c_custkey",
+        hc.mask(F.col("c_name")).alias("c_name_masked"),
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+    secured.createOrReplaceTempView("customer_secured")
+    return spark.table("customer_secured")
