@@ -1456,3 +1456,162 @@ def dedup_threshold_sweep(spark, sf_dir):
             .alias("n_docs_removed"),
         )
     )
+
+
+# ---- MinHash index quality evaluation ------------------------------------
+
+_EVAL_TH = 0.2  # ground-truth Jaccard cutoff
+
+
+@query(
+    "dedup_minhash_eval",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                              i -> concat(a[i], ' ', a[i+1])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+            FROM documents WHERE doc_id < 500)
+    ),
+    clean AS (SELECT * FROM sh WHERE shingle <> ''),
+    sizes AS (SELECT doc_id, count(*) AS n FROM clean GROUP BY doc_id),
+    truth AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM clean a JOIN clean b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= {_EVAL_TH}
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS ha,
+             CAST(('0x' || substr(md5(shingle), 17, 15)) AS BIGINT)
+               % {MINHASH_P} AS hb
+      FROM clean
+    ),
+    sig AS (
+      SELECT doc_id, seed,
+             CAST(min((ha + (seed + 1) * hb) % {MINHASH_P}) AS VARCHAR)
+                 AS minhash
+      FROM hashed, unnest(range(0, {N_HASHES})) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(seed / {BAND_ROWS}) AS INTEGER) AS band,
+             md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+      FROM sig GROUP BY doc_id, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ),
+    tp AS (SELECT count(*) AS c FROM cand JOIN truth USING (doc_a, doc_b))
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT)  AS n_candidates,
+           CAST((SELECT c FROM tp) AS BIGINT)           AS true_positives,
+           round(coalesce((SELECT c FROM tp) * 1.0
+                 / nullif((SELECT count(*) FROM cand), 0), 0.0) + 1e-9, 6)
+               AS precision,
+           round(coalesce((SELECT c FROM tp) * 1.0
+                 / nullif((SELECT count(*) FROM truth), 0), 0.0) + 1e-9, 6)
+               AS recall
+    """,
+)
+def dedup_minhash_eval(spark, sf_dir):
+    """Index-quality evaluation of the MinHash-LSH candidate generator:
+    on a bounded slice, compare its candidate pairs against exact-Jaccard
+    ground truth (>= {TH}) and report precision/recall — the measurement a
+    data team runs before trusting an approximate index at 100 TB, here as
+    an ORACLED query (both the index and the truth are deterministic, so
+    even the evaluation hash-matches). Exact pairwise truth is affordable
+    only on the slice — which is precisely how production evals work:
+    sample a block, brute-force it, score the index against it. All
+    counts are exact integers; P/R are ratios of those integers."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    sh = (
+        d.select(
+            "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+        )
+        .filter(F.col("shingle") != "")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    truth = (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(
+            F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+            >= _EVAL_TH
+        )
+        .select("doc_a", "doc_b")
+    )
+    bands = lsh_bands(minhash_signatures(d))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_sig") == F.col("y.band_sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("v"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("v"))
+    n_tp = cand.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    t = F.broadcast(n_truth.select(F.col("v").alias("n_truth")))
+    c = F.broadcast(n_cand.select(F.col("v").alias("n_candidates")))
+    p = F.broadcast(n_tp.select(F.col("v").alias("true_positives")))
+    return (
+        t.crossJoin(c)
+        .crossJoin(p)
+        .select(
+            F.col("n_truth").cast("bigint"),
+            F.col("n_candidates").cast("bigint"),
+            F.col("true_positives").cast("bigint"),
+            F.round(
+                F.coalesce(
+                    F.col("true_positives")
+                    * 1.0
+                    / F.nullif(F.col("n_candidates"), F.lit(0)),
+                    F.lit(0.0),
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.coalesce(
+                    F.col("true_positives")
+                    * 1.0
+                    / F.nullif(F.col("n_truth"), F.lit(0)),
+                    F.lit(0.0),
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+dedup_minhash_eval.__doc__ = dedup_minhash_eval.__doc__.replace(
+    "{TH}", str(_EVAL_TH)
+)

@@ -609,3 +609,82 @@ def dsir_importance_weights(spark, sf_dir):
 dsir_importance_weights.__doc__ = dsir_importance_weights.__doc__.replace(
     "{B}", str(_DSIR_B)
 ).replace("{TGT}", _DSIR_TGT)
+
+
+# ---- vocabulary-size OOV sweep -------------------------------------------
+
+_VOCAB_SIZES = (8, 16, 32, 48)
+
+
+@query(
+    "vocab_truncation_oov",
+    oracle=f"""
+    WITH occ AS (
+      SELECT t FROM (SELECT unnest({_TOK_SQL}) AS t FROM documents)
+      WHERE t <> ''
+    ),
+    vocab AS (
+      SELECT t, count(*) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, t) AS rk
+      FROM occ GROUP BY t
+    ),
+    tot AS (SELECT sum(cnt) AS total FROM vocab),
+    sizes AS (SELECT unnest([{", ".join(str(v) for v in _VOCAB_SIZES)}])
+                     AS vocab_size)
+    SELECT s.vocab_size,
+           CAST(sum(CASE WHEN v.rk > s.vocab_size THEN v.cnt ELSE 0 END)
+                AS BIGINT) AS oov_tokens,
+           round(sum(CASE WHEN v.rk > s.vocab_size THEN v.cnt ELSE 0 END)
+                 * 1.0 / (SELECT total FROM tot) + 1e-9, 6) AS oov_rate,
+           CAST(count(CASE WHEN v.rk > s.vocab_size THEN 1 END) AS BIGINT)
+               AS oov_types
+    FROM sizes s CROSS JOIN vocab v
+    GROUP BY s.vocab_size
+    """,
+)
+def vocab_truncation_oov(spark, sf_dir):
+    """Vocabulary-sizing sweep: for each candidate vocab size, the
+    out-of-vocabulary token mass if the vocab is truncated to the top-N
+    types by frequency (count desc, token tie-break) — the report that
+    decides a tokenizer's vocab budget (complement of vocab_coverage_topk,
+    which walks coverage from the head). The type table is built once
+    (one groupBy(token) shuffle — vocabulary-sized, Zipf-bounded), ranked
+    with one window, and swept against the broadcast size ladder; all
+    quantities are exact integers except the final rate ratio."""
+    occ = _tokens(T(spark, sf_dir, "documents"))
+    from pyspark.sql import Window as W
+
+    vocab = (
+        occ.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("cnt"), F.col("t")))
+        )
+    )
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    sizes = spark.createDataFrame(
+        [(v,) for v in _VOCAB_SIZES], ["vocab_size"]
+    )
+    oov = F.when(F.col("rk") > F.col("vocab_size"), F.col("cnt")).otherwise(0)
+    return (
+        vocab.crossJoin(F.broadcast(sizes))
+        .groupBy("vocab_size")
+        .agg(
+            F.sum(oov).cast("bigint").alias("oov_tokens"),
+            F.sum(oov).alias("_oov"),
+            F.count(
+                F.when(F.col("rk") > F.col("vocab_size"), F.lit(1))
+            )
+            .cast("bigint")
+            .alias("oov_types"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vocab_size",
+            "oov_tokens",
+            F.round(F.col("_oov") / F.col("total") + F.lit(1e-9), 6).alias(
+                "oov_rate"
+            ),
+            "oov_types",
+        )
+    )
