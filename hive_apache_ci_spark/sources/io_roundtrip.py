@@ -645,3 +645,71 @@ def io_zorder_layout(spark, sf_dir):
 io_zorder_layout.__doc__ = io_zorder_layout.__doc__.replace(
     "{B}", str(_Z_BITS)
 ).replace("{L2}", str(_Z_BUCKETS_LOG2))
+
+
+# ---- Python DataSource API (Spark 4.0 custom connector) ------------------
+
+_PYDS_ROWS = 1000
+_PYDS_PARTS = 8
+
+
+@query(
+    "io_python_datasource",
+    oracle=f"""
+    SELECT i,
+           CAST(i % {_PYDS_PARTS} AS INT) AS part,
+           md5(CAST(i AS VARCHAR))        AS h
+    FROM range({_PYDS_ROWS}) r(i)
+    """,
+)
+def io_python_datasource(spark, sf_dir):
+    """Custom connector via the Spark 4 Python DataSource API (the
+    pure-Python successor to DataSource V2 for source authoring — the
+    extension point Hive served with custom SerDes/StorageHandlers): a
+    registered `DataSource` whose reader declares {P} `InputPartition`s,
+    each generating its deterministic row slice executor-side. This is
+    the template for bespoke 100 TB ingests (internal APIs, tensor
+    stores, proprietary formats): partition planning happens driver-side
+    and is the unit of parallelism/locality, generation streams
+    batch-wise per partition, and Spark sees an ordinary relation —
+    filters/pruning compose on top. Oracled by regenerating the identical
+    rows relationally (range + md5)."""
+    import hashlib
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    rows_per = _PYDS_ROWS // _PYDS_PARTS
+
+    class RangeDocReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(p) for p in range(_PYDS_PARTS)]
+
+        def read(self, partition):
+            p = partition.value
+            # round-robin assignment i % PARTS == p (mirrors a sharded
+            # fetch where each task owns one remote shard)
+            for i in range(p, _PYDS_ROWS, _PYDS_PARTS):
+                yield (i, p, hashlib.md5(str(i).encode()).hexdigest())
+
+    class RangeDocSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "hive_apache_ci_rangedoc"
+
+        def schema(self):
+            return "i bigint, part int, h string"
+
+        def reader(self, schema):
+            return RangeDocReader()
+
+    spark.dataSource.register(RangeDocSource)
+    return spark.read.format("hive_apache_ci_rangedoc").load()
+
+
+io_python_datasource.__doc__ = io_python_datasource.__doc__.replace(
+    "{P}", str(_PYDS_PARTS)
+)
