@@ -649,3 +649,104 @@ def _build_topk_trending(src, spark, sf_dir):
             "n",
         )
     )
+
+
+@query(
+    "stream_upsert_latest_state",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id)
+               AS last_type,
+           CAST(max(floor(epoch(ts))) AS BIGINT) AS last_ts,
+           CAST(count(*) AS BIGINT)       AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_upsert_latest_state(spark, sf_dir):
+    """Streaming UPSERT into a keyed state table via foreachBatch MERGE —
+    the CDC-to-lakehouse topology: every micro-batch reduces to one row
+    per user (latest event by (ts, event_id), plus a batch event count),
+    then merges copy-on-write into the running state table (new users
+    insert; existing users take the newer event and accumulate counts —
+    exactly merge_into_upsert's WHEN MATCHED/NOT MATCHED split, applied
+    incrementally). The final table equals the batch per-user aggregate
+    whatever the batch boundaries were, which is what the oracle states —
+    and the result is read back from the SINK, so checkpointed merge
+    idempotence is what's actually being graded. At 100 TB the state
+    table is key-partitioned and each merge touches only matched
+    partitions (Delta/Iceberg MERGE; here copy-on-write parquet)."""
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join("/tmp", "hive_apache_ci_spark_stream", tag, "upsert")
+    shutil.rmtree(base, ignore_errors=True)
+    state_dir = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        key = F.col("ts").cast("long") * 10000000 + F.col("event_id")
+        inc = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max_by("event_type", key).alias("last_type"),
+                F.max(key).alias("last_key"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+        sess = batch_df.sparkSession
+        try:
+            cur = sess.read.parquet(state_dir)
+            have_state = True
+        except Exception:
+            have_state = False
+        if have_state:
+            c = cur.select(
+                F.col("user_id"),
+                F.col("last_type").alias("c_type"),
+                F.col("last_key").alias("c_key"),
+                F.col("n_events").alias("c_n"),
+            )
+            merged = c.join(inc, "user_id", "full_outer").select(
+                "user_id",
+                F.when(
+                    F.col("last_key").isNull()
+                    | (F.col("c_key") > F.col("last_key")),
+                    F.coalesce("c_type", "last_type"),
+                )
+                .otherwise(F.col("last_type"))
+                .alias("last_type"),
+                F.greatest(
+                    F.coalesce("c_key", F.lit(-1)),
+                    F.coalesce("last_key", F.lit(-1)),
+                ).alias("last_key"),
+                (F.coalesce("c_n", F.lit(0)) + F.coalesce("n_events", F.lit(0)))
+                .cast("bigint")
+                .alias("n_events"),
+            )
+        else:
+            merged = inc.select(
+                "user_id", "last_type", "last_key",
+                F.col("n_events").cast("bigint").alias("n_events"),
+            )
+        out = merged.localCheckpoint()  # detach from the files being replaced
+        out.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream_upsert_latest_state did not finish")
+    finally:
+        q.stop()
+    return spark.read.parquet(state_dir).select(
+        "user_id",
+        "last_type",
+        (F.col("last_key") / 10000000).cast("bigint").alias("last_ts"),
+        "n_events",
+    )
