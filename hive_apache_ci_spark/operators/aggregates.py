@@ -762,3 +762,47 @@ def agg_contribution_share(spark, sf_dir):
         "revenue",
         F.round(F.col("revenue") / F.col("t") + 1e-9, 6).alias("share"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id,
+             CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                  WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                  WHEN 'error' THEN 4 ELSE 5 END AS code
+      FROM events
+    )
+    SELECT user_id,
+           CAST(bit_or(CAST(1 AS BIGINT) << code) AS BIGINT) AS type_mask,
+           CAST(bit_count(bit_or(CAST(1 AS BIGINT) << code)) AS INT)
+               AS n_distinct_types,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM coded GROUP BY user_id
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """Bitmap-encoded distinct aggregation (the Hive EWAH-bitmap-UDAF
+    role, SURVEY §2.4): each event type maps to a bit position, per-user
+    membership folds with bit_or, and COUNT(DISTINCT type) degenerates to
+    a popcount on the mask. For small-cardinality domains this turns a
+    distinct-agg (two-phase Expand in Catalyst) into a plain 8-byte
+    commutative aggregate — map-side combine is a single OR, the exchange
+    carries one long per group, and masks from different partitions/days
+    merge with OR again (the same property Roaring bitmaps give unbounded
+    domains). Exact integers end-to-end."""
+    e = T(spark, sf_dir, "events")
+    # shiftleft's Python signature takes a literal shift; a per-row shift
+    # needs the SQL form
+    bit = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CASE event_type"
+        " WHEN 'view' THEN 0 WHEN 'click' THEN 1 WHEN 'purchase' THEN 2"
+        " WHEN 'signup' THEN 3 WHEN 'error' THEN 4 ELSE 5 END)"
+    )
+    mask = F.bit_or(bit)
+    return e.groupBy("user_id").agg(
+        mask.cast("bigint").alias("type_mask"),
+        F.bit_count(mask).cast("int").alias("n_distinct_types"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
