@@ -1706,3 +1706,113 @@ def dedup_semdedup_clusters(spark, sf_dir):
 dedup_semdedup_clusters.__doc__ = dedup_semdedup_clusters.__doc__.replace(
     "{K}", str(_KM_K)
 ).replace("{TH}", str(_SEMDEDUP_TH))
+
+
+# ---- cluster topic report (cluster-then-describe) ------------------------
+
+
+def _cluster_topics_oracle() -> str:
+    return f"""
+    WITH {_kmeans_ctes()},
+    toks AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''))) AS t
+      FROM documents
+    ),
+    csize AS (SELECT cid, count(*) AS n FROM a{_KM_ITERS} GROUP BY cid),
+    corpus_df AS (SELECT t, count(*) AS df_all FROM toks GROUP BY t),
+    ntot AS (SELECT count(*) AS n_docs FROM embeddings),
+    cdf AS (
+      SELECT a.cid, k.t, count(*) AS df_c
+      FROM a{_KM_ITERS} a JOIN toks k ON k.doc_id = a.vec_id
+      GROUP BY a.cid, k.t
+    ),
+    scored AS (
+      SELECT c.cid, c.t, c.df_c,
+             round(c.df_c * 1.0 / s.n
+                   - d.df_all * 1.0 / (SELECT n_docs FROM ntot)
+                   + 1e-9, 6) AS lift
+      FROM cdf c JOIN csize s ON c.cid = s.cid
+      JOIN corpus_df d ON c.t = d.t
+    )
+    SELECT cid, rk, t AS token, CAST(df_c AS BIGINT) AS df_in_cluster, lift
+    FROM (SELECT cid, t, df_c, lift,
+                 row_number() OVER (PARTITION BY cid
+                                    ORDER BY lift DESC, t) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """
+
+
+@query("cluster_topics_report", oracle=_cluster_topics_oracle())
+def cluster_topics_report(spark, sf_dir):
+    """Cluster-then-describe corpus exploration: k-means over embeddings
+    (the shared quantized Lloyd dataflow), then each cluster summarized by
+    its 3 most DISTINCTIVE tokens — ranked by document-frequency lift
+    (in-cluster df share minus corpus df share), which surfaces what makes
+    a cluster different rather than globally common words. The cross-modal
+    vec_id↔doc_id join is the repo's established convention
+    (dedup_semantic_text_confirm).
+
+    100 TB shape: per-(cluster, token) df is one shuffle keyed by (cid,
+    token) over distinct doc-token pairs; cluster sizes and corpus df are
+    side aggregates (broadcast); ranking windows run over
+    vocabulary-per-cluster rows. Clustering itself is the oracled
+    fixed-round Lloyd, so the WHOLE report hash-matches."""
+    from pyspark.sql import Window as W
+
+    cent, assign = _kmeans_train(spark, sf_dir)
+    d = T(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower("text"), r"\s+"),
+                        lambda x: x != "",
+                    )
+                )
+            ).alias("t"),
+        )
+    )
+    a = assign.select("vec_id", "cid")
+    csize = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    corpus_df = toks.groupBy("t").agg(F.count(F.lit(1)).alias("df_all"))
+    ntot = T(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    cdf = (
+        a.join(toks, a["vec_id"] == toks["doc_id"])
+        .groupBy("cid", "t")
+        .agg(F.count(F.lit(1)).alias("df_c"))
+    )
+    scored = (
+        cdf.join(csize, "cid")
+        .join(corpus_df, "t")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "cid",
+            "t",
+            "df_c",
+            F.round(
+                F.col("df_c") * 1.0 / F.col("n")
+                - F.col("df_all") * 1.0 / F.col("n_docs")
+                + F.lit(1e-9),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = W.partitionBy("cid").orderBy(F.desc("lift"), "t")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "cid",
+            "rk",
+            F.col("t").alias("token"),
+            F.col("df_c").cast("bigint").alias("df_in_cluster"),
+            "lift",
+        )
+    )
