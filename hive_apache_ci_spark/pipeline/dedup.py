@@ -1615,3 +1615,194 @@ def dedup_minhash_eval(spark, sf_dir):
 dedup_minhash_eval.__doc__ = dedup_minhash_eval.__doc__.replace(
     "{TH}", str(_EVAL_TH)
 )
+
+
+# ---- dedup ladder funnel report ------------------------------------------
+
+_LADDER_JACC_TH = 0.5
+
+
+def _ladder_oracle() -> str:
+    from .similarity import _cos_sql, lsh_tb_cte_sql
+    return f"""
+    WITH k1 AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                              i -> concat(a[i], ' ', a[i+1])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+            FROM documents WHERE doc_id IN (SELECT doc_id FROM k1))
+    ),
+    clean AS (SELECT * FROM sh WHERE shingle <> ''),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS ha,
+             CAST(('0x' || substr(md5(shingle), 17, 15)) AS BIGINT)
+               % {MINHASH_P} AS hb
+      FROM clean
+    ),
+    sig AS (
+      SELECT doc_id, seed,
+             CAST(min((ha + (seed + 1) * hb) % {MINHASH_P}) AS VARCHAR)
+                 AS minhash
+      FROM hashed, unnest(range(0, {N_HASHES})) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(seed / {BAND_ROWS}) AS INTEGER) AS band,
+             md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+      FROM sig GROUP BY doc_id, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ),
+    packed AS (
+      SELECT doc_id, list(shingle) AS s FROM clean GROUP BY doc_id
+    ),
+    confirmed2 AS (
+      SELECT c.doc_a, c.doc_b FROM cand c
+      JOIN packed pa ON pa.doc_id = c.doc_a
+      JOIN packed pb ON pb.doc_id = c.doc_b
+      WHERE len(list_intersect(pa.s, pb.s)) * 1.0
+            / nullif(len(list_distinct(pa.s || pb.s)), 0)
+            >= {_LADDER_JACC_TH}
+    ),
+    removed2 AS (SELECT DISTINCT doc_b AS doc_id FROM confirmed2),
+    k2 AS (SELECT doc_id FROM k1 WHERE doc_id NOT IN
+           (SELECT doc_id FROM removed2)),
+    {lsh_tb_cte_sql()},
+    ecand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+             a.embedding AS ea, b.embedding AS eb
+      FROM tb a JOIN tb b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id < a.vec_id
+      WHERE a.vec_id IN (SELECT doc_id FROM k2)
+        AND b.vec_id IN (SELECT doc_id FROM k2)
+    ),
+    confirmed3 AS (
+      SELECT va, vb FROM ecand
+      WHERE round({_cos_sql('ea', 'eb')} + 1e-9, 6) > {_COS_DEDUP_TH}
+    ),
+    removed3 AS (SELECT DISTINCT va AS doc_id FROM confirmed3),
+    n AS (
+      SELECT (SELECT count(*) FROM documents)  AS n0,
+             (SELECT count(*) FROM k1)         AS n1,
+             (SELECT count(*) FROM removed2)   AS r2,
+             (SELECT count(*) FROM k2)         AS n2,
+             (SELECT count(*) FROM removed3
+               WHERE doc_id IN (SELECT doc_id FROM k2)) AS r3
+      )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'exact' AS method,
+             CAST(n0 AS BIGINT) AS docs_in,
+             CAST(n0 - n1 AS BIGINT) AS docs_removed,
+             CAST(n1 AS BIGINT) AS docs_out
+      FROM n
+      UNION ALL
+      SELECT 2, 'minhash_jaccard', CAST(n1 AS BIGINT),
+             CAST(r2 AS BIGINT), CAST(n2 AS BIGINT) FROM n
+      UNION ALL
+      SELECT 3, 'embedding_cosine', CAST(n2 AS BIGINT),
+             CAST(r3 AS BIGINT), CAST(n2 - r3 AS BIGINT) FROM n
+    )
+    """
+
+
+@query("dedup_ladder_report", oracle=_ladder_oracle())
+def dedup_ladder_report(spark, sf_dir):
+    """The production dedup LADDER as one composed dataflow, reported as a
+    funnel: (1) exact content-hash dedup, (2) MinHash-LSH candidates
+    confirmed by exact shingle Jaccard >= {TH} (cheap surface dup), (3)
+    embedding-cosine near-dup among the survivors (semantic dup) — each
+    stage consuming the previous stage's survivor set, which is how the
+    stages interact in a real 100 TB corpus build (cheapest filter first,
+    each later stage sees less data). Direct min-id collapse per stage
+    (the transitive-closure variant is dedup_connected_components). The
+    composition — survivor-set threading included — is hash-checked
+    against the oracle replaying the identical three stages."""
+    d = T(spark, sf_dir, "documents")
+    k1 = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    d1 = d.join(k1, "doc_id", "left_semi")
+    bands = lsh_bands(minhash_signatures(d1))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    packed = d1.select(
+        "doc_id",
+        F.filter(_shingles(F.col("text")), lambda x: x != "").alias("s"),
+    )
+    pa = packed.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    pb = packed.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    jacc = F.size(F.array_intersect("sa", "sb")) * 1.0 / F.nullif(
+        F.size(F.array_union("sa", "sb")), F.lit(0)
+    )
+    confirmed2 = (
+        cand.join(pa, "doc_a").join(pb, "doc_b")
+        .filter(jacc >= _LADDER_JACC_TH)
+        .select("doc_a", "doc_b")
+    )
+    removed2 = (
+        confirmed2.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    k2 = k1.join(removed2, "doc_id", "left_anti").localCheckpoint()
+    epairs = _confirmed_cosine_pairs(spark, sf_dir)
+    k2v = k2.select(F.col("doc_id").alias("v"))
+    confirmed3 = epairs.join(
+        k2v, epairs["va"] == k2v["v"], "left_semi"
+    ).join(k2v, epairs["vb"] == k2v["v"], "left_semi")
+    # All stage counts stay IN the plan (single-row aggregates cross-joined
+    # broadcast — the repo's scalar-total pattern): no driver-side action
+    # ever materializes the pipeline, and the returned relation is lazy.
+    n = (
+        d.agg(F.count(F.lit(1)).alias("n0"))
+        .crossJoin(F.broadcast(k1.agg(F.count(F.lit(1)).alias("n1"))))
+        .crossJoin(F.broadcast(removed2.agg(F.count(F.lit(1)).alias("r2"))))
+        .crossJoin(
+            F.broadcast(
+                confirmed3.select("va").distinct().agg(
+                    F.count(F.lit(1)).alias("r3")
+                )
+            )
+        )
+    )
+    def stage(num, method, d_in, d_rm, d_out):
+        return n.select(
+            F.lit(num).cast("int").alias("stage"),
+            F.lit(method).alias("method"),
+            d_in.cast("bigint").alias("docs_in"),
+            d_rm.cast("bigint").alias("docs_removed"),
+            d_out.cast("bigint").alias("docs_out"),
+        )
+    c = F.col
+    return (
+        stage(1, "exact", c("n0"), c("n0") - c("n1"), c("n1"))
+        .unionAll(stage(2, "minhash_jaccard", c("n1"), c("r2"),
+                        c("n1") - c("r2")))
+        .unionAll(stage(3, "embedding_cosine", c("n1") - c("r2"), c("r3"),
+                        c("n1") - c("r2") - c("r3")))
+    )
+
+
+dedup_ladder_report.__doc__ = dedup_ladder_report.__doc__.replace(
+    "{TH}", str(_LADDER_JACC_TH)
+)
