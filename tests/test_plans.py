@@ -438,3 +438,10 @@ def test_iterative_trainers_no_cartesian(spark):
                  "graph_kcore_membership"):
         p = plan(spark, name)
         assert "CartesianProduct" not in p, (name, p)
+
+
+def test_rfm_scaled_no_global_window(spark):
+    """The scaled RFM variant must run every window partitioned by shard —
+    no empty-partition (single-reducer) windowspec anywhere."""
+    p = plan(spark, "window_rfm_scaled")
+    assert "SinglePartition" not in p, p
