@@ -442,6 +442,16 @@ def test_iterative_trainers_no_cartesian(spark):
 
 def test_rfm_scaled_no_global_window(spark):
     """The scaled RFM variant must run every window partitioned by shard —
-    no empty-partition (single-reducer) windowspec anywhere."""
+    no empty-partition (single-reducer) WINDOW anywhere (the tiny scalar
+    aggregates legitimately use SinglePartition exchanges; windows must
+    not)."""
+    import re
+
     p = plan(spark, "window_rfm_scaled")
-    assert "SinglePartition" not in p, p
+    assert "Window" in p, p
+    assert "hashpartitioning(shard" in p, p
+    # every windowspecdefinition must be the shard-partitioned one — none
+    # ordered directly by a raw metric with an empty partition clause
+    assert not re.search(
+        r"windowspecdefinition\((last_order_s|frequency|monetary)", p
+    ), p
