@@ -806,3 +806,78 @@ def agg_bitmap_distinct(spark, sf_dir):
         F.bit_count(mask).cast("int").alias("n_distinct_types"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "market_basket_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey <= 200
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    freq AS (SELECT l_partkey, count(*) AS f FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS nb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b,
+           CAST(nb AS BIGINT) AS n_both,
+           round(nb * 1.0 / n.n_orders + 1e-9, 6) AS support,
+           round(nb * 1.0 * n.n_orders / (fa.f * fb.f) + 1e-9, 6) AS lift
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+    CROSS JOIN n
+    WHERE nb >= 2
+    """,
+)
+def market_basket_lift(spark, sf_dir):
+    """Market-basket co-occurrence mining (association-rules support/lift)
+    on a part slice: item pairs bought in the same order, their support,
+    and lift = P(a,b)/(P(a)·P(b)) — the classic retail affinity analysis
+    Hive warehouses run nightly. The pair join is keyed on the ORDER —
+    bounded by items-per-order (k), so pair volume is Σ k²/2 per order,
+    never catalog-squared; item frequencies and the order count are
+    broadcast side aggregates. All counts exact integers; support/lift
+    are rounded ratios of them. The part-slice predicate is pushed to the
+    scan (standard mining practice: mine within a category)."""
+    li = T(spark, sf_dir, "lineitem")
+    items = (
+        li.filter(F.col("l_partkey") <= 200)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("both"))
+        .filter(F.col("both") >= 2)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("f").alias("fa"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("f").alias("fb"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("both").cast("bigint").alias("n_both"),
+            F.round(F.col("both") * 1.0 / F.col("n_orders") + F.lit(1e-9), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("both") * 1.0 * F.col("n_orders") / (F.col("fa") * F.col("fb"))
+                + F.lit(1e-9),
+                6,
+            ).alias("lift"),
+        )
+    )
