@@ -904,3 +904,71 @@ def events_path_analysis(spark, sf_dir):
         .filter(F.col("rk") <= 10)
         .select("rk", "path", "n")
     )
+
+
+@query(
+    "events_lateness_audit",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type,
+             floor(epoch(ts)) AS ts_s,
+             max(floor(epoch(ts))) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS high_water
+      FROM events
+    ),
+    late AS (
+      SELECT event_type, high_water - ts_s AS late_s FROM arr
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(late_s, 0.5) + 1e-9, 4)  AS p50_late_s,
+           round(quantile_cont(late_s, 0.95) + 1e-9, 4) AS p95_late_s,
+           CAST(max(late_s) AS BIGINT)                  AS max_late_s,
+           round(sum(CASE WHEN late_s > 600 THEN 1 ELSE 0 END) * 1.0
+                 / count(*) + 1e-9, 6) AS share_over_10min
+    FROM late GROUP BY event_type
+    """,
+)
+def events_lateness_audit(spark, sf_dir):
+    """Watermark-sizing audit: per event type, how late events arrive
+    relative to the running event-time high-water mark in ARRIVAL order
+    (event_id as the arrival proxy) — p50/p95/max lateness and the share
+    beyond 10 minutes. This is the report that justifies (or indicts) the
+    streaming jobs' '10 minutes' watermark: rows in the >10 min share are
+    exactly what those jobs would drop. The running max is a per-type
+    partitioned window (one exchange keyed on type, each partition
+    streamed once); quantiles are exact per-(type) cells."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts_s = F.floor(F.col("ts").cast("long"))
+    arr = e.select(
+        "event_type",
+        ts_s.alias("ts_s"),
+        F.max(ts_s).over(w).alias("high_water"),
+    )
+    late = arr.select(
+        "event_type", (F.col("high_water") - F.col("ts_s")).alias("late_s")
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.percentile("late_s", F.lit(0.5)) + F.lit(1e-9), 4).alias(
+            "p50_late_s"
+        ),
+        F.round(F.percentile("late_s", F.lit(0.95)) + F.lit(1e-9), 4).alias(
+            "p95_late_s"
+        ),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+        F.round(
+            F.sum(F.when(F.col("late_s") > 600, 1).otherwise(0)) * 1.0
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            6,
+        ).alias("share_over_10min"),
+    )
