@@ -1122,7 +1122,7 @@ def _pq_oracle() -> str:
     WITH {_pq_ctes()}
     SELECT vec_id,
            string_agg(CAST(cid AS VARCHAR), '|' ORDER BY s) AS codes,
-           round(sum(d2) + 1e-9, 6) AS quant_err
+           round(sum(d2) + 1e-9, 4) AS quant_err
     FROM a{_PQ_ITERS}
     GROUP BY vec_id
     """
@@ -1153,7 +1153,11 @@ def embedding_pq_codes(spark, sf_dir):
                 lambda st: st.getField("cid").cast("string"),
             ),
         ).alias("codes"),
-        F.round(F.sum("d2") + F.lit(1e-9), 6).alias("quant_err"),
+        # 4dp, matching kmeans_lloyd's inertia: the summed 9dp partials
+        # carry run-order float noise that a 6dp cut was once observed to
+        # flip (one sweep in ~10); 4dp puts the cut 100x further from the
+        # noise floor on BOTH engines
+        F.round(F.sum("d2") + F.lit(1e-9), 4).alias("quant_err"),
     )
 
 
