@@ -883,3 +883,65 @@ def join_fuzzy_blocked(spark, sf_dir):
         .filter(F.col("edit_dist") <= 1)
         .select("key_a", "key_b", F.col("edit_dist").cast("int"))
     )
+
+
+@query(
+    "supplier_lead_time_p95",
+    oracle="""
+    WITH lt AS (
+      SELECT l.l_suppkey,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS lead_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    per_supp AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS BIGINT)                        AS n_lines,
+             round(quantile_cont(lead_days, 0.5) + 1e-9, 4)  AS p50_days,
+             round(quantile_cont(lead_days, 0.95) + 1e-9, 4) AS p95_days
+      FROM lt GROUP BY l_suppkey
+    )
+    SELECT rk, l_suppkey, n_lines, p50_days, p95_days
+    FROM (SELECT l_suppkey, n_lines, p50_days, p95_days,
+                 row_number() OVER (ORDER BY p95_days DESC, l_suppkey) AS rk
+          FROM per_supp)
+    WHERE rk <= 20
+    """,
+)
+def supplier_lead_time_p95(spark, sf_dir):
+    """Supplier fulfillment SLA report: order-to-ship lead time per
+    supplier (lineitem⋈orders on the order key), exact p50/p95 in days,
+    ranked to the 20 slowest suppliers by p95 — the operational join+
+    derived-duration+grouped-quantile shape. One fact-fact equi-join on
+    l_orderkey (orders projected to two columns before the join —
+    pruned at scan), one supplier-keyed percentile agg (exactness viable
+    per-group), and a ranking window over the supplier-sized aggregate
+    only."""
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lead = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    per_supp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("l_suppkey", lead.alias("lead_days"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.percentile("lead_days", F.lit(0.5)) + F.lit(1e-9), 4
+            ).alias("p50_days"),
+            F.round(
+                F.percentile("lead_days", F.lit(0.95)) + F.lit(1e-9), 4
+            ).alias("p95_days"),
+        )
+    )
+    w = Window.orderBy(F.desc("p95_days"), "l_suppkey")
+    return (
+        per_supp.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("rk", "l_suppkey", "n_lines", "p50_days", "p95_days")
+    )
