@@ -811,9 +811,13 @@ def agg_bitmap_distinct(spark, sf_dir):
 @query(
     "market_basket_lift",
     oracle="""
-    WITH items AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      WHERE l_partkey <= 200
+    WITH bound AS (
+      SELECT CAST(ceil(max(l_partkey) / 10.0) AS BIGINT) AS part_bound
+      FROM lineitem
+    ),
+    items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem, bound
+      WHERE l_partkey <= bound.part_bound
     ),
     n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
     freq AS (SELECT l_partkey, count(*) AS f FROM items GROUP BY l_partkey),
@@ -842,11 +846,17 @@ def market_basket_lift(spark, sf_dir):
     bounded by items-per-order (k), so pair volume is Σ k²/2 per order,
     never catalog-squared; item frequencies and the order count are
     broadcast side aggregates. All counts exact integers; support/lift
-    are rounded ratios of them. The part-slice predicate is pushed to the
-    scan (standard mining practice: mine within a category)."""
+    are rounded ratios of them. The part slice is DATA-DERIVED (the lowest
+    tenth of the part-key domain, computed as a broadcast scalar) so the
+    query is non-vacuous at every scale factor — a fixed absolute key bound
+    stops co-occurring as the catalog grows with SF."""
     li = T(spark, sf_dir, "lineitem")
+    bound = li.agg(
+        F.ceil(F.max("l_partkey") / F.lit(10.0)).cast("bigint").alias("part_bound")
+    )
     items = (
-        li.filter(F.col("l_partkey") <= 200)
+        li.crossJoin(F.broadcast(bound))
+        .filter(F.col("l_partkey") <= F.col("part_bound"))
         .select("l_orderkey", "l_partkey")
         .distinct()
     )

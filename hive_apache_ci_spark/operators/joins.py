@@ -677,15 +677,20 @@ def tpch_q8_market_share(spark, sf_dir):
     )
     SELECT l_partkey, value
     FROM supp_value
-    WHERE value > (SELECT sum(value) * 0.0002 FROM supp_value)
+    WHERE value > (SELECT round(avg(value) * 1.5, 4) FROM supp_value)
     ORDER BY value DESC, l_partkey
     LIMIT 50
     """,
 )
 def tpch_q11_important_stock(spark, sf_dir):
     """TPC-H Q11 adapted (important stock): HAVING against a scalar
-    fraction of the global sum — the same aggregate referenced at two
-    granularities (ReuseExchange territory)."""
+    fraction of the global aggregate — the same aggregate referenced at two
+    granularities (ReuseExchange territory). The cut is DATA-DERIVED
+    (1.5x the mean per-part value, like spec Q11's fraction scaling with
+    1/SF) so the result is non-vacuous at every scale factor; a fixed
+    fraction of the global SUM goes empty as the part catalog grows. The
+    threshold is rounded 4dp before the membership cut (2dp part values,
+    so cross-engine summation-order noise cannot flip membership)."""
     from ..catalog import load_tables
 
     load_tables(spark, sf_dir, register=True)
@@ -697,7 +702,7 @@ def tpch_q11_important_stock(spark, sf_dir):
         )
         SELECT l_partkey, value
         FROM supp_value
-        WHERE value > (SELECT sum(value) * 0.0002 FROM supp_value)
+        WHERE value > (SELECT round(avg(value) * 1.5, 4) FROM supp_value)
         ORDER BY value DESC, l_partkey
         LIMIT 50
         """

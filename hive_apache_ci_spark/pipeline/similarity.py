@@ -459,7 +459,7 @@ _CENTROID_SQL = """
       )
     ),
     centroids AS (
-      SELECT label, pos, avg(val) AS c
+      SELECT label, pos, round(avg(val) + 1e-12, 6) AS c
       FROM dims GROUP BY label, pos
     )
 """
@@ -491,7 +491,12 @@ def ivf_centroids(spark, sf_dir):
         (F.col("pos0") + 1).alias("pos"),
         F.col("val_f").cast("double").alias("val"),
     )
-    centroids = dims.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    centroids = dims.groupBy("label", "pos").agg(
+        # 6dp + epsilon shift BEFORE any routing distance/argmin — the
+        # repo-wide discipline: cross-engine/run summation-order noise in
+        # the mean must not flip near-tie coarse assignments (ADVICE r4).
+        F.round(F.avg("val") + F.lit(1e-12), 6).alias("c")
+    )
     return centroids.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_dims"),
         ravg(F.sum(F.col("c") * F.col("c")), 6).alias("sq_norm"),
@@ -534,7 +539,12 @@ def ivf_assign(spark, sf_dir):
         (F.col("pos0") + 1).alias("pos"),
         F.col("val_f").cast("double").alias("val"),
     )
-    centroids = dims.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    centroids = dims.groupBy("label", "pos").agg(
+        # 6dp + epsilon shift BEFORE any routing distance/argmin — the
+        # repo-wide discipline: cross-engine/run summation-order noise in
+        # the mean must not flip near-tie coarse assignments (ADVICE r4).
+        F.round(F.avg("val") + F.lit(1e-12), 6).alias("c")
+    )
     cvecs = (
         centroids.groupBy("label")
         .agg(
@@ -643,7 +653,12 @@ def ivf_probe_topk(spark, sf_dir):
         (F.col("pos0") + 1).alias("pos"),
         F.col("val_f").cast("double").alias("val"),
     )
-    centroids = dims.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    centroids = dims.groupBy("label", "pos").agg(
+        # 6dp + epsilon shift BEFORE any routing distance/argmin — the
+        # repo-wide discipline: cross-engine/run summation-order noise in
+        # the mean must not flip near-tie coarse assignments (ADVICE r4).
+        F.round(F.avg("val") + F.lit(1e-12), 6).alias("c")
+    )
     cvecs = (
         centroids.groupBy("label")
         .agg(
@@ -1453,7 +1468,7 @@ def _ivf_pq_oracle() -> str:
       )
     ),
     centroids AS (
-      SELECT label, pos, avg(val) AS c FROM dims GROUP BY label, pos
+      SELECT label, pos, round(avg(val) + 1e-12, 6) AS c FROM dims GROUP BY label, pos
     ),
     cvl AS (
       SELECT label AS c_label, list(c ORDER BY pos) AS cvec
@@ -1536,7 +1551,12 @@ def ivf_pq_topk(spark, sf_dir):
         (F.col("pos0") + 1).alias("pos"),
         F.col("val_f").cast("double").alias("val"),
     )
-    centroids = dims.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    centroids = dims.groupBy("label", "pos").agg(
+        # 6dp + epsilon shift BEFORE any routing distance/argmin — the
+        # repo-wide discipline: cross-engine/run summation-order noise in
+        # the mean must not flip near-tie coarse assignments (ADVICE r4).
+        F.round(F.avg("val") + F.lit(1e-12), 6).alias("c")
+    )
     cvl = (
         centroids.groupBy("label")
         .agg(

@@ -675,12 +675,24 @@ def stream_upsert_latest_state(spark, sf_dir):
     and the result is read back from the SINK, so checkpointed merge
     idempotence is what's actually being graded. At 100 TB the state
     table is key-partitioned and each merge touches only matched
-    partitions (Delta/Iceberg MERGE; here copy-on-write parquet)."""
+    partitions (Delta/Iceberg MERGE; here copy-on-write parquet).
+
+    Robustness notes (round-5 hardening): the state/checkpoint dirs carry a
+    per-run uuid so concurrent runs at the same SF cannot clobber each
+    other; "no prior state" is decided by the _SUCCESS commit marker, not
+    by catching arbitrary read errors (a transient FS failure now raises
+    instead of silently discarding accumulated state); and last_ts is
+    carried explicitly in the state table (max event-time seconds) instead
+    of being re-derived from the packed ordering key. The packed key
+    ts*1e7+event_id is used only for latest-event selection and assumes
+    event_id < 1e7 (asserted below)."""
     import shutil
+    import uuid
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    base = os.path.join("/tmp", "hive_apache_ci_spark_stream", tag, "upsert")
-    shutil.rmtree(base, ignore_errors=True)
+    base = os.path.join(
+        "/tmp", "hive_apache_ci_spark_stream", tag, f"upsert_{uuid.uuid4().hex}"
+    )
     state_dir = os.path.join(base, "state")
     ckpt = os.path.join(base, "ckpt")
 
@@ -691,20 +703,23 @@ def stream_upsert_latest_state(spark, sf_dir):
             .agg(
                 F.max_by("event_type", key).alias("last_type"),
                 F.max(key).alias("last_key"),
+                F.max(F.col("ts").cast("long")).alias("last_ts"),
                 F.count(F.lit(1)).alias("n_events"),
             )
         )
         sess = batch_df.sparkSession
-        try:
-            cur = sess.read.parquet(state_dir)
-            have_state = True
-        except Exception:
-            have_state = False
+        # Explicit existence gate: Spark commits a _SUCCESS marker with every
+        # completed parquet write. Absent marker => genuinely no prior state;
+        # present marker + failing read => real error, let it raise (never
+        # silently restart the accumulator from zero).
+        have_state = os.path.isfile(os.path.join(state_dir, "_SUCCESS"))
         if have_state:
+            cur = sess.read.parquet(state_dir)
             c = cur.select(
                 F.col("user_id"),
                 F.col("last_type").alias("c_type"),
                 F.col("last_key").alias("c_key"),
+                F.col("last_ts").alias("c_ts"),
                 F.col("n_events").alias("c_n"),
             )
             merged = c.join(inc, "user_id", "full_outer").select(
@@ -720,6 +735,10 @@ def stream_upsert_latest_state(spark, sf_dir):
                     F.coalesce("c_key", F.lit(-1)),
                     F.coalesce("last_key", F.lit(-1)),
                 ).alias("last_key"),
+                F.greatest(
+                    F.coalesce("c_ts", F.lit(-1)),
+                    F.coalesce("last_ts", F.lit(-1)),
+                ).cast("bigint").alias("last_ts"),
                 (F.coalesce("c_n", F.lit(0)) + F.coalesce("n_events", F.lit(0)))
                 .cast("bigint")
                 .alias("n_events"),
@@ -727,13 +746,25 @@ def stream_upsert_latest_state(spark, sf_dir):
         else:
             merged = inc.select(
                 "user_id", "last_type", "last_key",
+                F.col("last_ts").cast("bigint").alias("last_ts"),
                 F.col("n_events").cast("bigint").alias("n_events"),
             )
         out = merged.localCheckpoint()  # detach from the files being replaced
         out.write.mode("overwrite").parquet(state_dir)
 
+    src = events_stream(spark, sf_dir)
+    # The packed ordering key is only correct while event_id < 1e7; the
+    # generator's ids are dense ints, so this holds through sf100 — assert
+    # rather than silently mis-order if the invariant ever breaks.
+    max_id = src.sparkSession.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).agg(F.max("event_id")).first()[0]
+    if max_id is not None and int(max_id) >= 10_000_000:
+        raise ValueError(
+            f"event_id {max_id} >= 1e7 breaks the packed ts*1e7+event_id ordering key"
+        )
     q = (
-        events_stream(spark, sf_dir)
+        src
         .writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
@@ -744,9 +775,13 @@ def stream_upsert_latest_state(spark, sf_dir):
             raise TimeoutError("stream_upsert_latest_state did not finish")
     finally:
         q.stop()
-    return spark.read.parquet(state_dir).select(
-        "user_id",
-        "last_type",
-        (F.col("last_key") / 10000000).cast("bigint").alias("last_ts"),
-        "n_events",
+    # Materialize the final state via localCheckpoint so the per-run /tmp
+    # dir can be removed immediately (the returned DataFrame no longer
+    # references the files on disk).
+    result = (
+        spark.read.parquet(state_dir)
+        .select("user_id", "last_type", "last_ts", "n_events")
+        .localCheckpoint()
     )
+    shutil.rmtree(base, ignore_errors=True)
+    return result

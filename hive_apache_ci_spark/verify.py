@@ -25,6 +25,13 @@ import duckdb
 from .catalog import TABLES
 from .registry import all_oracles, all_queries
 
+#: Queries whose EMPTY result is the semantically-correct answer under test
+#: (e.g. three-valued-logic NOT IN against a NULL-bearing list). Every other
+#: query returning 0 rows is flagged VACUOUS_EMPTY even when it hash-matches
+#: the oracle — "0 rows matched 0 rows" exercises nothing and hides
+#: thresholds that silently stop firing as the scale factor grows.
+EXPECTED_EMPTY: frozenset = frozenset({"subquery_not_in_null"})
+
 
 def _canon(v, ndigits: int | None = None):
     """Canonicalize a cell for cross-engine comparison."""
@@ -71,6 +78,9 @@ def compare_one(spark, con, name: str, sf_dir: str) -> dict:
     srows = [tuple(r) for r in sdf.collect()]
     scols = [c.lower() for c in sdf.columns]
     out = {"name": name, "rows": len(srows), "cols": scols}
+    if len(srows) == 0 and name not in EXPECTED_EMPTY:
+        out["status"] = "VACUOUS_EMPTY"
+        return out
     if oracle is None:
         out["status"] = "ROWS_ONLY"
         return out
