@@ -43,6 +43,9 @@ EXTRA_HEADLINERS = (
     "train_logreg_quality",
     "dedup_repeated_segments",
     "ivf_pq_topk",
+    # round-5: serving-path search against the materialized IVF-PQ index
+    # (cold run builds+publishes the index; warm reps are pure search)
+    "ivf_pq_search_topk",
 )
 
 

@@ -1023,19 +1023,20 @@ def _kmeans_train(spark, sf_dir):
         ),
         9,
     )
-    from pyspark.sql import Window as W
-
     assign = None
     for _ in range(_KM_ITERS):
         scored = vv.crossJoin(F.broadcast(cent)).select(
             "vec_id", "cid", d2.alias("d2")
         )
-        w = W.partitionBy("vec_id").orderBy("d2", "cid")
-        # per-round assign is not checkpointed — see _pq_train
+        # per-round assign is not checkpointed — see _pq_train.
+        # Argmin via min_by on the (d2, cid) struct — identical ordering to
+        # the former row_number window but a plain partial-aggregable
+        # hash-agg: no per-vector sort exchange per Lloyd round (the shape
+        # ivf_pq_topk's router already uses).
         assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cid", "d2")
+            scored.groupBy("vec_id")
+            .agg(F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
         )
         upd = (
             assign.join(dd, "vec_id")
@@ -1180,7 +1181,6 @@ def _pq_train(spark, sf_dir):
     """Shared PQ training dataflow: returns (vv sub-vectors, final (s, cid)
     codebook, final (vec_id, s, cid, d2) assignment) after the fixed Lloyd
     rounds — consumed by embedding_pq_codes and ivf_pq_topk."""
-    from pyspark.sql import Window as W
 
     e = T(spark, sf_dir, "embeddings")
     sub = spark.range(_PQ_M).select(F.col("id").cast("int").alias("s"))
@@ -1216,14 +1216,15 @@ def _pq_train(spark, sf_dir):
         scored = vv.join(F.broadcast(cent), "s").select(
             "vec_id", "s", "cid", d2.alias("d2")
         )
-        w = W.partitionBy("vec_id", "s").orderBy("d2", "cid")
         # assign carries NO cross-round state (next round scores from vv +
         # cent only), so it is not checkpointed per round — each barrier
-        # was a full extra job; only the tiny cent table pins the lineage
+        # was a full extra job; only the tiny cent table pins the lineage.
+        # min_by on the (d2, cid) struct = the old row_number ordering with
+        # no per-(vec,subspace) sort exchange (see _kmeans_train).
         assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "s", "cid", "d2")
+            scored.groupBy("vec_id", "s")
+            .agg(F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", "s", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
         )
         upd = (
             assign.join(dd, ["vec_id", "s"])
@@ -1635,6 +1636,253 @@ ivf_pq_topk.__doc__ = (
     .replace("{K}", str(_PQ_K))
     .replace("{SUB}", str(_PQ_SUB))
 )
+
+
+# ---- IVF-PQ index lifecycle: build/materialize once, search many ---------
+#
+# ivf_pq_topk runs train + search in ONE query — correct, but not
+# production's topology: there the codebook/codes/routing tables are built
+# once, persisted, and every search reads them. These two queries model
+# that split: `ivf_pq_build_index` trains and MATERIALIZES the four index
+# tables (coarse centroids, coarse routing, PQ codebook, PQ codes) as
+# parquet, and `ivf_pq_search_topk` answers top-k reading ONLY the
+# materialized index + the query vectors — so the benched search cost is
+# the true serving cost (LUT build + code lookups), with zero training in
+# the plan. Index content is fully deterministic (6dp/9dp quantized), so
+# the build is idempotent and a racing concurrent build publishes
+# byte-identical data.
+
+_PQ_INDEX_VERSION = "r5"
+
+
+def _pq_index_dir(sf_dir: str) -> str:
+    """Materialized-index location, keyed by recipe version AND the source
+    file's identity (mtime+size) so regenerated testdata or a changed
+    training recipe can never serve a stale index."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    return os.path.join(
+        "/tmp",
+        "hive_apache_ci_spark_index",
+        f"ivfpq_{_PQ_INDEX_VERSION}_{tag}_{st.st_mtime_ns}_{st.st_size}",
+    )
+
+
+def _ivf_pq_index_frames(spark, sf_dir):
+    """The four index artifacts as (unmaterialized) DataFrames:
+    coarse (c_label, cvec), routing (vec_id, c_label),
+    codebook (s, cid, cvec), codes (vec_id, s, cid)."""
+    _vv, cent, assign = _pq_train(spark, sf_dir)
+    e = T(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "val_f")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    centroids = dims.groupBy("label", "pos").agg(
+        F.round(F.avg("val") + F.lit(1e-12), 6).alias("c")
+    )
+    coarse = (
+        centroids.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    routing = (
+        e.select("vec_id", "embedding")
+        .join(F.broadcast(coarse))
+        .select("vec_id", "c_label", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("c_label", F.col("d2") + F.col("c_label") * 1e-12).alias(
+                "c_label"
+            )
+        )
+    )
+    codes = assign.select("vec_id", "s", "cid")
+    return coarse, routing, cent, codes
+
+
+def _ensure_pq_index(spark, sf_dir: str, rebuild: bool = False) -> str:
+    """Train and atomically publish the index if absent; return its dir.
+    Publish = write to a uuid temp dir, then os.rename into the final path
+    (POSIX-atomic). A concurrent builder that loses the rename race simply
+    discards its attempt — the content is deterministic, so the winner's
+    copy is identical."""
+    import os
+    import shutil
+    import uuid
+
+    final = _pq_index_dir(sf_dir)
+    if os.path.isfile(os.path.join(final, "_SUCCESS")) and not rebuild:
+        return final
+    tmp = final + ".build." + uuid.uuid4().hex
+    coarse, routing, codebook, codes = _ivf_pq_index_frames(spark, sf_dir)
+    coarse.write.mode("overwrite").parquet(os.path.join(tmp, "coarse"))
+    routing.write.mode("overwrite").parquet(os.path.join(tmp, "routing"))
+    codebook.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
+    codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: same bytes won
+    return final
+
+
+@query(
+    "ivf_pq_build_index",
+    oracle=f"""
+    WITH {_pq_ctes()}
+    SELECT c.s, c.cid,
+           CAST(count(a.vec_id) AS BIGINT) AS n_vectors,
+           round(list_sum(list_transform(c.cvec, x -> x * x)) + 1e-9, 6)
+               AS c_sq_norm
+    FROM c{_PQ_ITERS} c
+    LEFT JOIN a{_PQ_ITERS} a ON a.s = c.s AND a.cid = c.cid
+    GROUP BY c.s, c.cid, c.cvec
+    """,
+)
+def ivf_pq_build_index(spark, sf_dir):
+    """IVF-PQ index BUILD: train the per-subspace PQ codebooks + coarse
+    router and materialize all four index tables to parquet (the once-per-
+    corpus production step), then report per-codeword occupancy + codebook
+    norms READ BACK FROM DISK — so the oracle validates the bytes that were
+    actually published, not the in-flight dataflow. Re-running always
+    retrains (the build is the operator under test); publish is atomic and
+    idempotent. At 100 TB the build is one corpus scan per Lloyd round and
+    the materialized index is ~(M codes + 1 label)/row, the artifact every
+    `ivf_pq_search_topk` serving query reuses."""
+    import os
+
+    idx = _ensure_pq_index(spark, sf_dir, rebuild=True)
+    codebook = spark.read.parquet(os.path.join(idx, "codebook"))
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    sq = F.round(
+        F.aggregate(
+            F.transform("cvec", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        + F.lit(1e-9),
+        6,
+    )
+    occ = codes.groupBy("s", "cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    return (
+        codebook.join(occ, ["s", "cid"], "left")
+        .select(
+            "s",
+            "cid",
+            F.coalesce("n_vectors", F.lit(0)).cast("bigint").alias("n_vectors"),
+            sq.alias("c_sq_norm"),
+        )
+    )
+
+
+@query("ivf_pq_search_topk", oracle=_ivf_pq_oracle())
+def ivf_pq_search_topk(spark, sf_dir):
+    """IVF-PQ SEARCH against the materialized index (built on first use,
+    then reused): the serving-path half of ivf_pq_topk. The plan touches
+    only (a) the query vectors, (b) the broadcast coarse-centroid table for
+    probe selection, (c) the `routing` table filtered to probed lists, and
+    (d) the `codes` table joined to the broadcast per-query LUT — the
+    corpus embedding column is never read. This is the number a serving
+    fleet sees: ADC scoring over M small-int codes per candidate, immune to
+    training cost. Results are identical to ivf_pq_topk (same quantized
+    index, same oracle)."""
+    import os
+
+    from pyspark.sql import Window
+
+    idx = _ensure_pq_index(spark, sf_dir)
+    coarse = spark.read.parquet(os.path.join(idx, "coarse"))
+    routing = spark.read.parquet(os.path.join(idx, "routing"))
+    codebook = spark.read.parquet(os.path.join(idx, "codebook"))
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("d2") + F.col("c_label") * 1e-12
+    )
+    probes = (
+        q.join(F.broadcast(coarse))
+        .select("query_id", "c_label", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(wprobe))
+        .filter(F.col("rk") <= _IVF_PROBE)
+        .select("query_id", "c_label")
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(routing, "c_label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    sub = spark.range(_PQ_M).select(F.col("id").cast("int").alias("s"))
+    qsub = (
+        q.crossJoin(F.broadcast(sub))
+        .select(
+            "query_id",
+            "s",
+            F.transform(
+                F.slice("embedding", F.col("s") * _PQ_SUB + 1, _PQ_SUB),
+                lambda x: x.cast("double"),
+            ).alias("qemb"),
+        )
+    )
+    pd2 = F.round(
+        F.aggregate(
+            F.zip_with("qemb", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    lut = qsub.join(codebook, "s").select("query_id", "s", "cid", pd2.alias("pd2"))
+    adc = (
+        cands.join(
+            codes.select(F.col("vec_id").alias("neighbor_id"), "s", "cid"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(lut), ["query_id", "s", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("pd2") + F.lit(1e-12), 8).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_d2")
+    )
 
 
 # ---- SemDeDup: semantic dedup within k-means clusters --------------------
