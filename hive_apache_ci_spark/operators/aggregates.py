@@ -293,6 +293,64 @@ def agg_percentile(spark, sf_dir):
 
 
 @query(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS exact_p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+           TRUE AS p50_rank_ok,
+           TRUE AS p95_rank_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_approx(spark, sf_dir):
+    """approx_percentile (Greenwald-Khanna sketch; Hive bridge
+    ``percentile_approx``) graded against its PUBLISHED guarantee: the
+    sketch's answer must be a data value whose true rank is within
+    n/accuracy of the target rank. The query computes the approximate p50/
+    p95 per group, joins back to count each answer's exact rank in-plan,
+    and emits the rank-bound verdict as a boolean next to the exact
+    (interpolated) percentiles — so the approximate operator runs under a
+    FULL hash oracle: the booleans are deterministic (GK is hash-free and
+    data-deterministic in Spark) and the oracle states them TRUE.
+
+    Scale: two scans of lineitem (sketch agg + rank count) with the 3-row
+    sketch result broadcast into the second; both are map-side partial
+    aggregates — no wide shuffle beyond the 3-group agg."""
+    acc = 1000
+    li = T(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.95, acc).alias("a95"),
+        F.percentile("l_extendedprice", 0.5).alias("e50"),
+        F.percentile("l_extendedprice", 0.95).alias("e95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranks = (
+        li.join(F.broadcast(ap.select("l_returnflag", "a50", "a95")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum((F.col("l_extendedprice") <= F.col("a50")).cast("long")).alias("r50"),
+            F.sum((F.col("l_extendedprice") <= F.col("a95")).cast("long")).alias("r95"),
+        )
+    )
+    slack = F.ceil(F.col("n") / acc) + 1
+    return (
+        ap.join(ranks, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("n").cast("bigint").alias("n"),
+            r4(F.col("e50")).alias("exact_p50"),
+            r4(F.col("e95")).alias("exact_p95"),
+            (F.abs(F.col("r50") - 0.5 * F.col("n")) <= slack).alias("p50_rank_ok"),
+            (F.abs(F.col("r95") - 0.95 * F.col("n")) <= slack).alias("p95_rank_ok"),
+        )
+    )
+
+
+@query(
     "agg_minmax_by",
     oracle="""
     SELECT o_orderstatus,
@@ -319,41 +377,105 @@ def agg_minmax_by(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct", oracle=None)
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HLL++) — Spark's upgrade over Hive 2.3's
-    exact-only count distinct; approximate → rows-only check (tests bound
-    the error vs exact in tests/test_aggregates.py)."""
+    exact-only count distinct — graded against its PUBLISHED error bound:
+    rsd=0.05, so |approx - exact| must stay within 3·rsd·exact (HLL++'s
+    estimate is hash-deterministic for fixed data, so the verdict boolean
+    is stable run-to-run and engine-independent). The bound check is
+    computed IN-PLAN next to the exact count, turning the approximate
+    operator into a fully hash-oracled entry (was rows-only; tests still
+    bound the error independently in tests/test_aggregates.py)."""
     return (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("exact_parts").cast("bigint").alias("exact_parts"),
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 3 * 0.05 * F.col("exact_parts")
+            ).alias("hll_within_bound"),
         )
     )
 
 
-@query("agg_histogram", oracle=None)
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(u.bin_idx AS INTEGER) AS bin_idx,
+           TRUE AS height_positive,
+           TRUE AS center_in_range,
+           TRUE AS centers_increasing,
+           TRUE AS heights_sum_to_n
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+    CROSS JOIN (SELECT unnest(range(0, 5)) AS bin_idx) u
+    """,
+)
 def agg_histogram(spark, sf_dir):
-    """histogram_numeric (GenericUDAFHistogramNumeric) — heuristic bin
-    placement differs per engine → rows-only check. Exploded to one row per
-    (flag, bin_idx, center, height) so every output column is a hashable
-    scalar (array-typed outputs crash the driver's canonicalizer)."""
-    return (
+    """histogram_numeric (GenericUDAFHistogramNumeric) — the bin PLACEMENT
+    is a merge-order heuristic no other engine reproduces, so the operator
+    is graded on its INVARIANTS, all computed in-plan per bin: height > 0,
+    center inside the group's [min, max], centers strictly increasing, and
+    heights summing to the group row count (the defining properties of the
+    Hive streaming-histogram algorithm). Each invariant is deterministic
+    for fixed data, making this a full hash-oracle entry (was rows-only);
+    the exact-bin complement stays `agg_histogram_fixed`. Exploded to one
+    row per (flag, bin_idx) so every output column is a hashable scalar."""
+    h = (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.expr("histogram_numeric(l_quantity, 5)").alias("qty_hist"))
-        .select(
+        .agg(
+            F.expr("histogram_numeric(l_quantity, 5)").alias("qty_hist"),
+            F.min("l_quantity").alias("qmin"),
+            F.max("l_quantity").alias("qmax"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy("bin_idx")
+    bins = (
+        h.select(
             "l_returnflag",
+            "qmin",
+            "qmax",
+            "n",
+            F.aggregate(
+                F.transform("qty_hist", lambda b: b.getField("y")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("height_sum"),
             F.posexplode("qty_hist").alias("bin_idx", "bin"),
         )
-        .select(
-            "l_returnflag",
-            "bin_idx",
-            F.round(F.col("bin.x"), 2).alias("bin_center"),
-            F.round(F.col("bin.y"), 2).alias("bin_height"),
-        )
+        .withColumn("prev_x", F.lag(F.col("bin.x")).over(w))
+    )
+    return bins.select(
+        "l_returnflag",
+        F.col("bin_idx").cast("int").alias("bin_idx"),
+        (F.col("bin.y") > 0).alias("height_positive"),
+        (
+            (F.col("bin.x") >= F.col("qmin")) & (F.col("bin.x") <= F.col("qmax"))
+        ).alias("center_in_range"),
+        (F.col("prev_x").isNull() | (F.col("bin.x") > F.col("prev_x"))).alias(
+            "centers_increasing"
+        ),
+        (F.abs(F.col("height_sum") - F.col("n")) < 1e-6).alias("heights_sum_to_n"),
     )
 
 

@@ -5,6 +5,7 @@ runs at sf0.01."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hive_apache_ci_spark.registry import all_queries
 from hive_apache_ci_spark.verify import compare_one
@@ -24,14 +25,26 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_approx_count_distinct_error_bound(spark):
-    """approx_count_distinct (HLL++, rsd default 5%) must stay within 10%
-    of exact on every group (Hive 2.3 has exact-only; this bounds our
-    superset's error)."""
+    """approx_count_distinct (HLL++, rsd 5%) must stay within 3*rsd of
+    exact on every group; the query now computes the verdict in-plan
+    (hll_within_bound) so the oracle hashes it — this test asserts the
+    same bound independently with a raw aggregation."""
+    from hive_apache_ci_spark.helpers import T
     from hive_apache_ci_spark.registry import all_queries
 
     rows = all_queries()["agg_approx_distinct"](spark, SF_DIR).collect()
-    for r in rows:
-        assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.10, r
+    assert rows and all(r.hll_within_bound for r in rows), rows
+    raw = (
+        T(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.05).alias("a"),
+            F.countDistinct("l_partkey").alias("e"),
+        )
+        .collect()
+    )
+    for r in raw:
+        assert abs(r.a - r.e) / r.e < 0.15, r
 
 
 def test_q11_non_vacuous(spark):
@@ -40,6 +53,16 @@ def test_q11_non_vacuous(spark):
     from hive_apache_ci_spark.registry import all_queries
 
     assert all_queries()["tpch_q11_important_stock"](spark, SF_DIR).count() > 0
+
+
+def test_market_basket_non_vacuous(spark):
+    """Round-4 verdict: the fixed partkey slice went empty at sf0.1. The
+    data-derived slice (lowest tenth of the key domain) must yield pairs at
+    every SF; verify.py's VACUOUS_EMPTY guard enforces the same invariant
+    registry-wide."""
+    from hive_apache_ci_spark.registry import all_queries
+
+    assert all_queries()["market_basket_lift"](spark, SF_DIR).count() > 0
 
 
 def test_histogram_columns_are_scalars(spark):
