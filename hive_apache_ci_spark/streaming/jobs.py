@@ -79,11 +79,20 @@ def _staged_events_dir(sf_dir: str) -> str:
     except OSError:
         fresh = False
     if not fresh:
-        shutil.rmtree(out, ignore_errors=True)
+        # Atomic refresh (no rmtree of a dir a concurrent stream may be
+        # reading): copy to a uuid temp file, os.replace over the target —
+        # any racing refresher publishes identical bytes, and readers only
+        # ever see a complete old or new file.
+        import uuid
+
         os.makedirs(out, exist_ok=True)
-        shutil.copy(src, marker)
-        with open(stamp_path, "w") as fh:
+        tmp = marker + ".tmp." + uuid.uuid4().hex
+        shutil.copy(src, tmp)
+        os.replace(tmp, marker)
+        tmp_stamp = stamp_path + ".tmp." + uuid.uuid4().hex
+        with open(tmp_stamp, "w") as fh:
             fh.write(stamp)
+        os.replace(tmp_stamp, stamp_path)
     return out
 
 
@@ -300,16 +309,22 @@ def stream_foreach_batch_sink(spark, sf_dir):
     parquet sink directory (the canonical 'stream into a lakehouse table'
     topology; exactly-once comes from checkpoint + idempotent overwrite of
     per-batch partitions on a real deployment). Returns the sink read back,
-    re-aggregated to batch-independent totals."""
+    re-aggregated to batch-independent totals. Per-run uuid sink/checkpoint
+    (round-5 hardening, same class as stream_upsert_latest_state: a fixed
+    path let two concurrent runs at one SF clobber each other); the
+    readback is localCheckpointed so the scratch dir is removed eagerly."""
     import shutil
+    import uuid
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    sink = os.path.join("/tmp", "hive_apache_ci_spark_stream", tag, "sink_fb")
+    sink = os.path.join(
+        "/tmp", "hive_apache_ci_spark_stream", tag, f"sink_fb_{uuid.uuid4().hex}"
+    )
+    run_foreach_batch_phase(events_stream(spark, sf_dir), sink)
+    result = foreach_batch_readback(spark, sink).localCheckpoint()
     shutil.rmtree(sink, ignore_errors=True)
     shutil.rmtree(sink + "_ckpt", ignore_errors=True)
-    run_foreach_batch_phase(events_stream(spark, sf_dir), sink)
-    shutil.rmtree(sink + "_ckpt", ignore_errors=True)
-    return foreach_batch_readback(spark, sink)
+    return result
 
 
 def run_foreach_batch_phase(source: DataFrame, sink: str) -> None:

@@ -168,6 +168,12 @@ def generate(force: bool = False) -> None:
 
 def main() -> int:
     force = "--regen" in sys.argv
+    # --all (round-5, VERDICT item 5): sweep the ENTIRE registry at sf0.1
+    # and sf1 with one timed run each — the cheapest structural check for
+    # the next vacuity/blowup class. The default mode keeps best-of-2 warm
+    # timing for the heavy set (trend-grade numbers); --all trades timing
+    # precision for coverage (the flag threshold is 30x, far above noise).
+    all_mode = "--all" in sys.argv
     generate(force)
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from hive_apache_ci_spark.registry import all_queries
@@ -176,18 +182,22 @@ def main() -> int:
     spark = get_spark("sf1-canary")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
+    names = sorted(qs.keys()) if all_mode else CANARY_QUERIES
     out: dict[str, dict] = {}
-    for name in CANARY_QUERIES:
+    for name in names:
         row: dict = {}
         for tag, sf_dir in [("sf01", SF01), ("sf1", SF1_DIR)]:
             try:
-                qs[name](spark, sf_dir).count()  # warm: plan + page cache
+                if not all_mode:
+                    qs[name](spark, sf_dir).count()  # warm: plan + page cache
+                reps = 1 if all_mode else 2
                 best = float("inf")
-                for _ in range(2):
+                for _ in range(reps):
                     t0 = time.perf_counter()
-                    qs[name](spark, sf_dir).count()
+                    n_rows = qs[name](spark, sf_dir).count()
                     best = min(best, time.perf_counter() - t0)
                 row[tag] = round(best, 3)
+                row[f"rows_{tag}"] = n_rows
             except Exception as exc:  # noqa: BLE001
                 print(f"canary: {name}@{tag} FAILED: {exc}", file=sys.stderr)
                 row[tag] = None
@@ -196,9 +206,13 @@ def main() -> int:
             # 10x data: <= 3x headroom over linear before we call it
             # super-linear (constant overheads make small ratios noisy)
             row["verdict"] = "linear-ish" if row["ratio"] <= 30 else "SUPER-LINEAR"
+            # vacuity companion: a query non-empty at sf0.1 but EMPTY at
+            # sf1 is the market_basket_lift failure class at one more SF
+            if row.get("rows_sf01", 0) > 0 and row.get("rows_sf1") == 0:
+                row["verdict"] = "VACUOUS-AT-SF1"
         out[name] = row
         print(f"  {name}: {row}", file=sys.stderr)
-    print(json.dumps({"copies": COPIES, "queries": out}))
+    print(json.dumps({"copies": COPIES, "all": all_mode, "queries": out}))
     return 0
 
 
