@@ -415,6 +415,27 @@ def test_ivf_pq_scoring_broadcasts_lut(spark):
     assert "CartesianProduct" not in p, p
 
 
+def test_ivf_pq_search_reads_index_not_corpus(spark):
+    """The serving-path search must read the materialized index tables plus
+    ONLY the query slice of embeddings: the scan of embeddings carries a
+    vec_id pushdown (never a full-corpus embedding read), the LUT join is
+    broadcast, and there is no cartesian anywhere."""
+    p = plan(spark, "ivf_pq_search_topk")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    # every embeddings scan in the plan must be filtered to the query ids
+    import re
+
+    scans = [
+        seg[:400]
+        for seg in p.split("Scan parquet")[1:]
+        if "embeddings.parquet" in seg[:400]
+    ]
+    assert scans, p
+    for head in scans:
+        assert re.search(r"PushedFilters: \[[^\]]*vec_id", head), head
+
+
 def test_semdedup_pairs_join_on_cluster_key(spark):
     """SemDeDup's pairwise stage must equi-join on the cluster id (O(n²/k)
     within clusters), never a global cartesian over the corpus."""
