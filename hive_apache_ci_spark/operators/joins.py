@@ -869,12 +869,21 @@ def join_fuzzy_blocked(spark, sf_dir):
 
     At 100 TB the blocking key is the shuffle key and block sizes bound the
     quadratic work — the same candidate-verify discipline as the LSH dedup
-    ladder (docs/SCALE.md)."""
+    ladder (docs/SCALE.md). Locally the probe side is round-robin
+    repartitioned before the broadcast join: a single-file scan otherwise
+    evaluates EVERY in-block Levenshtein pair in one task (the r5 sf1
+    canary caught exactly this — the CPU-heavy verify stage, not the
+    candidate count, was the bottleneck), the same fan-out trap as the
+    Arrow-UDF kernels (helpers.spread)."""
+    from ..helpers import spread
+
     c = T(spark, sf_dir, "customer")
-    a = c.select(
-        F.col("c_custkey").alias("key_a"),
-        F.col("c_name").alias("name_a"),
-        F.substring("c_name", 1, 15).alias("blk"),
+    a = spread(
+        c.select(
+            F.col("c_custkey").alias("key_a"),
+            F.col("c_name").alias("name_a"),
+            F.substring("c_name", 1, 15).alias("blk"),
+        )
     )
     b = c.select(
         F.col("c_custkey").alias("key_b"),
@@ -882,7 +891,7 @@ def join_fuzzy_blocked(spark, sf_dir):
         F.substring("c_name", 1, 15).alias("blk"),
     )
     return (
-        a.join(b, "blk")
+        a.join(F.broadcast(b), "blk")
         .filter(F.col("key_a") < F.col("key_b"))
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= 1)

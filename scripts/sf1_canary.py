@@ -109,10 +109,23 @@ def generate(force: bool = False) -> None:
                    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
             FROM orders, range({COPIES}) r(i)""",
     )
+    # c_name: each copy swaps the '#' separator for a copy-specific letter
+    # (same length, same position). Identical names across copies would
+    # multiply fuzzy-join block sizes by COPIES and make every cross-copy
+    # pair a Levenshtein-0 match — measuring the replication artifact, not
+    # the engine (the same reason documents get a copy tag). Changing one
+    # char INSIDE the 15-char blocking prefix keeps each copy's block
+    # structure identical to the original while routing copies to disjoint
+    # blocks, so candidate volume scales exactly linearly. (A prefix or
+    # suffix tag fails both ways: a prefix eats the discriminating digits
+    # and collapses a whole copy into one block; a suffix leaves all
+    # copies sharing blocks 10x bigger.)
     copy_out(
         "customer",
-        f"""SELECT c_custkey + i*{ck} AS c_custkey, c_name, c_nationkey,
-                   c_acctbal, c_mktsegment
+        f"""SELECT c_custkey + i*{ck} AS c_custkey,
+                   CASE WHEN i = 0 THEN c_name
+                        ELSE replace(c_name, '#', chr(CAST(64 + i AS INTEGER))) END AS c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
             FROM customer, range({COPIES}) r(i)""",
     )
     copy_out(
@@ -182,7 +195,12 @@ def main() -> int:
     spark = get_spark("sf1-canary")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
-    names = sorted(qs.keys()) if all_mode else CANARY_QUERIES
+    # positional names (optional) restrict the sweep — resume/spot-check
+    explicit = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if explicit:
+        names = explicit
+    else:
+        names = sorted(qs.keys()) if all_mode else CANARY_QUERIES
     out: dict[str, dict] = {}
     for name in names:
         row: dict = {}
