@@ -208,14 +208,53 @@ def pivot_segments(spark, sf_dir):
     )
 
 
-@query("tablesample_seeded", oracle=None)
+@query(
+    "tablesample_seeded",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS source_rows,
+           TRUE AS in_bounds,
+           TRUE AS in_bounds_per_flag
+    FROM lineitem
+    """,
+)
 def tablesample_seeded(spark, sf_dir):
-    """TABLESAMPLE (n PERCENT) ≙ df.sample(fraction, seed) — deterministic
-    for a fixed seed+partitioning but not SQL-reproducible → rows-only
-    (Hive's SplitSample has the same engine-specific granularity)."""
+    """TABLESAMPLE (n PERCENT) ≙ df.sample(fraction, seed). The sampled
+    ROW SET is engine-specific (Hive's SplitSample has the same
+    granularity caveat), so the operator is graded on its statistical
+    contract, computed in-plan over the actual sample: the overall sample
+    size AND every per-returnflag stratum count must sit within 6 sigma of
+    fraction*N (Bernoulli bound — deterministic for a fixed seed+layout,
+    astronomically safe; the per-stratum form also certifies the sample is
+    unbiased across groups). Full hash oracle (was rows-only)."""
+    f = 0.1
     l = T(spark, sf_dir, "lineitem")
-    return l.sample(fraction=0.1, seed=42).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+    s = l.sample(fraction=f, seed=42)
+    sflag = s.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_g"))
+    tflag = l.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("t_g"))
+    in_g = (
+        F.abs(F.col("n_g") - F.lit(f) * F.col("t_g"))
+        <= F.lit(6.0) * F.sqrt(F.lit(f * (1 - f)) * F.col("t_g"))
+    )
+    per_flag = (
+        tflag.join(sflag, "l_returnflag", "left")
+        .select(
+            F.col("t_g"),
+            F.coalesce("n_g", F.lit(0)).alias("n_g"),
+            in_g.alias("ok_g"),
+        )
+        .agg(
+            F.sum("t_g").cast("bigint").alias("source_rows"),
+            F.sum("n_g").alias("n"),
+            F.bool_and("ok_g").alias("in_bounds_per_flag"),
+        )
+    )
+    bound = F.lit(6.0) * F.sqrt(F.lit(f * (1 - f)) * F.col("source_rows"))
+    return per_flag.select(
+        "source_rows",
+        (
+            F.abs(F.col("n") - F.lit(f) * F.col("source_rows")) <= bound
+        ).alias("in_bounds"),
+        "in_bounds_per_flag",
     )
 
 

@@ -225,14 +225,29 @@ def hive_cluster_by(spark, sf_dir):
     )
 
 
-@query("virtual_columns_metadata", oracle=None)
+@query(
+    "virtual_columns_metadata",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS path_matches,
+           TRUE AS sizes_positive
+    FROM lineitem
+    """,
+)
 def virtual_columns_metadata(spark, sf_dir):
     """Hive virtual columns (SURVEY.md §1.3): INPUT__FILE__NAME →
     ``input_file_name()`` / the ``_metadata`` struct (file path, size,
-    modification time); BLOCK__OFFSET has no Spark equivalent. Rows-only:
-    paths are environment-specific."""
+    modification time); BLOCK__OFFSET has no Spark equivalent. The raw
+    path/size values are environment-specific, so the operator is graded
+    on the derivations SQL can state: the table is exactly one file named
+    lineitem.parquet, every input_file_name() ends with that file name,
+    per-file row counts sum to the table count, and _metadata.file_size is
+    positive — all computed in-plan over the real virtual columns. Full
+    hash oracle (was rows-only)."""
     l = T(spark, sf_dir, "lineitem")
-    return (
+    per_file = (
         l.select(
             F.input_file_name().alias("input_file"),
             F.col("_metadata.file_name").alias("file_name"),
@@ -240,6 +255,15 @@ def virtual_columns_metadata(spark, sf_dir):
         )
         .groupBy("input_file", "file_name", "file_size")
         .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return per_file.agg(
+        F.max("file_name").alias("file_name"),
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.bool_and(F.col("input_file").endswith(F.col("file_name"))).alias(
+            "path_matches"
+        ),
+        F.bool_and(F.col("file_size") > 0).alias("sizes_positive"),
     )
 
 
