@@ -359,17 +359,67 @@ _PACK_BUDGET = 128
 _N_BUCKETS = 8
 
 
-@query("pack_sequences_greedy", oracle=None)
+@query(
+    "pack_sequences_greedy",
+    oracle=rf"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(text), '\s+')) AS INTEGER)
+                 AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_N_BUCKETS} AS bucket
+      FROM documents
+    ),
+    ranked AS (
+      SELECT bucket, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY n_tokens DESC, doc_id) AS r
+      FROM docs
+    ),
+    steps AS (
+      SELECT bucket, CAST(0 AS BIGINT) AS r, CAST([] AS INTEGER[]) AS rems,
+             CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS n_tokens,
+             CAST(NULL AS INTEGER) AS pack_id
+      FROM (SELECT DISTINCT bucket FROM ranked)
+      UNION ALL
+      SELECT d.bucket, d.r,
+             CASE WHEN coalesce(list_position(
+                         list_transform(s.rems, x -> x >= d.n_tokens),
+                         true), 0) = 0
+                  THEN list_append(s.rems, {_PACK_BUDGET} - d.n_tokens)
+                  ELSE list_transform(range(1, len(s.rems) + 1),
+                         i -> CASE WHEN i = coalesce(list_position(
+                                        list_transform(s.rems,
+                                          x -> x >= d.n_tokens), true), 0)
+                                   THEN s.rems[i] - d.n_tokens
+                                   ELSE s.rems[i] END) END,
+             d.doc_id, d.n_tokens,
+             CAST(CASE WHEN coalesce(list_position(
+                              list_transform(s.rems, x -> x >= d.n_tokens),
+                              true), 0) = 0
+                  THEN len(s.rems)
+                  ELSE coalesce(list_position(
+                         list_transform(s.rems, x -> x >= d.n_tokens),
+                         true), 0) - 1 END AS INTEGER)
+      FROM steps s JOIN ranked d ON d.bucket = s.bucket AND d.r = s.r + 1
+    )
+    SELECT bucket, pack_id, doc_id, n_tokens FROM steps WHERE r > 0
+    """,
+)
 def pack_sequences_greedy(spark, sf_dir):
     """Training-batch packing: greedy first-fit of documents into
-    fixed-token-budget packs (budget 128). Packing is order-dependent
-    imperative logic, so it cannot be one declarative query; the scalable
-    shape is hash-bucket the corpus (bucket = md5 % 8) and pack WITHIN
-    each bucket independently via Arrow-batched applyInPandas — packing
-    parallelism = bucket count, and each bucket's packing is deterministic
-    (docs processed in (n_tokens desc, doc_id) order). Rows-only by
-    contract; tests/test_corpus.py asserts the invariants (every doc in
-    exactly one pack, no pack over budget, deterministic repeat runs)."""
+    fixed-token-budget packs (budget 128). The scalable shape is
+    hash-bucket the corpus (bucket = md5 % 8) and pack WITHIN each bucket
+    independently via Arrow-batched applyInPandas — packing parallelism =
+    bucket count, and each bucket's packing is fully deterministic (docs
+    processed in (n_tokens desc, doc_id) order). FULLY HASH-ORACLED since
+    round 5: a recursive CTE replays the first-fit loop exactly — per
+    step it carries each bucket's open-pack remainders as a list, places
+    the next document at the first fitting index (list_position on the
+    >=-mask) or appends a new pack, mirroring the imperative Python
+    statement for statement. tests/test_corpus.py still asserts the
+    invariants (every doc in exactly one pack, no pack over budget,
+    deterministic repeat runs)."""
     d = T(spark, sf_dir, "documents")
     toks = F.size(F.split(F.lower(F.col("text")), r"\s+"))
     docs = d.select(
