@@ -48,9 +48,7 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-@query(
-    "knn_topk_cosine",
-    oracle=f"""
+_KNN_TOPK_ORACLE = f"""
     SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
     FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -63,8 +61,10 @@ def _cos_sql(a: str, b: str) -> str:
       JOIN embeddings c ON c.vec_id <> q.vec_id
     )
     WHERE rank <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("knn_topk_cosine", oracle=_KNN_TOPK_ORACLE)
 def knn_topk_cosine(spark, sf_dir):
     """Brute-force top-k cosine neighbors for the first {N_QUERIES} vectors
     — the exact-ANN baseline. Query side is broadcast (tiny); ranking is a
@@ -733,6 +733,62 @@ def ivf_probe_topk(spark, sf_dir):
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+# ---- ANN index quality: recall@k of IVF search vs brute-force truth -----
+
+
+@query(
+    "ann_recall_report",
+    oracle=f"""
+    WITH truth AS ({_KNN_TOPK_ORACLE}),
+    ivf AS ({_IVF_SEARCH_ORACLE}),
+    m AS (
+      SELECT t.query_id, count(i.rank) AS n_matched
+      FROM truth t
+      LEFT JOIN ivf i ON i.query_id = t.query_id
+                     AND i.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+    )
+    SELECT query_id,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           round(n_matched * 1.0 / {TOP_K} + 1e-9, 6) AS recall_at_k
+    FROM m
+    """,
+)
+def ann_recall_report(spark, sf_dir):
+    """ANN index EVALUATION (the companion to `dedup_minhash_eval`): per
+    query, recall@{TOP_K} of the IVF index search (`ivf_probe_topk` —
+    exact cosine within nprobe={_IVF_PROBE} probed lists) against the
+    brute-force truth (`knn_topk_cosine`) — the standard index-quality
+    report every ANN deployment runs before trusting an index, computed
+    entirely in-engine by composing the two dataflows. Both sides are
+    deterministic, so the whole report hash-oracles (the oracle nests both
+    queries' SQL as CTEs).
+
+    Scale: truth is the expensive side (brute force) but only over the
+    bounded query set; the recall join is queries*k rows. In production
+    the same report runs on a sampled query panel — the shape is
+    identical."""
+    truth = knn_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ivf_probe_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        truth.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
+            F.round(
+                F.coalesce("n_matched", F.lit(0)) * 1.0 / TOP_K + F.lit(1e-9), 6
+            ).alias("recall_at_k"),
+        )
     )
 
 
