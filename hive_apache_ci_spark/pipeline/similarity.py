@@ -1941,6 +1941,60 @@ def ivf_pq_search_topk(spark, sf_dir):
     )
 
 
+@query(
+    "ann_pq_recall_report",
+    oracle=f"""
+    WITH truth AS ({_KNN_TOPK_ORACLE}),
+    pq AS ({_ivf_pq_oracle()}),
+    m AS (
+      SELECT t.query_id, count(p.rank) AS n_matched
+      FROM truth t
+      LEFT JOIN pq p ON p.query_id = t.query_id
+                    AND p.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+    )
+    SELECT query_id,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           round(n_matched * 1.0 / {TOP_K} + 1e-9, 6) AS recall_at_k
+    FROM m
+    """,
+)
+def ann_pq_recall_report(spark, sf_dir):
+    """Quantization-loss EVALUATION: per-query recall@{TOP_K} of the full
+    IVF-PQ search (coarse routing + ADC code-lookup scoring) against the
+    brute-force cosine truth. `ann_recall_report` isolates what IVF
+    ROUTING loses (exact distances inside probed lists); this report adds
+    what PQ QUANTIZATION loses on top (distances approximated from {M}
+    codebook lookups) — the two reports together are how production picks
+    nprobe and codebook size against a recall target. Deterministic on
+    both sides, fully hash-oracled (the oracle nests both dataflows'
+    unrolled SQL as CTEs)."""
+    truth = knn_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    pq = ivf_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        truth.join(pq, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
+            F.round(
+                F.coalesce("n_matched", F.lit(0)) * 1.0 / TOP_K + F.lit(1e-9), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+ann_pq_recall_report.__doc__ = ann_pq_recall_report.__doc__.replace(
+    "{M}", str(_PQ_M)
+)
+
+
 # ---- SemDeDup: semantic dedup within k-means clusters --------------------
 
 _SEMDEDUP_TH = 0.3
