@@ -436,6 +436,15 @@ def test_ivf_pq_search_reads_index_not_corpus(spark):
         assert re.search(r"PushedFilters: \[[^\]]*vec_id", head), head
 
 
+def test_kmeans_assign_has_no_window(spark):
+    """The Lloyd trainers' per-vector argmin must be a min_by hash-agg
+    (partial-aggregable), never a row_number window — a per-vector sort
+    exchange per training round (the round-4 verdict's polish item)."""
+    p = plan(spark, "kmeans_lloyd")
+    assert "Window" not in p, p
+    assert "row_number" not in p, p
+
+
 def test_semdedup_pairs_join_on_cluster_key(spark):
     """SemDeDup's pairwise stage must equi-join on the cluster id (O(n²/k)
     within clusters), never a global cartesian over the corpus."""
