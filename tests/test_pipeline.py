@@ -187,3 +187,37 @@ def test_lsh_candidate_ratio_tracks_corpus_size(spark):
         assert ratio <= 2 * expected, (sf_dir, n, k_planes_py(n), ratio)
         if abs_cap is not None:
             assert ratio <= abs_cap, (sf_dir, n, ratio)
+
+
+def test_ivf_pq_search_equals_monolith(spark):
+    """The serving-path search against the materialized index must return
+    exactly the end-to-end ivf_pq_topk result (same quantized index, same
+    ranking) — the build/search split may not change answers."""
+    qs = all_queries()
+    mono = {
+        (r.query_id, r.neighbor_id, r.rank, r.adc_d2)
+        for r in qs["ivf_pq_topk"](spark, SF_DIR).collect()
+    }
+    split = {
+        (r.query_id, r.neighbor_id, r.rank, r.adc_d2)
+        for r in qs["ivf_pq_search_topk"](spark, SF_DIR).collect()
+    }
+    assert mono == split
+
+
+def test_ivf_pq_index_reused_not_retrained(spark):
+    """_ensure_pq_index must return the published index without retraining
+    on a second call (the serving path's warm cost is read-only), and the
+    index dir must be keyed to the source file's identity."""
+    import os
+
+    from hive_apache_ci_spark.pipeline.similarity import (
+        _ensure_pq_index,
+        _pq_index_dir,
+    )
+
+    d1 = _ensure_pq_index(spark, SF_DIR)
+    stamp = os.path.getmtime(os.path.join(d1, "codebook"))
+    d2 = _ensure_pq_index(spark, SF_DIR)
+    assert d1 == d2 == _pq_index_dir(SF_DIR)
+    assert os.path.getmtime(os.path.join(d2, "codebook")) == stamp
