@@ -713,3 +713,43 @@ def io_python_datasource(spark, sf_dir):
 io_python_datasource.__doc__ = io_python_datasource.__doc__.replace(
     "{P}", str(_PYDS_PARTS)
 )
+
+
+_CATALOG_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,"
+    f" CAST((SELECT count(*) FROM pragma_table_info('{t}')) AS BIGINT)"
+    f" AS n_cols FROM {t}"
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    )
+)
+
+
+@query("catalog_tables_report", oracle=_CATALOG_ORACLE)
+def catalog_tables_report(spark, sf_dir):
+    """Warehouse catalog report — the SHOW TABLES / DESCRIBE role
+    (HiveQL's metadata surface) expressed as a query: every registered
+    table with its row count and column count. Registration goes through
+    `catalog.load_tables` (the same normalization path every query uses),
+    so the report also certifies that the session catalog and the physical
+    parquet agree on schema width — a drift here (e.g. the events.ts
+    encoding normalization dropping or adding a column) fails the oracle.
+    Ten single-table count aggregates unioned; each is a metadata-cheap
+    map-side count at any scale."""
+    from functools import reduce
+
+    from ..catalog import TABLES, load_tables
+
+    load_tables(spark, sf_dir, register=True)
+    parts = []
+    for t in TABLES:
+        d = spark.table(t)
+        parts.append(
+            d.agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.lit(len(d.columns)).cast("bigint").alias("n_cols"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), parts)
