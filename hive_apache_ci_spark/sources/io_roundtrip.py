@@ -753,3 +753,47 @@ def catalog_tables_report(spark, sf_dir):
             )
         )
     return reduce(lambda a, b: a.unionAll(b), parts)
+
+
+@query(
+    "catalog_partitions_report",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def catalog_partitions_report(spark, sf_dir):
+    """SHOW PARTITIONS role (HiveQL's partition-metadata command) as a
+    query: write orders dynamically partitioned by year (one writer task
+    per partition — `repartition(col)` routes each year to exactly one
+    task, so exactly one file per partition dir), then report every
+    discovered partition with its row count and physical file count from
+    `input_file_name()`. The n_files=1 column is load-bearing: it
+    certifies the small-files discipline of the partitioned write (a
+    non-repartitioned write would emit one file per input task per
+    partition). At scale this is the nightly partition-audit query every
+    warehouse runs against its metastore."""
+    out = _scratch(sf_dir, "orders_part_report")
+    o = T(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
+    (
+        o.repartition("order_year")
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).withColumn("src_file", F.input_file_name())
+    return (
+        back.groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct("src_file").cast("bigint").alias("n_files"),
+        )
+        .select(
+            F.col("order_year").cast("int").alias("order_year"),
+            "n_rows",
+            "n_files",
+        )
+    )
