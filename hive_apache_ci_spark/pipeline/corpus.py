@@ -110,6 +110,106 @@ def contamination_ngram(spark, sf_dir):
     )
 
 
+_SPLIT_DECON_SQL = f"""
+WITH sh AS ({_shingle_sql(4)}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+contam AS (
+  SELECT DISTINCT c.doc_id FROM sh c JOIN bench b ON c.shingle = b.shingle
+  WHERE c.doc_id % {_BENCH_MOD} <> 0
+),
+tagged AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 1000 < 800 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 1000 < 900 THEN 'valid'
+              ELSE 'test' END AS split,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+),
+kept AS (
+  SELECT * FROM tagged
+  WHERE split <> 'train' OR doc_id NOT IN (SELECT doc_id FROM contam)
+),
+rem AS (
+  SELECT split, count(*) AS n_removed FROM tagged
+  WHERE split = 'train' AND doc_id IN (SELECT doc_id FROM contam)
+  GROUP BY split
+)
+SELECT k.split,
+       CAST(count(*) AS BIGINT)                    AS n_docs,
+       CAST(sum(k.n_tok) AS BIGINT)                AS n_tokens,
+       CAST(coalesce(max(r.n_removed), 0) AS BIGINT) AS n_removed
+FROM kept k LEFT JOIN rem r ON r.split = k.split
+GROUP BY k.split
+"""
+
+
+@query("split_decontaminated", oracle=_SPLIT_DECON_SQL)
+def split_decontaminated(spark, sf_dir):
+    """Decontaminated pretraining split — `split_train_valid_test` and
+    `contamination_ngram` COMPOSED the way a real corpus build runs them:
+    documents sharing a 4-token shingle with the benchmark set are removed
+    from the TRAIN split only (eval splits are never touched — the leak
+    direction is eval content inside training data), reported as per-split
+    kept doc/token mass plus the removed-count audit column. One dataflow:
+    the md5-bucket split tag is map-side, the benchmark shingle set is a
+    broadcast semi-join, and the anti-join prunes train docs before the
+    3-group aggregate — at 100 TB nothing here is more than one corpus
+    scan plus KB-sized broadcasts."""
+    d = T(spark, sf_dir, "documents")
+    sh = _shingles_spark(d, 4)
+    bench = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0).select("shingle").distinct()
+    )
+    contam = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    n_tok = F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    )
+    tagged = d.select(
+        "doc_id",
+        F.when(bucket < 800, "train")
+        .when(bucket < 900, "valid")
+        .otherwise("test")
+        .alias("split"),
+        n_tok.alias("n_tok"),
+    )
+    train = tagged.filter(F.col("split") == "train")
+    kept = tagged.filter(F.col("split") != "train").unionByName(
+        train.join(contam, "doc_id", "left_anti")
+    )
+    removed = (
+        train.join(contam, "doc_id", "left_semi")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    return (
+        kept.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .join(F.broadcast(removed), "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
 # ---- 2. PII redaction ---------------------------------------------------
 
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
