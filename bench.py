@@ -10,11 +10,19 @@ queries (q1-agg-shaped, 4-way-join-shaped, window-shaped); further
 engine-specific headliners (dedup/LSH/knn/session windows) are reported in
 ``queries`` for trend tracking.
 
-Bench hygiene (round 4): a concurrent Spark/JVM on the box was measured to
-inflate numbers 20-60%, so the JSON now carries ``contended`` (other JVMs
-detected before our session starts) and per-query ``spread``
-(best/median/worst over the warm reps) — a noisy number can't masquerade
-as a regression.
+Bench hygiene:
+- round 4: a concurrent Spark/JVM on the box was measured to inflate
+  numbers 20-60%, so the JSON carries ``contended`` (other JVMs detected
+  before our session starts).
+- round 6: the final stdout line is the COMPACT grade only (metric, value,
+  per-query bests, regressions) and is size-tested to stay under 2 KB —
+  round 5's full payload outgrew the driver's fixed-size tail capture and
+  the round's grade came back unparseable. The full payload (per-query
+  best/median/worst spread, foreign-JVM count, regression detail) goes to
+  the ``docs/BENCH_LAST.json`` sidecar, which doubles as next round's
+  regression baseline: any query >15% slower than its previous committed
+  best is listed in ``regressions`` (BENCH_TREND.md's investigate rule,
+  now machine-enforced).
 """
 
 from __future__ import annotations
@@ -24,6 +32,9 @@ import os
 import statistics
 import sys
 import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_SIDECAR = os.path.join(_REPO, "docs", "BENCH_LAST.json")
 
 # The three names comparable to BASELINE.md's q1_agg / q3_join / qw_window:
 BASELINE_COMPARABLE = ("q1_pricing_summary", "join_broadcast_star", "window_moving_rows")
@@ -38,15 +49,22 @@ EXTRA_HEADLINERS = (
     "merge_into_upsert",
     "quality_lm_perplexity",
     "search_bm25_topk",
-    # round-4 additions: the iterative-ML family + segment dedup + IVF-PQ
+    # round-4 additions: the iterative-ML family + segment dedup
     "kmeans_lloyd",
     "train_logreg_quality",
     "dedup_repeated_segments",
-    "ivf_pq_topk",
-    # round-5: serving-path search against the materialized IVF-PQ index
-    # (cold run builds+publishes the index; warm reps are pure search)
+    # round-6: track the production IVF-PQ lifecycle explicitly — BUILD
+    # (always retrains + republishes; the once-per-corpus cost) and SEARCH
+    # (serving path against the published index). The ivf_pq_topk monolith
+    # is no longer benched (it is build+search in one query — redundant
+    # here) but stays registered; tests assert its equality to the split.
+    "ivf_pq_build_index",
     "ivf_pq_search_topk",
 )
+
+# BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond
+# this ratio lands in the final line's `regressions` list.
+REGRESSION_RATIO = 1.15
 
 
 def _foreign_jvms() -> list[int]:
@@ -93,6 +111,84 @@ def _foreign_jvms() -> list[int]:
     return pids
 
 
+def find_regressions(
+    prev_best: dict[str, float], timings: dict[str, float | None]
+) -> list[dict[str, float | str]]:
+    """Queries >REGRESSION_RATIO slower than their previous committed best.
+    Only queries present in both rounds are comparable; a query that FAILED
+    this round (None) is always listed — a crash is the worst regression."""
+    out: list[dict[str, float | str]] = []
+    for name, now in timings.items():
+        prev = prev_best.get(name)
+        if prev is None:
+            continue
+        if now is None:
+            out.append({"q": name, "prev": prev, "now": "failed"})
+        elif now > prev * REGRESSION_RATIO:
+            out.append({"q": name, "prev": prev, "now": now})
+    return out
+
+
+def compact_line(
+    total: float | None,
+    timings: dict[str, float | None],
+    sf: float | str,
+    contended: bool,
+    regressions: list[dict[str, float | str]],
+) -> str:
+    """The driver-facing grade: ONE short JSON line. The tail-capture
+    contract (round-5 lesson) caps it; tests assert < 2048 bytes."""
+    line = json.dumps(
+        {
+            "metric": "headline_warm_total (q1_agg+q3_join+qw_window shapes)",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "contended": contended,
+            "regressions": [r["q"] for r in regressions],
+        },
+        separators=(",", ":"),
+    )
+    if len(line) >= 2048:  # never hand the driver a truncatable grade
+        slim = json.dumps(
+            {
+                "metric": "headline_warm_total (q1_agg+q3_join+qw_window shapes)",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: timings[k] for k in BASELINE_COMPARABLE},
+                "sf": sf,
+                "contended": contended,
+                "regressions": [r["q"] for r in regressions],
+            },
+            separators=(",", ":"),
+        )
+        return slim
+    return line
+
+
+def _sidecar_path(sf: float | str) -> str:
+    """docs/BENCH_LAST.json is the canonical (driver-SF, 0.1) baseline; a
+    sanity run at another SF gets its own file so cross-SF numbers are never
+    compared and a quick sf0.01 pass can't clobber the real baseline."""
+    if sf == 0.1:
+        return _SIDECAR
+    return _SIDECAR.replace(".json", f"_sf{sf}.json")
+
+
+def _load_prev_best(sf: float | str) -> dict[str, float]:
+    try:
+        with open(_sidecar_path(sf)) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") != sf:
+            return {}
+        return {
+            k: v for k, v in (prev.get("queries") or {}).items() if v is not None
+        }
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     foreign = _foreign_jvms()
@@ -131,21 +227,34 @@ def main() -> int:
             timings[name] = None
     core = [timings[n] for n in BASELINE_COMPARABLE if timings[n] is not None]
     total = round(sum(core), 4) if len(core) == len(BASELINE_COMPARABLE) else None
-    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_warm_total (q1_agg+q3_join+qw_window shapes)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "contended": bool(foreign),
-                "foreign_jvms": len(foreign),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    sf = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
+    regressions = find_regressions(_load_prev_best(sf), timings)
+    # Full payload -> sidecar (spread, regression detail, contention census);
+    # also next round's regression baseline. Best-effort: a read-only repo
+    # checkout must not kill the grade line.
+    try:
+        os.makedirs(os.path.dirname(_SIDECAR), exist_ok=True)
+        with open(_sidecar_path(sf), "w") as fh:
+            json.dump(
+                {
+                    "metric": "headline_warm_total (q1_agg+q3_join+qw_window shapes)",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf,
+                    "queries": timings,
+                    "spread": spread,
+                    "contended": bool(foreign),
+                    "foreign_jvms": len(foreign),
+                    "regressions": regressions,
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: sidecar write failed: {exc}", file=sys.stderr)
+    print(compact_line(total, timings, sf, bool(foreign), regressions))
     return 0
 
 

@@ -1,0 +1,81 @@
+"""bench.py driver-contract tests (round-6, VERDICT r05 item #1).
+
+Round 5's grade came back `parsed: null`: the one-line JSON payload outgrew
+the driver's fixed-size stdout tail capture. The contract is now explicit —
+the LAST stdout line is a compact JSON grade under 2 KB; everything bulky
+(spread, regression detail) lives in the docs/BENCH_LAST.json sidecar.
+These tests pin that contract without paying for a real bench run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def _fake_timings(n: int) -> dict[str, float]:
+    # worst realistic case: more queries than we actually bench, long names
+    return {f"some_quite_long_query_name_number_{i:02d}": 123.4567 for i in range(n)}
+
+
+def test_compact_line_parses_and_fits_tail_window():
+    timings = _fake_timings(30)
+    regs = [{"q": k, "prev": 1.0, "now": 2.0} for k in list(timings)[:5]]
+    line = bench.compact_line(370.37, timings, 0.1, False, regs)
+    assert len(line) < 2048, len(line)
+    parsed = json.loads(line)
+    assert parsed["value"] == 370.37
+    assert parsed["unit"] == "sec"
+    assert set(parsed["regressions"]) == set(list(timings)[:5])
+    # spread must NOT be in the grade line — that's what overflowed r5
+    assert "spread" not in parsed
+
+
+def test_compact_line_degrades_to_core_queries_rather_than_overflow():
+    # pathological: hundreds of queries would overflow — the line must slim
+    # itself to the three baseline-comparable queries, never exceed the cap
+    timings = _fake_timings(200)
+    for name in bench.BASELINE_COMPARABLE:
+        timings[name] = 0.5
+    line = bench.compact_line(1.5, timings, 0.1, True, [])
+    assert len(line) < 2048, len(line)
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(bench.BASELINE_COMPARABLE)
+
+
+def test_find_regressions_rule():
+    prev = {"a": 1.0, "b": 1.0, "c": 1.0, "gone": 9.9}
+    cur = {"a": 1.14, "b": 1.16, "c": None, "new": 5.0}
+    regs = bench.find_regressions(prev, cur)
+    by_q = {r["q"]: r for r in regs}
+    assert "a" not in by_q  # inside the 15% band
+    assert by_q["b"]["now"] == 1.16  # >15% slower
+    assert by_q["c"]["now"] == "failed"  # crash = worst regression
+    assert "new" not in by_q  # no previous best to compare against
+
+
+def test_bench_names_are_registered():
+    from hive_apache_ci_spark.registry import all_queries
+
+    names = set(all_queries())
+    for q in (*bench.BASELINE_COMPARABLE, *bench.EXTRA_HEADLINERS):
+        assert q in names, q
+
+
+def test_sidecar_is_committed_and_loadable():
+    # the sidecar doubles as the next round's regression baseline — it must
+    # exist in the repo and carry per-query bests
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "BENCH_LAST.json",
+    )
+    with open(path) as fh:
+        prev = json.load(fh)
+    assert prev["queries"], "sidecar lost its per-query bests"
+    assert all(v is None or v > 0 for v in prev["queries"].values())
