@@ -47,6 +47,39 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in cols])
 
 
+def source_is_broadcastable(
+    spark: SparkSession, sf_dir: str, name: str
+) -> bool:
+    """Size-gate for explicit broadcast hints on relations that GROW with
+    the corpus (never needed for true dimension tables): True iff the
+    source parquet's on-disk bytes stay under a quarter of the session
+    autoBroadcastJoinThreshold (parquet→in-memory expansion is ~2-4×, so
+    /4 is conservative). Hinting through this gate keeps a hand-tuned
+    probe-side partitioning intact at canary scale while degrading to the
+    shuffle join before a growing build side can blow the driver."""
+    import os
+
+    try:
+        thresh = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except (TypeError, ValueError):
+        return False
+    if thresh <= 0:
+        return False
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        size = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    else:
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return False
+    return size < thresh // 4
+
+
 def ts_lit(s: str) -> Column:
     """Timestamp literal (testdata 'date' columns are parquet timestamps)."""
     return F.lit(s).cast("timestamp")

@@ -231,8 +231,13 @@ def tablesample_seeded(spark, sf_dir):
     s = l.sample(fraction=f, seed=42)
     sflag = s.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_g"))
     tflag = l.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("t_g"))
+    # Coalesce BEFORE the bound check: a stratum entirely absent from the
+    # sample leaves n_g NULL after the left join, and a NULL comparison
+    # would make bool_and skip exactly the missed-large-stratum case this
+    # guard exists for (r5 ADVICE) — coalesced, a missing large stratum
+    # yields FALSE.
     in_g = (
-        F.abs(F.col("n_g") - F.lit(f) * F.col("t_g"))
+        F.abs(F.coalesce("n_g", F.lit(0)) - F.lit(f) * F.col("t_g"))
         <= F.lit(6.0) * F.sqrt(F.lit(f * (1 - f)) * F.col("t_g"))
     )
     per_flag = (

@@ -869,13 +869,18 @@ def join_fuzzy_blocked(spark, sf_dir):
 
     At 100 TB the blocking key is the shuffle key and block sizes bound the
     quadratic work — the same candidate-verify discipline as the LSH dedup
-    ladder (docs/SCALE.md). Locally the probe side is round-robin
-    repartitioned before the broadcast join: a single-file scan otherwise
+    ladder (docs/SCALE.md). The build side is the corpus and grows with SF,
+    so the broadcast hint is SIZE-GATED (r5 ADVICE: an unconditional
+    F.broadcast would blow the driver at large SF): under the session
+    broadcast threshold the hint keeps the probe side's round-robin
+    fan-out intact; above it the plan degrades to the shuffle join on blk,
+    where block multiplicity (∝ corpus size) provides the parallelism. The
+    probe-side spread() matters either way: a single-file scan otherwise
     evaluates EVERY in-block Levenshtein pair in one task (the r5 sf1
     canary caught exactly this — the CPU-heavy verify stage, not the
     candidate count, was the bottleneck), the same fan-out trap as the
     Arrow-UDF kernels (helpers.spread)."""
-    from ..helpers import spread
+    from ..helpers import source_is_broadcastable, spread
 
     c = T(spark, sf_dir, "customer")
     a = spread(
@@ -890,8 +895,10 @@ def join_fuzzy_blocked(spark, sf_dir):
         F.col("c_name").alias("name_b"),
         F.substring("c_name", 1, 15).alias("blk"),
     )
+    if source_is_broadcastable(spark, sf_dir, "customer"):
+        b = F.broadcast(b)
     return (
-        a.join(F.broadcast(b), "blk")
+        a.join(b, "blk")
         .filter(F.col("key_a") < F.col("key_b"))
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= 1)

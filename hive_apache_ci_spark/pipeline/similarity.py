@@ -1781,7 +1781,14 @@ def _ensure_pq_index(spark, sf_dir: str, rebuild: bool = False) -> str:
     Publish = write to a uuid temp dir, then os.rename into the final path
     (POSIX-atomic). A concurrent builder that loses the rename race simply
     discards its attempt — the content is deterministic, so the winner's
-    copy is identical."""
+    copy is identical.
+
+    rebuild=True must actually republish (r5 ADVICE: os.rename onto an
+    existing dir always raises, so the fresh build was being discarded and
+    the oracle kept validating round-1 bytes — a training-determinism
+    regression would have gone undetected). The swap is rename-out /
+    rename-in: the only non-atomic window leaves NO published dir, which a
+    reader treats as 'absent, rebuild' — never a torn index."""
     import os
     import shutil
     import uuid
@@ -1798,8 +1805,22 @@ def _ensure_pq_index(spark, sf_dir: str, rebuild: bool = False) -> str:
     open(os.path.join(tmp, "_SUCCESS"), "w").close()
     try:
         os.rename(tmp, final)
+        return final
     except OSError:
+        pass
+    if not rebuild:
         shutil.rmtree(tmp, ignore_errors=True)  # lost the race: same bytes won
+        return final
+    # rebuild over an existing publish: swap the fresh build in
+    old = final + ".old." + uuid.uuid4().hex
+    try:
+        os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
+    except OSError:
+        # concurrent swapper beat us between the renames; deterministic
+        # content means whatever is (or is about to be) published is ours
+        shutil.rmtree(tmp, ignore_errors=True)
     return final
 
 

@@ -700,7 +700,18 @@ def stream_upsert_latest_state(spark, sf_dir):
     carried explicitly in the state table (max event-time seconds) instead
     of being re-derived from the packed ordering key. The packed key
     ts*1e7+event_id is used only for latest-event selection and assumes
-    event_id < 1e7 (asserted below)."""
+    event_id < 1e7 (asserted below).
+
+    Round-6 hardening (r5 ADVICE): state is published as immutable
+    versioned dirs behind an atomically-replaced LATEST pointer file — the
+    previous mode('overwrite') deleted the live dir (marker included)
+    before committing, so a crash mid-overwrite silently reset accumulated
+    counts to zero on restart. Now a crash at ANY point leaves the pointer
+    naming a complete committed version; and because the version name
+    carries the batch_id, a replayed micro-batch (crash after publish but
+    before the checkpoint commit) is detected and skipped instead of
+    double-merged — transactional exactly-once over a plain filesystem,
+    the same pointer-flip commit protocol as Delta/Iceberg metadata."""
     import shutil
     import uuid
 
@@ -708,10 +719,27 @@ def stream_upsert_latest_state(spark, sf_dir):
     base = os.path.join(
         "/tmp", "hive_apache_ci_spark_stream", tag, f"upsert_{uuid.uuid4().hex}"
     )
-    state_dir = os.path.join(base, "state")
+    state_root = os.path.join(base, "state")
+    ptr = os.path.join(state_root, "LATEST")
     ckpt = os.path.join(base, "ckpt")
 
+    def live_state() -> tuple[str, int] | None:
+        """(committed version dir, its batch_id), or None if no state yet.
+        A pointer naming an uncommitted/missing dir is real corruption —
+        raise, never silently restart the accumulator."""
+        if not os.path.isfile(ptr):
+            return None
+        with open(ptr) as fh:
+            vname = fh.read().strip()
+        vdir = os.path.join(state_root, vname)
+        if not os.path.isfile(os.path.join(vdir, "_SUCCESS")):
+            raise OSError(f"state pointer names uncommitted dir {vdir}")
+        return vdir, int(vname.split("_")[0].removeprefix("v"))
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        live = live_state()
+        if live is not None and live[1] >= batch_id:
+            return  # replayed batch: its merge is already published
         key = F.col("ts").cast("long") * 10000000 + F.col("event_id")
         inc = (
             batch_df.groupBy("user_id")
@@ -723,13 +751,8 @@ def stream_upsert_latest_state(spark, sf_dir):
             )
         )
         sess = batch_df.sparkSession
-        # Explicit existence gate: Spark commits a _SUCCESS marker with every
-        # completed parquet write. Absent marker => genuinely no prior state;
-        # present marker + failing read => real error, let it raise (never
-        # silently restart the accumulator from zero).
-        have_state = os.path.isfile(os.path.join(state_dir, "_SUCCESS"))
-        if have_state:
-            cur = sess.read.parquet(state_dir)
+        if live is not None:
+            cur = sess.read.parquet(live[0])
             c = cur.select(
                 F.col("user_id"),
                 F.col("last_type").alias("c_type"),
@@ -764,8 +787,17 @@ def stream_upsert_latest_state(spark, sf_dir):
                 F.col("last_ts").cast("bigint").alias("last_ts"),
                 F.col("n_events").cast("bigint").alias("n_events"),
             )
-        out = merged.localCheckpoint()  # detach from the files being replaced
-        out.write.mode("overwrite").parquet(state_dir)
+        # Publish: write a fresh immutable version dir (reads the old one,
+        # never touches it), then atomically flip the pointer; the replaced
+        # version is GC'd only after the flip.
+        vname = f"v{batch_id}_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("errorifexists").parquet(os.path.join(state_root, vname))
+        tmp_ptr = ptr + ".tmp." + uuid.uuid4().hex
+        with open(tmp_ptr, "w") as fh:
+            fh.write(vname)
+        os.replace(tmp_ptr, ptr)
+        if live is not None:
+            shutil.rmtree(live[0], ignore_errors=True)
 
     src = events_stream(spark, sf_dir)
     # The packed ordering key is only correct while event_id < 1e7; the
@@ -793,8 +825,11 @@ def stream_upsert_latest_state(spark, sf_dir):
     # Materialize the final state via localCheckpoint so the per-run /tmp
     # dir can be removed immediately (the returned DataFrame no longer
     # references the files on disk).
+    final = live_state()
+    if final is None:
+        raise OSError("stream finished but no state version was published")
     result = (
-        spark.read.parquet(state_dir)
+        spark.read.parquet(final[0])
         .select("user_id", "last_type", "last_ts", "n_events")
         .localCheckpoint()
     )
