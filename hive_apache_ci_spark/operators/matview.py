@@ -17,20 +17,16 @@ lineitem."""
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import functions as F
 
-from ..helpers import T, ravg
+from ..helpers import T, committed, ravg, run_scratch
 from ..registry import query
-
-_SCRATCH = os.path.join(tempfile.gettempdir(), "hive_apache_ci_spark_mv")
 
 
 def _mv_path(sf_dir: str, name: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_SCRATCH, tag, name)
+    """Per-run MV location (round-6 scratch discipline: RUN_ID in the path
+    so concurrent runs at one SF can't clobber each other — helpers.run_scratch)."""
+    return run_scratch("mv", sf_dir, name)
 
 
 @query(
@@ -67,7 +63,7 @@ def mv_rollup_rewrite(spark, sf_dir):
         .write.mode("overwrite")
         .parquet(mv)
     )
-    daily = spark.read.parquet(mv)
+    daily = spark.read.parquet(committed(mv))
     return (
         daily.groupBy(
             "l_returnflag", F.substring("ship_day", 1, 7).alias("ship_month")

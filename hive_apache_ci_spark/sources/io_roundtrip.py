@@ -18,21 +18,20 @@ this); small-file compaction ≙ a pre-write ``repartition(n)``.
 from __future__ import annotations
 
 import os
-import tempfile
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import functions as F
 
-from ..helpers import T, r2, ravg
+from ..helpers import RUN_ID, T, committed, r2, ravg, run_scratch
 from ..registry import query
-
-_SCRATCH = os.path.join(tempfile.gettempdir(), "hive_apache_ci_spark_io")
 
 
 def _scratch(sf_dir: str, name: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_SCRATCH, tag, name)
+    """Per-run scratch dir (round-6: RUN_ID in the path + stale-run GC —
+    the fixed shared path let two concurrent runs at one SF clobber each
+    other's overwrite writes mid-read; helpers.run_scratch)."""
+    return run_scratch("io", sf_dir, name)
 
 
 _ORDERS_AGG_ORACLE = """
@@ -57,7 +56,7 @@ def io_parquet_partitioned(spark, sf_dir):
         .partitionBy("order_year")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    back = spark.read.parquet(committed(out))
     return (
         back.groupBy("order_year", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("o_totalprice")).alias("total"))
@@ -85,7 +84,7 @@ def io_orc_roundtrip(spark, sf_dir):
     VectorizedOrcInputFormat; Spark's native vectorized ORC reader)."""
     out = _scratch(sf_dir, "lineitem_orc")
     T(spark, sf_dir, "lineitem").write.mode("overwrite").orc(out)
-    back = spark.read.orc(out)
+    back = spark.read.orc(committed(out))
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         r2(F.sum("l_extendedprice")).alias("sum_price"),
@@ -107,7 +106,7 @@ def io_json_roundtrip(spark, sf_dir):
     out = _scratch(sf_dir, "customer_json")
     c = T(spark, sf_dir, "customer")
     c.write.mode("overwrite").json(out)
-    back = spark.read.schema(c.schema).json(out)
+    back = spark.read.schema(c.schema).json(committed(out))
     return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"), r2(F.sum("c_acctbal")).alias("total_bal")
     )
@@ -130,8 +129,8 @@ def io_csv_roundtrip(spark, sf_dir):
     n = T(spark, sf_dir, "nation")
     s.write.mode("overwrite").option("header", True).csv(out_s)
     n.write.mode("overwrite").option("header", True).csv(out_n)
-    s2 = spark.read.schema(s.schema).option("header", True).csv(out_s)
-    n2 = spark.read.schema(n.schema).option("header", True).csv(out_n)
+    s2 = spark.read.schema(s.schema).option("header", True).csv(committed(out_s))
+    n2 = spark.read.schema(n.schema).option("header", True).csv(committed(out_n))
     return (
         s2.join(F.broadcast(n2), s2.s_nationkey == n2.n_nationkey)
         .groupBy("n_name")
@@ -165,7 +164,7 @@ def io_insert_overwrite_dynamic(spark, sf_dir):
         .partitionBy("order_year")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    back = spark.read.parquet(committed(out))
     return (
         back.filter(F.col("order_year") >= 1996)
         .groupBy("o_orderstatus")
@@ -223,7 +222,7 @@ def io_hive_text_delimited(spark, sf_dir):
     out = _scratch(sf_dir, "nation_x01")
     n = T(spark, sf_dir, "nation")
     n.write.mode("overwrite").option("sep", "\x01").csv(out)
-    back = spark.read.schema(n.schema).option("sep", "\x01").csv(out)
+    back = spark.read.schema(n.schema).option("sep", "\x01").csv(committed(out))
     return back.groupBy("n_regionkey").agg(
         F.count(F.lit(1)).alias("n"),
         F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("names"),
@@ -255,7 +254,7 @@ def io_regex_serde(spark, sf_dir):
         ).alias("value")
     )
     lines.write.mode("overwrite").text(out)
-    back = spark.read.text(out)
+    back = spark.read.text(committed(out))
     return back.select(
         F.regexp_extract("value", r"^\[(\d+)\]", 1).cast("bigint").alias("key"),
         F.regexp_extract("value", r"seg=(\w+)", 1).alias("seg"),
@@ -284,7 +283,11 @@ def io_bucketed_smb_join(spark, sf_dir):
     import shutil
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    ot, ct = f"orders_smb_{tag}", f"customer_smb_{tag}"
+    # per-run table names: the shared warehouse dir is the same concurrency
+    # surface as the scratch paths (two processes would DROP/rmtree each
+    # other's managed dirs mid-join)
+    rid = RUN_ID.replace("-", "_")
+    ot, ct = f"orders_smb_{tag}_{rid}", f"customer_smb_{tag}_{rid}"
     spark.sql(f"DROP TABLE IF EXISTS {ot}")
     spark.sql(f"DROP TABLE IF EXISTS {ct}")
     # the in-memory catalog forgets dirs across sessions — clear leftovers
@@ -359,8 +362,8 @@ def io_multi_insert(spark, sf_dir):
         )
     finally:
         src.unpersist()
-    b1 = spark.read.parquet(sink1).withColumn("sink", F.lit("by_flag"))
-    b2 = spark.read.parquet(sink2).withColumn("sink", F.lit("by_status"))
+    b1 = spark.read.parquet(committed(sink1)).withColumn("sink", F.lit("by_flag"))
+    b2 = spark.read.parquet(committed(sink2)).withColumn("sink", F.lit("by_status"))
     return b1.unionByName(b2).select("sink", "key", "n", "total")
 
 
@@ -386,7 +389,7 @@ def io_compact_small_files(spark, sf_dir):
     compact = _scratch(sf_dir, "orders_compacted")
     o = T(spark, sf_dir, "orders")
     o.repartition(64).write.mode("overwrite").parquet(frag)
-    back_frag = spark.read.parquet(frag)
+    back_frag = spark.read.parquet(committed(frag))
     # project the (nondeterministic) file name to a column first — it can't
     # appear directly inside an aggregate
     n_frag = (
@@ -394,7 +397,7 @@ def io_compact_small_files(spark, sf_dir):
         .select(F.countDistinct("f").alias("n"))
     )
     back_frag.repartition(4).write.mode("overwrite").parquet(compact)
-    back = spark.read.parquet(compact)
+    back = spark.read.parquet(committed(compact))
     n_comp = (
         back.select(F.input_file_name().alias("f"))
         .select(F.countDistinct("f").alias("n"))
@@ -443,7 +446,7 @@ def io_schema_evolution(spark, sf_dir):
     )
     old.write.mode("overwrite").parquet(out)
     new.write.mode("append").parquet(out)
-    back = spark.read.option("mergeSchema", True).parquet(out)
+    back = spark.read.option("mergeSchema", True).parquet(committed(out))
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("extra_custkey").alias("sum_new_col"),
@@ -479,7 +482,7 @@ def io_sorted_layout(spark, sf_dir):
         .write.mode("overwrite")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    back = spark.read.parquet(committed(out))
     day = (F.floor(F.col("ts").cast("long") / 86400) * 86400).cast("long")
     return back.groupBy(day.alias("day_start")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -521,7 +524,7 @@ def io_dpp_partitioned_join(spark, sf_dir):
         .partitionBy("order_year")
         .parquet(out)
     )
-    fact = spark.read.parquet(out)
+    fact = spark.read.parquet(committed(out))
     dim = (
         T(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 450000)
@@ -784,7 +787,7 @@ def catalog_partitions_report(spark, sf_dir):
         .partitionBy("order_year")
         .parquet(out)
     )
-    back = spark.read.parquet(out).withColumn("src_file", F.input_file_name())
+    back = spark.read.parquet(committed(out)).withColumn("src_file", F.input_file_name())
     return (
         back.groupBy("order_year")
         .agg(

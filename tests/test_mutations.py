@@ -67,18 +67,15 @@ def test_sorted_layout_files_disjoint(spark):
     the footers must not overlap) — the property file-level pruning needs."""
     import glob
     import os
-    import tempfile
 
     import pyarrow.parquet as pq
 
     from hive_apache_ci_spark.registry import all_queries
+    from hive_apache_ci_spark.sources.io_roundtrip import _scratch
 
     out = all_queries()["io_sorted_layout"](spark, SF_DIR)
     assert out.count() > 0  # materializes the write
-    tag = os.path.basename(os.path.normpath(SF_DIR))
-    d = os.path.join(
-        tempfile.gettempdir(), "hive_apache_ci_spark_io", tag, "events_sorted"
-    )
+    d = _scratch(SF_DIR, "events_sorted")  # per-run path (round-6 discipline)
     ranges = []
     for f in glob.glob(os.path.join(d, "*.parquet")):
         # footer stats for TIMESTAMP_NTZ chunks aren't always populated;
