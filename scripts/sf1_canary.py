@@ -20,6 +20,13 @@ Usage: python scripts/sf1_canary.py [--regen]  → one JSON line with
 {query: {sf01, sf1, ratio}} and a linearity verdict per query (data is
 10x, so ratio ≈ 10 is linear; > 30 ⇒ super-linear flag, recorded in
 docs/BENCH_TREND.md).
+
+Round-6 (r5 VERDICT #4): every attempt runs under a wall-clock ceiling
+(TIMEOUT_S per SF; override with --timeout-sf1 N). The r5 canary caught
+join_fuzzy_blocked's single-task Levenshtein serialization only because a
+human watched it hang; now the attempt's Spark job group is cancelled at
+the ceiling and the query is recorded with verdict TIMEOUT — the canary
+self-terminates with a named culprit.
 """
 
 from __future__ import annotations
@@ -28,11 +35,17 @@ import json
 import os
 import shutil
 import sys
+import threading
 import time
 
 SF01 = "/root/testdata/sf0.1"
 SF1_DIR = "/tmp/hive_apache_ci_spark_sf1"
 COPIES = 10
+
+# Per-attempt wall-clock ceilings. The slowest healthy sf1 query in the r5
+# full sweep ran ~25 s; 120 s is ~5x headroom, while the bug class this
+# guards against (work serialized into one task) runs for many minutes.
+TIMEOUT_S = {"sf01": 60.0, "sf1": 120.0}
 
 # the heaviest registry queries (bench + round-3 trend), spanning every
 # expensive topology: scan-agg, star join, window, session, minhash,
@@ -179,6 +192,38 @@ def generate(force: bool = False) -> None:
         fh.write("ok")
 
 
+class Timeout(Exception):
+    pass
+
+
+def _count_with_ceiling(spark, fn, sf_dir: str, limit_s: float, group: str) -> int:
+    """fn(spark, sf_dir).count() with a wall-clock ceiling: the count runs
+    in a worker thread under its own Spark job group (job groups are
+    thread-local, so the group must be set IN the worker); at the ceiling
+    the main thread cancels the group (interruptOnCancel=True) and raises
+    Timeout. The cancelled worker dies on its own py4j error shortly after
+    — daemon=True means a stuck one can't block interpreter exit."""
+    box: dict = {}
+
+    def target():
+        try:
+            spark.sparkContext.setJobGroup(group, "canary ceiling", True)
+            box["rows"] = fn(spark, sf_dir).count()
+        except BaseException as exc:  # noqa: BLE001 — relayed to caller
+            box["exc"] = exc
+
+    th = threading.Thread(target=target, daemon=True)
+    th.start()
+    th.join(limit_s)
+    if th.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        th.join(15)
+        raise Timeout(f"exceeded {limit_s:.0f}s ceiling")
+    if "exc" in box:
+        raise box["exc"]
+    return box["rows"]
+
+
 def main() -> int:
     force = "--regen" in sys.argv
     # --all (round-5, VERDICT item 5): sweep the ENTIRE registry at sf0.1
@@ -196,26 +241,44 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
     # positional names (optional) restrict the sweep — resume/spot-check
-    explicit = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    if "--timeout-sf1" in argv:
+        i = argv.index("--timeout-sf1")
+        argv = argv[:i] + argv[i + 2 :]  # drop the flag AND its value
+    explicit = [a for a in argv if not a.startswith("--")]
     if explicit:
         names = explicit
     else:
         names = sorted(qs.keys()) if all_mode else CANARY_QUERIES
+    timeouts = dict(TIMEOUT_S)
+    if "--timeout-sf1" in sys.argv:
+        timeouts["sf1"] = float(sys.argv[sys.argv.index("--timeout-sf1") + 1])
     out: dict[str, dict] = {}
     for name in names:
         row: dict = {}
         for tag, sf_dir in [("sf01", SF01), ("sf1", SF1_DIR)]:
+            limit = timeouts[tag]
             try:
                 if not all_mode:
-                    qs[name](spark, sf_dir).count()  # warm: plan + page cache
+                    # warm: plan + page cache (ceiling applies here too —
+                    # the r5 hang WAS the warm-up run)
+                    _count_with_ceiling(
+                        spark, qs[name], sf_dir, limit, f"{name}@{tag}#warm"
+                    )
                 reps = 1 if all_mode else 2
                 best = float("inf")
-                for _ in range(reps):
+                for i in range(reps):
                     t0 = time.perf_counter()
-                    n_rows = qs[name](spark, sf_dir).count()
+                    n_rows = _count_with_ceiling(
+                        spark, qs[name], sf_dir, limit, f"{name}@{tag}#{i}"
+                    )
                     best = min(best, time.perf_counter() - t0)
                 row[tag] = round(best, 3)
                 row[f"rows_{tag}"] = n_rows
+            except Timeout as exc:
+                print(f"canary: {name}@{tag} TIMEOUT: {exc}", file=sys.stderr)
+                row[tag] = None
+                row["verdict"] = "TIMEOUT"
             except Exception as exc:  # noqa: BLE001
                 print(f"canary: {name}@{tag} FAILED: {exc}", file=sys.stderr)
                 row[tag] = None
