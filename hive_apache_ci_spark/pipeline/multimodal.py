@@ -102,11 +102,42 @@ def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("multimodal_decode_stub", oracle=None)
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, nb,
+             list_transform(range(0, 16), k ->
+               (strpos('0123456789abcdef', substring(hx, 2*k + 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substring(hx, 2*k + 2, 1)) - 1)
+             ) AS bytes
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(64 + bytes[1] % 192 AS INTEGER)            AS width,
+           CAST(64 + bytes[2] % 192 AS INTEGER)            AS height,
+           round(list_sum(bytes) / (16 * 255.0), 6)        AS mean_intensity,
+           CAST(nb AS INTEGER)                             AS n_bytes
+    FROM b
+    """,
+)
 def multimodal_decode_stub(spark, sf_dir):
     """Decode/feature-extract over binary payloads via Arrow-batched
-    ``mapInPandas`` (deterministic stub codec). Rows-only check; the
-    feature determinism + batch shape are asserted in tests."""
+    ``mapInPandas`` (deterministic stub codec — fake_decode_features).
+    Full hash oracle since round 6 (retires the registry's last rows-only
+    entry): the stub's output is a pure function of the payload's md5
+    digest bytes, so DuckDB replays it exactly — digest bytes recovered by
+    hex-digit arithmetic over md5(text), width/height from bytes 0/1,
+    mean_intensity = sum(bytes)/(16*255) (no 6-dp rounding ties exist:
+    sum*12500/51 is never half-integer, checked analytically). What the
+    oracle validates is the Spark-side PLUMBING — Arrow batch transfer,
+    UDF signature, schema, row alignment — which is exactly the part that
+    stays when a real codec replaces the stub body."""
     d = with_binary_payload(T(spark, sf_dir, "documents"))
     return d.select("doc_id", "payload").mapInPandas(
         decode_batch, schema=_FEATURES_SCHEMA
