@@ -1010,6 +1010,99 @@ def dedup_incremental_batch(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_fingerprint_prefilter",
+    oracle=f"""
+    WITH hs AS (
+      SELECT doc_id,
+             md5(nt) AS h,
+             substring(md5(substring(nt, 1, 40)), 1, 8) AS fp,
+             {_INC_BUCKET} AS bk
+      FROM (SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+            FROM documents)
+    ),
+    base AS (SELECT doc_id AS base_id, h, fp FROM hs WHERE bk < 8),
+    inc  AS (SELECT doc_id, h, fp FROM hs WHERE bk >= 8),
+    fps  AS (SELECT DISTINCT fp FROM base),
+    cand AS (SELECT i.doc_id, i.h FROM inc i SEMI JOIN fps USING (fp)),
+    conf AS (
+      SELECT c.doc_id, 1 AS was_candidate,
+             CAST(min(b.base_id) AS BIGINT) AS dup_of_base
+      FROM cand c LEFT JOIN base b ON b.h = c.h
+      GROUP BY c.doc_id
+    ),
+    non AS (
+      SELECT i.doc_id, 0 AS was_candidate, CAST(NULL AS BIGINT) AS dup_of_base
+      FROM inc i ANTI JOIN fps USING (fp)
+    )
+    SELECT doc_id, was_candidate,
+           CASE WHEN dup_of_base IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+           dup_of_base
+    FROM (SELECT * FROM conf UNION ALL SELECT * FROM non)
+    """,
+)
+def dedup_fingerprint_prefilter(spark, sf_dir):
+    """Two-tier incremental dedup — the bloom-filter topology with a
+    replayable filter: tier 1 screens each new-batch document against a
+    COMPACT in-memory index (a 32-bit hash of the first 40 normalized
+    chars — 4 bytes/corpus doc, the role a bloom filter's bit array
+    plays; a deterministic fingerprint instead of bloom bits so DuckDB
+    replays the filter exactly and the candidate set itself is
+    hash-oracled, not just bounded); tier 2 confirms surviving candidates
+    against the full corpus hash table. The filter guarantees NO false
+    negatives structurally (identical texts have identical prefixes ⇒
+    identical fingerprints), so tier 2's left join decides truth; false
+    positives — shared-prefix near-dups and 32-bit collisions
+    (was_candidate=1, is_dup=0) — cost exactly one extra probe each: the
+    bloom trade, made visible per document.
+
+    100 TB shape: the fingerprint tier is what lets the confirm tier scale
+    — tier 1 eliminates ~all genuinely-new documents with a broadcast
+    semi-join against the 4-byte/doc set (Spark's real bloom runtime
+    filter does the same with ~10 bits/doc when the set outgrows a
+    broadcast; swap the distinct-fp table for `bloom_filter_agg` there),
+    and only the tiny candidate stream shuffles to the corpus hash
+    table's bucketed layout. Cites dedup_incremental_batch's 80/20 md5
+    split (same base/batch stand-in)."""
+    d = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    hashed = d.select(
+        "doc_id",
+        F.md5(norm).alias("h"),
+        F.substring(F.md5(F.substring(norm, 1, 40)), 1, 8).alias("fp"),
+        bucket.alias("bk"),
+    )
+    base = hashed.filter(F.col("bk") < 8).select(
+        F.col("doc_id").alias("base_id"), "h", "fp"
+    )
+    inc = hashed.filter(F.col("bk") >= 8).select("doc_id", "h", "fp")
+    fps = base.select("fp").distinct()
+    conf = (
+        inc.join(F.broadcast(fps), "fp", "left_semi")
+        .join(base.select("h", "base_id"), "h", "left")
+        .groupBy("doc_id")
+        .agg(F.min("base_id").cast("bigint").alias("dup_of_base"))
+        .select("doc_id", F.lit(1).alias("was_candidate"), "dup_of_base")
+    )
+    non = inc.join(F.broadcast(fps), "fp", "left_anti").select(
+        "doc_id",
+        F.lit(0).alias("was_candidate"),
+        F.lit(None).cast("bigint").alias("dup_of_base"),
+    )
+    return conf.unionByName(non).select(
+        "doc_id",
+        "was_candidate",
+        F.when(F.col("dup_of_base").isNotNull(), 1).otherwise(0).alias("is_dup"),
+        "dup_of_base",
+    )
+
+
 # ---- 11. cross-modal near-dup confirm -----------------------------------
 
 

@@ -577,9 +577,13 @@ def ivf_assign(spark, sf_dir):
 
 _IVF_PROBE = 2  # nprobe: centroids searched per query
 
-_IVF_SEARCH_ORACLE = (
-    _CENTROID_SQL
-    + f"""
+
+def _ivf_search_sql(nprobe: int) -> str:
+    """The IVF search CTE chain parametrized by nprobe (round 6: shared by
+    ivf_probe_topk / ann_recall_report / ann_nprobe_sweep)."""
+    return (
+        _CENTROID_SQL
+        + f"""
     , cvecs AS (
       SELECT label AS c_label, list(c ORDER BY pos) AS cvec
       FROM centroids GROUP BY label
@@ -605,7 +609,7 @@ _IVF_SEARCH_ORACLE = (
                           + c.c_label * 1e-12) AS rk
         FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) e
         CROSS JOIN cvecs c
-      ) WHERE rk <= {_IVF_PROBE}
+      ) WHERE rk <= {nprobe}
     ),
     cands AS (
       SELECT p.query_id, a.vec_id AS neighbor_id
@@ -626,7 +630,10 @@ _IVF_SEARCH_ORACLE = (
     SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
     FROM ranked WHERE rank <= {TOP_K}
     """
-)
+    )
+
+
+_IVF_SEARCH_ORACLE = _ivf_search_sql(_IVF_PROBE)
 
 
 @query("ivf_probe_topk", oracle=_IVF_SEARCH_ORACLE)
@@ -643,6 +650,12 @@ def ivf_probe_topk(spark, sf_dir):
     the probed lists, never the corpus. Fully oracled: centroids,
     assignment tie-breaks, and the cosine fold are all deterministic and
     recomputed identically in DuckDB."""
+    return _ivf_search(spark, sf_dir, _IVF_PROBE)
+
+
+def _ivf_search(spark, sf_dir, nprobe: int):
+    """IVF search dataflow parametrized by nprobe (shared with
+    ann_nprobe_sweep)."""
     from pyspark.sql import Window
 
     e = T(spark, sf_dir, "embeddings")
@@ -693,7 +706,7 @@ def ivf_probe_topk(spark, sf_dir):
         .join(F.broadcast(cvecs))
         .select("query_id", "c_label", d2.alias("d2"))
         .withColumn("rk", F.row_number().over(wprobe))
-        .filter(F.col("rk") <= _IVF_PROBE)
+        .filter(F.col("rk") <= nprobe)
         .select("query_id", "c_label")
     )
     cands = (
@@ -2219,3 +2232,182 @@ def cluster_topics_report(spark, sf_dir):
             "lift",
         )
     )
+
+
+# ---- round 6: matryoshka truncation recall + nprobe tuning sweep ---------
+
+_MRL_DIMS = (16, 32)  # prefix lengths evaluated against the 64-dim truth
+
+
+def _knn_trunc(spark, sf_dir, d: int):
+    """Brute-force top-k by cosine over the FIRST d dims only (matryoshka
+    prefix): same dataflow as knn_topk_cosine with the embedding sliced
+    before any arithmetic — norms are prefix norms."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, d).alias("emb")
+    )
+    e = e.withColumn("nrm", F.sqrt(dot_fold(F.col("emb"), F.col("emb"))))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    sims = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "sim_raw"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _knn_trunc_sql(d: int) -> str:
+    """Self-contained (own WITH scope) truncated-knn id pairs for DuckDB."""
+    return f"""
+    WITH qs AS (SELECT vec_id, embedding[1:{d}] AS emb
+                FROM embeddings WHERE vec_id < {N_QUERIES}),
+         cs AS (SELECT vec_id, embedding[1:{d}] AS emb FROM embeddings)
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cos_sql('q.emb', 'c.emb')} DESC, c.vec_id
+             ) AS rank
+      FROM qs q JOIN cs c ON c.vec_id <> q.vec_id
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+def _matryoshka_oracle() -> str:
+    blocks = []
+    for d in _MRL_DIMS:
+        blocks.append(f"""
+    SELECT {d} AS trunc_dims, t.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+           round(count(i.neighbor_id) * 1.0 / {TOP_K} + 1e-9, 6) AS recall_at_k
+    FROM truth t
+    LEFT JOIN (SELECT * FROM ({_knn_trunc_sql(d)}) x) i
+           ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """)
+        # each truncated ranking lives in its own subquery WITH-scope, so
+        # the chains can't collide; truth is shared once at the top
+    return (
+        f"WITH truth AS ({_KNN_TOPK_ORACLE})"
+        + " UNION ALL ".join(blocks)
+    )
+
+
+@query("ann_matryoshka_recall", oracle=_matryoshka_oracle())
+def ann_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-truncation evaluation: recall@{TOP_K} per query when
+    ranking by cosine over only the FIRST d dims (d ∈ {_MRL_DIMS}) against
+    the full-dim brute-force truth — the report that decides how far a
+    matryoshka-trained embedding can be truncated before retrieval quality
+    degrades. Truncation is THE cheap scale lever for 100 TB ANN: a 16-of-
+    64 prefix cuts index bytes, scan IO, and distance FLOPs 4x with zero
+    re-embedding cost, and prefix scoring composes with every index here
+    (IVF routing and PQ codebooks over the prefix). Dataflow: the sliced
+    ranking reuses the knn topology (broadcast queries, per-query window);
+    recall joins are id-only. Fully hash-oracled — the sequential fold
+    over identical slices is bit-deterministic in both engines."""
+    truth = knn_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    parts = []
+    for d in _MRL_DIMS:
+        trunc = _knn_trunc(spark, sf_dir, d)
+        hits = (
+            truth.join(trunc, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_matched"))
+        )
+        parts.append(
+            truth.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(d).alias("trunc_dims"),
+                "query_id",
+                F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
+                F.round(
+                    F.coalesce("n_matched", F.lit(0)) * 1.0 / TOP_K + F.lit(1e-9), 6
+                ).alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_SWEEP_PROBES = (1, 2, 4)
+
+
+def _nprobe_sweep_oracle() -> str:
+    blocks = []
+    for np_ in _SWEEP_PROBES:
+        blocks.append(f"""
+    SELECT {np_} AS nprobe,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+           round(count(i.neighbor_id) * 1.0 / {N_QUERIES * TOP_K} + 1e-9, 6)
+               AS mean_recall_at_k
+    FROM truth t
+    LEFT JOIN (SELECT query_id, neighbor_id
+               FROM ({_ivf_search_sql(np_)}) x) i
+           ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+    """)
+    return (
+        f"WITH truth AS ({_KNN_TOPK_ORACLE})"
+        + " UNION ALL ".join(blocks)
+    )
+
+
+@query("ann_nprobe_sweep", oracle=_nprobe_sweep_oracle())
+def ann_nprobe_sweep(spark, sf_dir):
+    """IVF tuning curve: mean recall@{TOP_K} over the query panel as a
+    function of nprobe ∈ {_SWEEP_PROBES} — the sweep every ANN deployment
+    runs to pick its latency/recall operating point (recall must be
+    monotone in nprobe; at nprobe = n_centroids the search is exhaustive
+    within assignment and recall is limited only by routing loss). Each
+    sweep point reuses the shared `_ivf_search` dataflow; truth is
+    computed once. At 100 TB this is a sampled-panel job: cost scales with
+    panel size x probed-list fraction, never the corpus — exactly why the
+    sweep is affordable to run continuously against a production index."""
+    truth = knn_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    parts = []
+    for np_ in _SWEEP_PROBES:
+        ivf = _ivf_search(spark, sf_dir, np_).select("query_id", "neighbor_id")
+        matched = truth.join(ivf, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_matched")
+        )
+        parts.append(
+            matched.select(
+                F.lit(np_).alias("nprobe"),
+                F.col("n_matched").cast("bigint").alias("n_matched"),
+                F.round(
+                    F.col("n_matched") * 1.0 / (N_QUERIES * TOP_K) + F.lit(1e-9), 6
+                ).alias("mean_recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -221,3 +221,59 @@ def test_ivf_pq_index_reused_not_retrained(spark):
     d2 = _ensure_pq_index(spark, SF_DIR)
     assert d1 == d2 == _pq_index_dir(SF_DIR)
     assert os.path.getmtime(os.path.join(d2, "codebook")) == stamp
+
+
+# ---- round-6 additions: matryoshka / nprobe sweep / fingerprint prefilter
+
+
+def test_nprobe_sweep_recall_monotone(spark):
+    """More probed lists can only add candidates, so recall@k must be
+    nondecreasing in nprobe — the tuning curve's defining property."""
+    from hive_apache_ci_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["ann_nprobe_sweep"](spark, SF_DIR).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    recalls = [r.mean_recall_at_k for r in rows]
+    assert recalls == sorted(recalls), recalls
+    assert all(0.0 <= x <= 1.0 for x in recalls)
+
+
+def test_matryoshka_shapes_and_bounds(spark):
+    from hive_apache_ci_spark.pipeline.similarity import (
+        _MRL_DIMS,
+        N_QUERIES,
+        TOP_K,
+    )
+    from hive_apache_ci_spark.registry import all_queries
+
+    rows = all_queries()["ann_matryoshka_recall"](spark, SF_DIR).collect()
+    assert len(rows) == len(_MRL_DIMS) * N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_matched <= TOP_K
+        assert r.trunc_dims in _MRL_DIMS
+    # full-dim ranking is the truth, so a WIDER prefix must not do worse
+    # on average (it sees strictly more of the vector)
+    by_d = {}
+    for r in rows:
+        by_d.setdefault(r.trunc_dims, []).append(r.n_matched)
+    means = {d: sum(v) / len(v) for d, v in by_d.items()}
+    assert means[32] >= means[16], means
+
+
+def test_prefilter_no_false_negatives_and_confirms_match_incremental(spark):
+    """Structural guarantee: a confirmed dup must have passed the filter;
+    cross-op consistency: the confirmed-dup set must equal
+    dedup_incremental_batch's (same split, same normalized hash)."""
+    from hive_apache_ci_spark.registry import all_queries
+
+    qs = all_queries()
+    pre = qs["dedup_fingerprint_prefilter"](spark, SF_DIR).collect()
+    assert all(r.was_candidate == 1 for r in pre if r.is_dup == 1)
+    assert sum(r.was_candidate for r in pre) > 0, "filter tier never fired"
+    got = {(r.doc_id, r.dup_of_base) for r in pre if r.is_dup == 1}
+    inc = qs["dedup_incremental_batch"](spark, SF_DIR).collect()
+    want = {(r.doc_id, r.dup_of_base) for r in inc if r.is_dup == 1}
+    assert got == want
