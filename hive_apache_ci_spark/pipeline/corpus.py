@@ -995,3 +995,147 @@ def corpus_quality_tiers(spark, sf_dir):
 corpus_quality_tiers.__doc__ = corpus_quality_tiers.__doc__.replace(
     "{N}", str(_N_TIERS)
 ).replace("{NB}", str(_N_TIERS - 1))
+
+
+# ---- round 6: quality-annealed curriculum schedule -----------------------
+
+_CURR_DECILES = 10
+_CURR_PHASES = ("warmup", "main", "anneal")
+
+
+def _curriculum_oracle() -> str:
+    from .text_analysis import _STOP_SQL
+
+    cuts = [k / _CURR_DECILES for k in range(1, _CURR_DECILES)]
+    bsel = ", ".join(
+        f"round(quantile_cont(quality, {c}) + 1e-12, 4) AS b{i}"
+        for i, c in enumerate(cuts, 1)
+    )
+    decexpr = " + ".join(
+        f"CASE WHEN q.quality > b.b{i} THEN 1 ELSE 0 END"
+        for i in range(1, _CURR_DECILES)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, len(a) AS n_tokens,
+             round(0.4 * least(len(a) / 60.0, 1.0)
+                   + 0.3 * least(len(list_filter(a, t -> t IN {_STOP_SQL}))
+                                 * 1.0 / len(a) * 5.0, 1.0)
+                   + 0.3 * len(list_distinct(a)) * 1.0 / len(a)
+                   + 1e-9, 6) AS quality
+      FROM toks
+    ),
+    bounds AS (SELECT {bsel} FROM q),
+    dec AS (
+      SELECT q.doc_id, q.n_tokens, CAST({decexpr} AS INTEGER) AS decile
+      FROM q CROSS JOIN bounds b
+    ),
+    per_dec AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT)    AS n_tokens
+      FROM dec GROUP BY 1
+    ),
+    phases (phase) AS (VALUES ('warmup'), ('main'), ('anneal')),
+    wt AS (
+      SELECT p.phase, d.decile, d.n_docs, d.n_tokens,
+             CAST(CASE WHEN p.phase = 'warmup' THEN 1.0
+                       WHEN p.phase = 'main'   THEN 1.0 + 0.1 * d.decile
+                       WHEN d.decile >= 7      THEN 2.0
+                       ELSE 0.5 END AS DOUBLE) AS w
+      FROM per_dec d CROSS JOIN phases p
+    ),
+    tot AS (SELECT phase, sum(w * n_tokens) AS t FROM wt GROUP BY 1)
+    SELECT w.phase, w.decile, w.n_docs, w.n_tokens,
+           round(w.w, 2)                              AS weight,
+           round(w.w * w.n_tokens / t.t + 1e-9, 6)    AS token_share
+    FROM wt w JOIN tot t USING (phase)
+    """
+
+
+@query("corpus_curriculum_schedule", oracle=_curriculum_oracle())
+def corpus_curriculum_schedule(spark, sf_dir):
+    """Quality-annealed curriculum schedule — the mixing table behind the
+    standard modern pretraining recipe (uniform warmup → mildly quality-
+    tilted main run → strongly quality-upweighted annealing phase): score
+    every document with the text_quality_score heuristic, cut the corpus
+    into {D} EQUAL-COUNT quality deciles (quantile boundaries broadcast
+    back — no global sort, the window_ntile_scaled pattern), apply each
+    phase's decile→weight schedule, and emit per (phase, decile) the doc/
+    token counts, the weight, and the normalized token share the sampler
+    should draw. Downstream this composes with corpus_sampling's
+    deterministic md5-bucket draw exactly like corpus_mixture_weights.
+
+    Determinism: quality is 6-dp (identical to text_quality_score);
+    boundaries 4-dp + epsilon (supplier-p95 interpolation discipline);
+    weights are CASE constants; shares are 10-term ratios rounded 6 dp.
+    100 TB shape: one corpus scan → 10-row decile aggregate; everything
+    after is constant-size arithmetic, so the schedule is free to
+    recompute per training run."""
+    from .text_analysis import STOPWORDS, tokens_col
+
+    d = T(spark, sf_dir, "documents").withColumn("a", tokens_col())
+    n = F.size("a")
+    stop_ratio = F.size(F.filter("a", lambda t: t.isin(*STOPWORDS))) * 1.0 / n
+    ttr = F.size(F.array_distinct("a")) * 1.0 / n
+    quality = F.round(
+        0.4 * F.least(n / 60.0, F.lit(1.0))
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + 0.3 * ttr
+        + F.lit(1e-9),
+        6,
+    )
+    q = d.select("doc_id", n.alias("n_tokens"), quality.alias("quality"))
+    cuts = [k / _CURR_DECILES for k in range(1, _CURR_DECILES)]
+    bounds = q.agg(
+        *[
+            F.round(
+                F.expr(f"percentile(quality, {c})") + F.lit(1e-12), 4
+            ).alias(f"b{i}")
+            for i, c in enumerate(cuts, 1)
+        ]
+    )
+    decile = None
+    for i in range(1, _CURR_DECILES):
+        term = F.when(F.col("quality") > F.col(f"b{i}"), 1).otherwise(0)
+        decile = term if decile is None else decile + term
+    per_dec = (
+        q.crossJoin(F.broadcast(bounds))
+        .groupBy(decile.cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    phases = spark.createDataFrame(
+        [(p,) for p in _CURR_PHASES], ["phase"]
+    )
+    w = (
+        F.when(F.col("phase") == "warmup", F.lit(1.0))
+        .when(F.col("phase") == "main", 1.0 + 0.1 * F.col("decile"))
+        .when(F.col("decile") >= 7, F.lit(2.0))
+        .otherwise(F.lit(0.5))
+    )
+    wt = per_dec.crossJoin(F.broadcast(phases)).withColumn("w", w)
+    tot = wt.groupBy("phase").agg(F.sum(F.col("w") * F.col("n_tokens")).alias("t"))
+    return (
+        wt.join(F.broadcast(tot), "phase")
+        .select(
+            "phase",
+            "decile",
+            "n_docs",
+            "n_tokens",
+            F.round("w", 2).alias("weight"),
+            F.round(
+                F.col("w") * F.col("n_tokens") / F.col("t") + F.lit(1e-9), 6
+            ).alias("token_share"),
+        )
+    )
+
+
+corpus_curriculum_schedule.__doc__ = corpus_curriculum_schedule.__doc__.replace(
+    "{D}", str(_CURR_DECILES)
+)

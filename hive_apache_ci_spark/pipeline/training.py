@@ -57,7 +57,9 @@ def _z_sql(w: str) -> str:
     )
 
 
-def _logreg_oracle() -> str:
+def _logreg_chain_sql() -> str:
+    """The unrolled training CTE chain (feat, w0..w{ITERS}) — shared by the
+    trainer oracle and the round-6 calibration-report oracle."""
     parts = [
         f"WITH {_feat_sql()},",
         "    w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
@@ -73,6 +75,11 @@ def _logreg_oracle() -> str:
         parts.append(
             f",\n    w{i} AS (SELECT {comps} FROM feat f CROSS JOIN w{i-1} w)"
         )
+    return "".join(parts)
+
+
+def _logreg_oracle() -> str:
+    parts = [_logreg_chain_sql()]
     zf = _z_sql("w")
     pf = f"1.0 / (1.0 + exp(-({zf})))"
     parts.append(
@@ -97,26 +104,9 @@ def _logreg_oracle() -> str:
     return "".join(parts)
 
 
-@query("train_logreg_quality", oracle=_logreg_oracle())
-def train_logreg_quality(spark, sf_dir):
-    """Batch-GD logistic regression (lr={LR}, {I} fixed full-batch rounds,
-    w init 0) predicting lang='en' from per-doc surface features (capped
-    length, type-token ratio, stopword fraction + bias) — the quality /
-    language classifier training step of an LLM data pipeline, expressed
-    as a deterministic distributed dataflow.
-
-    Determinism contract (what makes a GD loop hash-oracle-able): features
-    rounded to 6dp at construction; the margin w·x evaluated in a fixed
-    term order and quantized to 9dp BEFORE the sigmoid (so libm exp()
-    differences see identical inputs and contribute ≤1 ulp); per-round
-    weights rounded to 9dp after the gradient step. DuckDB unrolls the
-    same {I} rounds.
-
-    100 TB shape: the model state is 4 doubles carried as a 1-row
-    broadcast DataFrame; each round is one corpus scan aggregated into 4
-    partial-summed gradient components (no shuffle wider than the 4-value
-    agg), lineage cut per round with localCheckpoint. Returns the weight
-    vector plus final log-loss/accuracy."""
+def _logreg_train(spark, sf_dir):
+    """Shared trainer: returns (feat, final weights, margin column) — the
+    round-6 calibration report reuses the identical trained model."""
     d = T(spark, sf_dir, "documents")
     a = F.split(F.lower("text"), r"\s+")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -158,7 +148,30 @@ def train_logreg_quality(spark, sf_dir):
                 for j in range(4)
             ]
         ).localCheckpoint()
+    return feat, w, z
 
+
+@query("train_logreg_quality", oracle=_logreg_oracle())
+def train_logreg_quality(spark, sf_dir):
+    """Batch-GD logistic regression (lr={LR}, {I} fixed full-batch rounds,
+    w init 0) predicting lang='en' from per-doc surface features (capped
+    length, type-token ratio, stopword fraction + bias) — the quality /
+    language classifier training step of an LLM data pipeline, expressed
+    as a deterministic distributed dataflow.
+
+    Determinism contract (what makes a GD loop hash-oracle-able): features
+    rounded to 6dp at construction; the margin w·x evaluated in a fixed
+    term order and quantized to 9dp BEFORE the sigmoid (so libm exp()
+    differences see identical inputs and contribute ≤1 ulp); per-round
+    weights rounded to 9dp after the gradient step. DuckDB unrolls the
+    same {I} rounds.
+
+    100 TB shape: the model state is 4 doubles carried as a 1-row
+    broadcast DataFrame; each round is one corpus scan aggregated into 4
+    partial-summed gradient components (no shuffle wider than the 4-value
+    agg), lineage cut per round with localCheckpoint. Returns the weight
+    vector plus final log-loss/accuracy."""
+    feat, w, z = _logreg_train(spark, sf_dir)
     scored = feat.crossJoin(F.broadcast(w))
     p = 1.0 / (1.0 + F.exp(-z))
     metrics = scored.agg(
@@ -194,3 +207,92 @@ def train_logreg_quality(spark, sf_dir):
 train_logreg_quality.__doc__ = train_logreg_quality.__doc__.replace(
     "{LR}", str(_LR_RATE)
 ).replace("{I}", str(_LR_ITERS))
+
+
+# ---- round 6: classifier calibration (reliability diagram) ---------------
+
+_CAL_BINS = 5
+
+
+def _calibration_oracle() -> str:
+    zf = _z_sql("w")
+    pf = f"round(1.0 / (1.0 + exp(-({zf}))), 6)"
+    cuts = [k / _CAL_BINS for k in range(1, _CAL_BINS)]
+    bsel = ", ".join(
+        f"round(quantile_cont(p, {c}) + 1e-12, 4) AS b{i}"
+        for i, c in enumerate(cuts, 1)
+    )
+    binexpr = " + ".join(
+        f"CASE WHEN s.p > b.b{i} THEN 1 ELSE 0 END"
+        for i in range(1, _CAL_BINS)
+    )
+    return (
+        _logreg_chain_sql()
+        + f"""
+    , scored AS (
+      SELECT f.y, {pf} AS p
+      FROM feat f CROSS JOIN w{_LR_ITERS} w
+    ),
+    bounds AS (SELECT {bsel} FROM scored)
+    SELECT CAST({binexpr} AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           round(avg(s.p) + 1e-9, 4)  AS mean_predicted,
+           round(avg(s.y) + 1e-9, 4)  AS empirical_rate
+    FROM scored s CROSS JOIN bounds b
+    GROUP BY 1
+    """
+    )
+
+
+@query("quality_calibration_report", oracle=_calibration_oracle())
+def quality_calibration_report(spark, sf_dir):
+    """Reliability diagram for the trained quality/language classifier —
+    the post-training audit that decides whether predicted probabilities
+    can drive downstream sampling weights (a classifier can be accurate
+    yet badly calibrated, which silently skews probability-weighted corpus
+    mixing): score every document with the SAME trained model as
+    `train_logreg_quality` (shared `_logreg_train`), bucket into {B}
+    EQUAL-COUNT bins by p-quantile boundaries, and report per bin the
+    document count, mean predicted probability, and empirical positive
+    rate — calibration = the last two agreeing per bin. Equal-count (not
+    equal-width) bins because a confident classifier concentrates p into
+    a narrow range that would leave fixed-width bins empty.
+
+    Determinism: p is 6-dp-rounded before everything; quantile boundaries
+    are 4-dp-rounded + epsilon (the supplier-p95 interpolation-noise
+    discipline) and bin assignment is pure comparison against them. Scale:
+    NO global sort/window — the boundaries are a 4-value aggregate
+    broadcast back (the window_ntile_scaled pattern), so the report is one
+    corpus scan + one {B}-row aggregate at any corpus size."""
+    feat, w, z = _logreg_train(spark, sf_dir)
+    p = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+    scored = feat.crossJoin(F.broadcast(w)).select(
+        F.col("y"), p.alias("p")
+    )
+    cuts = [k / _CAL_BINS for k in range(1, _CAL_BINS)]
+    bounds = scored.agg(
+        *[
+            F.round(F.expr(f"percentile(p, {c})") + F.lit(1e-12), 4).alias(
+                f"b{i}"
+            )
+            for i, c in enumerate(cuts, 1)
+        ]
+    )
+    binc = None
+    for i in range(1, _CAL_BINS):
+        term = F.when(F.col("p") > F.col(f"b{i}"), 1).otherwise(0)
+        binc = term if binc is None else binc + term
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .groupBy(binc.cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("p") + F.lit(1e-9), 4).alias("mean_predicted"),
+            F.round(F.avg("y") + F.lit(1e-9), 4).alias("empirical_rate"),
+        )
+    )
+
+
+quality_calibration_report.__doc__ = quality_calibration_report.__doc__.replace(
+    "{B}", str(_CAL_BINS)
+)

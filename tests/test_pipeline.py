@@ -277,3 +277,40 @@ def test_prefilter_no_false_negatives_and_confirms_match_incremental(spark):
     inc = qs["dedup_incremental_batch"](spark, SF_DIR).collect()
     want = {(r.doc_id, r.dup_of_base) for r in inc if r.is_dup == 1}
     assert got == want
+
+
+def test_calibration_bins_equal_count_and_monotone(spark):
+    from hive_apache_ci_spark.pipeline.training import _CAL_BINS
+    from hive_apache_ci_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["quality_calibration_report"](spark, SF_DIR).collect(),
+        key=lambda r: r.bin,
+    )
+    assert [r.bin for r in rows] == list(range(_CAL_BINS))
+    total = sum(r.n_docs for r in rows)
+    # equal-count bins: no bin further than 25% from the ideal share
+    # (boundary ties can shift a few docs between neighbors)
+    for r in rows:
+        assert abs(r.n_docs - total / _CAL_BINS) <= total / _CAL_BINS * 0.25, rows
+    preds = [r.mean_predicted for r in rows]
+    assert preds == sorted(preds)  # quantile bins => monotone by construction
+    assert all(0.0 <= r.empirical_rate <= 1.0 for r in rows)
+
+
+def test_curriculum_shares_normalize_and_anneal_tilts_up(spark):
+    from hive_apache_ci_spark.registry import all_queries
+
+    rows = all_queries()["corpus_curriculum_schedule"](spark, SF_DIR).collect()
+    assert len(rows) == 30
+    by_phase = {}
+    for r in rows:
+        by_phase.setdefault(r.phase, []).append(r)
+    for phase, rs in by_phase.items():
+        assert abs(sum(x.token_share for x in rs) - 1.0) < 1e-4, phase
+    def top3(phase):
+        return sum(
+            x.token_share for x in by_phase[phase] if x.decile >= 7
+        )
+    # annealing must concentrate the token budget on high-quality deciles
+    assert top3("anneal") > top3("main") > top3("warmup") - 1e-9
