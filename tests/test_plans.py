@@ -485,3 +485,30 @@ def test_rfm_scaled_no_global_window(spark):
     assert not re.search(
         r"windowspecdefinition\((last_order_s|frequency|monetary)", p
     ), p
+
+
+def test_calibration_and_curriculum_no_global_sort_or_window(spark):
+    """The round-6 quantile-bucket reports claim 'no global sort — boundary
+    broadcast': neither plan may contain a Window or a global range
+    Exchange; the only cross joins are broadcast scalar/bounds rows."""
+    for name in ("quality_calibration_report", "corpus_curriculum_schedule"):
+        p = plan(spark, name)
+        assert "Window" not in p, (name, p)
+        assert "Exchange rangepartitioning" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_nprobe_sweep_reuses_broadcast_centroids(spark):
+    """Every sweep point routes via broadcast centroids; candidate joins
+    key on the inverted-list label, never a corpus cartesian."""
+    p = plan(spark, "ann_nprobe_sweep")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastExchange") >= 3  # cvecs broadcast per sweep point
+
+
+def test_fingerprint_prefilter_semi_join_broadcasts_fp_set(spark):
+    """Tier 1 must be a broadcast semi/anti join on the 4-byte fingerprint
+    (the in-memory filter tier), not a shuffle of the batch."""
+    p = plan(spark, "dedup_fingerprint_prefilter")
+    assert "BroadcastHashJoin" in p and ("LeftSemi" in p or "LeftAnti" in p), p
+    assert "CartesianProduct" not in p
