@@ -165,9 +165,7 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@query(
-    "search_bm25_topk",
-    oracle=f"""
+_BM25_ORACLE = f"""
     WITH toks AS ({_TOKENS_SQL}),
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
     stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
@@ -197,8 +195,10 @@ _BM25_B = 0.75
                  row_number() OVER (ORDER BY score DESC, doc_id) AS rk
           FROM piv)
     WHERE rk <= 20
-    """,
-)
+    """
+
+
+@query("search_bm25_topk", oracle=_BM25_ORACLE)
 def search_bm25_topk(spark, sf_dir):
     """BM25 keyword search (query = 'hash join scan', k1=1.2, b=0.75):
     top-20 documents by summed per-term BM25 contribution.
@@ -351,4 +351,146 @@ def search_query_likelihood(spark, sf_dir):
 
 search_query_likelihood.__doc__ = search_query_likelihood.__doc__.replace(
     "{MU}", str(_QL_MU)
+)
+
+
+# ---- round 6: hybrid retrieval — reciprocal-rank fusion ------------------
+
+_RRF_K = 60       # the standard RRF damping constant (Cormack et al.)
+_RRF_PRF_DOCS = 5  # BM25 top-N whose embedding mean forms the vector query
+_RRF_ARM_K = 20    # per-arm depth
+_RRF_OUT_K = 10    # fused result depth
+
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_COS = (
+    f"({_DOT.format(a='e.embedding', b='q.qvec')} / "
+    f"(sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) "
+    f"* sqrt({_DOT.format(a='q.qvec', b='q.qvec')})))"
+)
+
+
+def _rrf_oracle() -> str:
+    return f"""
+    WITH bm AS (SELECT rk AS bm_rk, doc_id FROM ({_BM25_ORACLE}) b),
+    qdims AS (
+      SELECT u.pos AS pos, round(avg(CAST(u.val AS DOUBLE)) + 1e-12, 6) AS c
+      FROM bm
+      JOIN embeddings e ON e.vec_id = bm.doc_id
+      CROSS JOIN unnest(list_transform(range(1, len(e.embedding) + 1),
+                        i -> {{'pos': i, 'val': e.embedding[i]}})) AS t(u)
+      WHERE bm.bm_rk <= {_RRF_PRF_DOCS}
+      GROUP BY u.pos
+    ),
+    qv AS (SELECT list(c ORDER BY pos) AS qvec FROM qdims),
+    sem AS (
+      SELECT vec_id AS doc_id, rk AS vec_rk FROM (
+        SELECT e.vec_id,
+               row_number() OVER (ORDER BY {_COS} DESC, e.vec_id) AS rk
+        FROM embeddings e CROSS JOIN qv q
+      ) WHERE rk <= {_RRF_ARM_K}
+    ),
+    fused AS (
+      SELECT coalesce(bm.doc_id, sem.doc_id) AS doc_id,
+             bm.bm_rk, sem.vec_rk,
+             round(coalesce(1.0 / ({_RRF_K} + bm.bm_rk), 0.0)
+                   + coalesce(1.0 / ({_RRF_K} + sem.vec_rk), 0.0), 6)
+                 AS rrf_score
+      FROM bm FULL OUTER JOIN sem ON bm.doc_id = sem.doc_id
+    )
+    SELECT rk, doc_id,
+           CAST(bm_rk AS INTEGER)  AS bm_rk,
+           CAST(vec_rk AS INTEGER) AS vec_rk,
+           rrf_score
+    FROM (SELECT doc_id, bm_rk, vec_rk, rrf_score,
+                 row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rk
+          FROM fused)
+    WHERE rk <= {_RRF_OUT_K}
+    """
+
+
+@query("search_hybrid_rrf", oracle=_rrf_oracle())
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion — the standard way
+    production search combines a lexical arm and a vector arm without
+    score calibration (RRF: score = Σ 1/(k + rank), k={K}): arm 1 is the
+    BM25 top-{A} ('hash join scan'); arm 2 ranks the corpus by cosine to a
+    pseudo-relevance-feedback query vector (the dimension-wise mean of the
+    BM25 top-{P} docs' embeddings — classic vector PRF, so the semantic
+    query derives deterministically from the lexical results instead of
+    needing an out-of-band query embedding). Ranks fuse on doc_id
+    (vec_id ≡ doc_id in this corpus), reciprocal contributions sum in
+    fixed arm order, 6-dp-rounded BEFORE the fused ranking so near-tie
+    rank pairs order identically cross-engine.
+
+    100 TB shape: each arm is already scale-safe (BM25: broadcast df +
+    TakeOrderedAndProject; vector arm: broadcast 1-row query vector,
+    map-side cosine, top-k — swap in ivf_pq_search_topk for the
+    brute-force arm at corpus scale); fusion itself touches only
+    {A}+{A} id-rank rows. The PRF mean is 6-dp-quantized (the centroid
+    discipline) so both engines rank against the identical query vector."""
+    from .similarity import dot_fold
+
+    bm = search_bm25_topk(spark, sf_dir).select(
+        F.col("rk").alias("bm_rk"), "doc_id"
+    )
+    e = T(spark, sf_dir, "embeddings")
+    qdims = (
+        bm.filter(F.col("bm_rk") <= _RRF_PRF_DOCS)
+        .join(e, bm.doc_id == e.vec_id)
+        .select(F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy((F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("val").cast("double")) + F.lit(1e-12), 6).alias("c"))
+    )
+    qv = qdims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("qvec")
+    )
+    cos = dot_fold(F.col("embedding"), F.col("qvec")) / (
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot_fold(F.col("qvec"), F.col("qvec")))
+    )
+    wsem = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    sem = (
+        e.crossJoin(F.broadcast(qv))
+        .select("vec_id", cos.alias("sim"))
+        .withColumn("vec_rk", F.row_number().over(wsem))
+        .filter(F.col("vec_rk") <= _RRF_ARM_K)
+        .select(F.col("vec_id").alias("doc_id"), "vec_rk")
+    )
+    fused = (
+        bm.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "bm_rk",
+            "vec_rk",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("bm_rk")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("vec_rk")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= _RRF_OUT_K)
+        .select(
+            "rk",
+            "doc_id",
+            F.col("bm_rk").cast("int").alias("bm_rk"),
+            F.col("vec_rk").cast("int").alias("vec_rk"),
+            "rrf_score",
+        )
+    )
+
+
+search_hybrid_rrf.__doc__ = (
+    search_hybrid_rrf.__doc__.replace("{K}", str(_RRF_K))
+    .replace("{A}", str(_RRF_ARM_K))
+    .replace("{P}", str(_RRF_PRF_DOCS))
 )

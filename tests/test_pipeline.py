@@ -314,3 +314,23 @@ def test_curriculum_shares_normalize_and_anneal_tilts_up(spark):
         )
     # annealing must concentrate the token budget on high-quality deciles
     assert top3("anneal") > top3("main") > top3("warmup") - 1e-9
+
+
+def test_hybrid_rrf_fuses_both_arms(spark):
+    from hive_apache_ci_spark.registry import all_queries
+
+    rows = all_queries()["search_hybrid_rrf"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert [r.rk for r in rows] != sorted(
+        [r.rk for r in rows], reverse=True
+    )  # ranks ascend
+    # fusion must actually mix: some doc carries BOTH ranks (the PRF vector
+    # is built FROM bm25 hits, so overlap is structural), and the top doc's
+    # score must equal the recomputed reciprocal sum
+    both = [r for r in rows if r.bm_rk is not None and r.vec_rk is not None]
+    assert both, rows
+    top = rows[0]
+    expect = (1.0 / (60 + top.bm_rk) if top.bm_rk else 0.0) + (
+        1.0 / (60 + top.vec_rk) if top.vec_rk else 0.0
+    )
+    assert abs(top.rrf_score - round(expect, 6)) < 1e-9
