@@ -1140,7 +1140,7 @@ _PQ_K = 4        # codes per subspace codebook
 _PQ_ITERS = 2
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(src: str = "embeddings") -> str:
     """Unrolled per-subspace Lloyd rounds as a CTE body (no WITH, no final
     SELECT) — the k-means oracle with a subspace key `s` carried through
     every CTE, so all {M} codebooks train in the same unrolled SQL
@@ -1155,7 +1155,7 @@ def _pq_ctes() -> str:
                                        sp.s * {_PQ_SUB} + 1,
                                        sp.s * {_PQ_SUB} + {_PQ_SUB}),
                             x -> CAST(x AS DOUBLE)) AS emb
-      FROM embeddings e
+      FROM {src} e
       CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) sp
     ),
     dd AS (
@@ -1169,7 +1169,7 @@ def _pq_ctes() -> str:
     ),
     c0 AS (
       SELECT s, vec_id AS cid, emb AS cvec FROM vv
-      WHERE vec_id IN (SELECT vec_id FROM embeddings
+      WHERE vec_id IN (SELECT vec_id FROM {src}
                        ORDER BY vec_id LIMIT {_PQ_K})
     )"""
     ]
@@ -1246,14 +1246,11 @@ def embedding_pq_codes(spark, sf_dir):
     )
 
 
-def _pq_train(spark, sf_dir):
-    """Shared PQ training dataflow: returns (vv sub-vectors, final (s, cid)
-    codebook, final (vec_id, s, cid, d2) assignment) after the fixed Lloyd
-    rounds — consumed by embedding_pq_codes and ivf_pq_topk."""
-
-    e = T(spark, sf_dir, "embeddings")
+def _pq_subvectors(spark, e):
+    """(vec_id, s, emb) sub-vector rows — the PQ subspace split, shared by
+    training and the round-6 delta-ingest encoder."""
     sub = spark.range(_PQ_M).select(F.col("id").cast("int").alias("s"))
-    vv = (
+    return (
         e.select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("emb64"),
@@ -1265,6 +1262,17 @@ def _pq_train(spark, sf_dir):
             F.slice("emb64", F.col("s") * _PQ_SUB + 1, _PQ_SUB).alias("emb"),
         )
     )
+
+
+def _pq_train(spark, sf_dir, src=None):
+    """Shared PQ training dataflow: returns (vv sub-vectors, final (s, cid)
+    codebook, final (vec_id, s, cid, d2) assignment) after the fixed Lloyd
+    rounds — consumed by embedding_pq_codes and ivf_pq_topk. `src`
+    (round 6) trains on a base slice instead of the full table — the
+    delta-ingest op freezes codebooks trained this way."""
+
+    e = src if src is not None else T(spark, sf_dir, "embeddings")
+    vv = _pq_subvectors(spark, e)
     dd = vv.select(
         "vec_id", "s", F.posexplode("emb").alias("pos0", "val")
     ).select("vec_id", "s", (F.col("pos0") + 1).alias("pos"), "val")
@@ -2411,3 +2419,126 @@ def ann_nprobe_sweep(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---- round 6: incremental index ingest (frozen-codebook delta encode) ----
+
+_INGEST_SPLIT = 9  # md5(vec_id) decimal bucket: < 9 => base, >= 9 => delta
+
+_INGEST_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 10"
+)
+
+
+def _ingest_delta_oracle() -> str:
+    d2 = (
+        "round(list_sum(list_transform(list_zip(v.emb, c.cvec), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 9)"
+    )
+    return f"""
+    WITH base_embeddings AS (
+      SELECT * FROM embeddings WHERE {_INGEST_BUCKET_SQL} < {_INGEST_SPLIT}
+    ),
+    {_pq_ctes(src="base_embeddings")},
+    delta AS (
+      SELECT * FROM embeddings WHERE {_INGEST_BUCKET_SQL} >= {_INGEST_SPLIT}
+    ),
+    dvv AS (
+      SELECT e.vec_id, sp.s,
+             list_transform(list_slice(e.embedding,
+                                       sp.s * {_PQ_SUB} + 1,
+                                       sp.s * {_PQ_SUB} + {_PQ_SUB}),
+                            x -> CAST(x AS DOUBLE)) AS emb
+      FROM delta e
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) sp
+    ),
+    dassign AS (
+      SELECT vec_id, s, cid, d2 FROM (
+        SELECT v.vec_id, v.s, c.cid, {d2} AS d2,
+               row_number() OVER (PARTITION BY v.vec_id, v.s
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM dvv v JOIN c{_PQ_ITERS} c ON v.s = c.s
+      ) WHERE rn = 1
+    ),
+    nb AS (SELECT s, cid, count(*) AS n_base FROM a{_PQ_ITERS} GROUP BY s, cid),
+    nd AS (SELECT s, cid, count(*) AS n_delta,
+                  round(sum(d2) + 1e-9, 4) AS delta_err
+           FROM dassign GROUP BY s, cid)
+    SELECT c.s, c.cid,
+           CAST(coalesce(nb.n_base, 0) AS BIGINT)  AS n_base,
+           CAST(coalesce(nd.n_delta, 0) AS BIGINT) AS n_delta,
+           CAST(coalesce(nb.n_base, 0)
+                + coalesce(nd.n_delta, 0) AS BIGINT) AS n_total,
+           coalesce(nd.delta_err, 0.0)              AS delta_err
+    FROM c{_PQ_ITERS} c
+    LEFT JOIN nb ON nb.s = c.s AND nb.cid = c.cid
+    LEFT JOIN nd ON nd.s = c.s AND nd.cid = c.cid
+    """
+
+
+@query("ivf_pq_ingest_delta", oracle=_ingest_delta_oracle())
+def ivf_pq_ingest_delta(spark, sf_dir):
+    """Incremental index ingest — how a production ANN index absorbs a new
+    batch WITHOUT retraining: codebooks are trained on the base corpus
+    (md5-bucket 90% of vectors) and FROZEN; the 10% delta batch is encoded
+    against them (per-subspace nearest-codeword argmin, broadcast
+    codebooks, map-side min_by) and appended to the inverted lists. The
+    report is the per-codeword occupancy ledger (n_base / n_delta /
+    n_total) plus the delta's summed quantization error per codeword —
+    the drift signal that tells an index operator when accumulated
+    out-of-distribution ingest warrants a retrain (rising delta_err with
+    skewed n_delta = the codebook no longer fits the data).
+
+    100 TB shape: this is the write path that makes the build/search split
+    (ivf_pq_build_index / ivf_pq_search_topk) operable day-to-day — daily
+    ingest touches only the delta (encode cost ∝ batch, one broadcast of
+    the M×K codebook), never the corpus; the oracle replays the frozen
+    training on the identical base slice, so a codebook that silently
+    retrained on delta data would hash-mismatch."""
+    e = T(spark, sf_dir, "embeddings")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    tagged = e.withColumn("bk", bucket)
+    base = tagged.filter(F.col("bk") < _INGEST_SPLIT).drop("bk")
+    delta = tagged.filter(F.col("bk") >= _INGEST_SPLIT).drop("bk")
+    _, cent, base_assign = _pq_train(spark, sf_dir, src=base)
+    dvv = _pq_subvectors(spark, delta)
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("emb", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    dassign = (
+        dvv.join(F.broadcast(cent), "s")
+        .select("vec_id", "s", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "s")
+        .agg(F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", "s", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
+    )
+    nb = base_assign.groupBy("s", "cid").agg(F.count(F.lit(1)).alias("n_base"))
+    nd = dassign.groupBy("s", "cid").agg(
+        F.count(F.lit(1)).alias("n_delta"),
+        F.round(F.sum("d2") + F.lit(1e-9), 4).alias("delta_err"),
+    )
+    return (
+        cent.select("s", "cid")
+        .join(nb, ["s", "cid"], "left")
+        .join(nd, ["s", "cid"], "left")
+        .select(
+            "s",
+            "cid",
+            F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce("n_delta", F.lit(0)).cast("bigint").alias("n_delta"),
+            (F.coalesce("n_base", F.lit(0)) + F.coalesce("n_delta", F.lit(0)))
+            .cast("bigint")
+            .alias("n_total"),
+            F.coalesce("delta_err", F.lit(0.0)).alias("delta_err"),
+        )
+    )

@@ -334,3 +334,25 @@ def test_hybrid_rrf_fuses_both_arms(spark):
         1.0 / (60 + top.vec_rk) if top.vec_rk else 0.0
     )
     assert abs(top.rrf_score - round(expect, 6)) < 1e-9
+
+
+def test_ingest_delta_ledger_consistent(spark):
+    """Occupancy ledger must cover the whole corpus: per subspace,
+    n_base+n_delta sums to the embedding count, and the delta tier
+    actually ingested rows (non-vacuous split)."""
+    from hive_apache_ci_spark.helpers import T
+    from hive_apache_ci_spark.pipeline.similarity import _PQ_M
+    from hive_apache_ci_spark.registry import all_queries
+
+    rows = all_queries()["ivf_pq_ingest_delta"](spark, SF_DIR).collect()
+    n_vecs = T(spark, SF_DIR, "embeddings").count()
+    per_s = {}
+    for r in rows:
+        per_s.setdefault(r.s, [0, 0])
+        per_s[r.s][0] += r.n_base
+        per_s[r.s][1] += r.n_delta
+    assert set(per_s) == set(range(_PQ_M))
+    for s, (nb, nd) in per_s.items():
+        assert nb + nd == n_vecs, (s, nb, nd, n_vecs)
+        assert nd > 0, "delta tier never ingested anything"
+        assert nb > nd  # 90/10 split
