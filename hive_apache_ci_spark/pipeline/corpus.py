@@ -1139,3 +1139,86 @@ def corpus_curriculum_schedule(spark, sf_dir):
 corpus_curriculum_schedule.__doc__ = corpus_curriculum_schedule.__doc__.replace(
     "{D}", str(_CURR_DECILES)
 )
+
+
+# ---- round 6: integer token-budget apportionment (largest remainder) -----
+
+_BUDGET_TOKENS = 1_000_000
+
+
+@query(
+    "corpus_token_budget_alloc",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, len(string_split_regex(lower(text), '\\s+')) AS n
+      FROM documents
+    ),
+    per_lang AS (
+      SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens FROM toks GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per_lang),
+    quota AS (
+      SELECT p.lang, p.n_tokens,
+             ({_BUDGET_TOKENS} * p.n_tokens) // t.t AS floor_alloc,
+             ({_BUDGET_TOKENS} * p.n_tokens) % t.t  AS rem
+      FROM per_lang p CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT lang, n_tokens, floor_alloc, rem,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+             {_BUDGET_TOKENS} - sum(floor_alloc) OVER () AS n_extra
+      FROM quota
+    )
+    SELECT lang, n_tokens,
+           CAST(floor_alloc AS BIGINT) AS floor_alloc,
+           CASE WHEN rk <= n_extra THEN 1 ELSE 0 END AS got_extra,
+           CAST(floor_alloc + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked
+    """,
+)
+def corpus_token_budget_alloc(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment of an integer token
+    budget across language strata — the step that turns fractional
+    sampling shares (corpus_mixture_weights / corpus_curriculum_schedule)
+    into the EXACT per-stratum token counts a training run draws, with
+    sum(alloc) == budget guaranteed (floor the exact quotas, then hand the
+    leftover units to the largest remainders, ties by lang): no float
+    anywhere — quotas are computed as BIGINT (budget*tokens) div/mod
+    total, so the oracle is bit-exact by construction, not by rounding
+    discipline. The final window runs over |langs| rows (5), not the
+    corpus — the corpus-sized work is one groupBy(lang) count. At 100 TB
+    the same apportionment runs over (lang x source x quality-decile)
+    cells: still thousands of rows, still driver-trivial."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    n = F.size(F.split(F.lower("text"), r"\s+"))
+    per_lang = d.select("lang", n.alias("n")).groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_tokens")
+    )
+    tot = per_lang.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+    B = F.lit(_BUDGET_TOKENS).cast("bigint")
+    quota = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.expr(f"({_BUDGET_TOKENS} * n_tokens) div t").alias("floor_alloc"),
+        ((B * F.col("n_tokens")) % F.col("t")).alias("rem"),
+    )
+    wr = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    wall = Window.partitionBy()
+    ranked = quota.select(
+        "lang",
+        "n_tokens",
+        "floor_alloc",
+        F.row_number().over(wr).alias("rk"),
+        (B - F.sum("floor_alloc").over(wall)).alias("n_extra"),
+    )
+    got = F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0)
+    return ranked.select(
+        "lang",
+        "n_tokens",
+        F.col("floor_alloc").cast("bigint").alias("floor_alloc"),
+        got.alias("got_extra"),
+        (F.col("floor_alloc") + got).cast("bigint").alias("alloc"),
+    )

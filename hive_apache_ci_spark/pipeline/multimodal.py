@@ -258,3 +258,98 @@ def multimodal_dedup_exact(spark, sf_dir):
             F.min("doc_id").cast("bigint").alias("keep_id"),
         )
     )
+
+
+# ---- round 6: resize stub (digest-replay oracle, like the decode stub) ---
+
+_RESIZE_W, _RESIZE_H = 64, 64
+
+_RESIZE_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("src_w", Ty.IntegerType()),
+        Ty.StructField("src_h", Ty.IntegerType()),
+        Ty.StructField("dst_w", Ty.IntegerType()),
+        Ty.StructField("dst_h", Ty.IntegerType()),
+        Ty.StructField("scale_x", Ty.DoubleType()),
+        Ty.StructField("scale_y", Ty.DoubleType()),
+        Ty.StructField("out_checksum", Ty.StringType()),
+    ]
+)
+
+
+def fake_resize(payload: bytes) -> tuple[int, int, float, float, str]:
+    """STUB resize: source dims from the digest (same derivation as
+    fake_decode_features), output checksum = md5 of the source digest hex
+    + the target geometry tag — a pure function of the stored bytes, so
+    the transform chain (decode → resize → re-checksum) is replayable. A
+    real implementation would be PIL's Image.resize."""
+    src = hashlib.md5(payload).hexdigest()
+    h = hashlib.md5(payload).digest()
+    src_w = 64 + h[0] % 192
+    src_h = 64 + h[1] % 192
+    out = hashlib.md5(f"{src}#{_RESIZE_W}x{_RESIZE_H}".encode()).hexdigest()
+    return (
+        src_w,
+        src_h,
+        round(_RESIZE_W / src_w, 6),
+        round(_RESIZE_H / src_h, 6),
+        out,
+    )
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = pdf["payload"].map(fake_resize)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_w": [f[0] for f in feats],
+                "src_h": [f[1] for f in feats],
+                "dst_w": _RESIZE_W,
+                "dst_h": _RESIZE_H,
+                "scale_x": [f[2] for f in feats],
+                "scale_y": [f[3] for f in feats],
+                "out_checksum": [f[4] for f in feats],
+            }
+        )
+
+
+@query(
+    "multimodal_resize_stub",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id, hx,
+             (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS b0,
+             (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1) AS b1
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(64 + b0 % 192 AS INTEGER) AS src_w,
+           CAST(64 + b1 % 192 AS INTEGER) AS src_h,
+           CAST({_RESIZE_W} AS INTEGER)   AS dst_w,
+           CAST({_RESIZE_H} AS INTEGER)   AS dst_h,
+           round({_RESIZE_W} / (64.0 + b0 % 192), 6) AS scale_x,
+           round({_RESIZE_H} / (64.0 + b1 % 192), 6) AS scale_y,
+           md5(hx || '#{_RESIZE_W}x{_RESIZE_H}')     AS out_checksum
+    FROM b
+    """,
+)
+def multimodal_resize_stub(spark, sf_dir):
+    """Resize step of the media pipeline (decode → resize → re-encode) as
+    an Arrow-batched mapInPandas transform over binary payloads, with the
+    codec stubbed (no image libs in this container) but — like the round-6
+    decode oracle — every output a pure function of the stored bytes, so
+    DuckDB replays the full transform chain including the re-checksum of
+    the resized artifact (md5 of source-digest + geometry tag). What the
+    oracle pins is the per-row transform plumbing: batch shape, schema,
+    scale-factor arithmetic, and that the output artifact identity derives
+    deterministically from the input identity — the contract a real
+    PIL/ffmpeg body must also satisfy. Narrow transform, zero shuffles."""
+    d = with_binary_payload(T(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(
+        _resize_batch, schema=_RESIZE_SCHEMA
+    )

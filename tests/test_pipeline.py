@@ -356,3 +356,35 @@ def test_ingest_delta_ledger_consistent(spark):
         assert nb + nd == n_vecs, (s, nb, nd, n_vecs)
         assert nd > 0, "delta tier never ingested anything"
         assert nb > nd  # 90/10 split
+
+
+def test_token_budget_alloc_sums_exactly(spark):
+    from hive_apache_ci_spark.pipeline.corpus import _BUDGET_TOKENS
+    from hive_apache_ci_spark.registry import all_queries
+
+    rows = all_queries()["corpus_token_budget_alloc"](spark, SF_DIR).collect()
+    assert sum(r.alloc for r in rows) == _BUDGET_TOKENS  # the Hamilton law
+    assert all(r.alloc in (r.floor_alloc, r.floor_alloc + 1) for r in rows)
+    # proportionality: allocs ordered like token counts
+    by_tokens = sorted(rows, key=lambda r: r.n_tokens)
+    allocs = [r.alloc for r in by_tokens]
+    assert allocs == sorted(allocs)
+
+
+def test_resize_stub_consistent_with_decode_stub(spark):
+    """The resize's source dims must equal the decode's reported dims and
+    the output checksum must re-derive from the payload checksum."""
+    import hashlib
+
+    from hive_apache_ci_spark.registry import all_queries
+
+    qs = all_queries()
+    dec = {r.doc_id: r for r in qs["multimodal_decode_stub"](spark, SF_DIR).collect()}
+    met = {r.doc_id: r for r in qs["multimodal_binary_meta"](spark, SF_DIR).collect()}
+    res = qs["multimodal_resize_stub"](spark, SF_DIR).collect()
+    for r in res[:50]:
+        assert (r.src_w, r.src_h) == (dec[r.doc_id].width, dec[r.doc_id].height)
+        want = hashlib.md5(
+            f"{met[r.doc_id].checksum}#{r.dst_w}x{r.dst_h}".encode()
+        ).hexdigest()
+        assert r.out_checksum == want
