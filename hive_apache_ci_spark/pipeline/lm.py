@@ -688,3 +688,118 @@ def vocab_truncation_oov(spark, sf_dir):
             "oov_types",
         )
     )
+
+
+# ---- round 6: interpolated Kneser-Ney bigram LM perplexity ---------------
+
+_KN_D = 0.75  # absolute discount
+
+
+def _kn_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a FROM documents
+),
+pairs AS (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                                 i -> {{'w1': a[i], 'w2': a[i+1]}})) AS u
+    FROM tok
+  )
+  WHERE u.w1 <> '' AND u.w2 <> ''
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cb FROM pairs GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(cb) AS ct, CAST(count(*) AS DOUBLE) AS nf FROM bc GROUP BY w1),
+cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS np FROM bc GROUP BY w2),
+tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bc),
+p AS (
+  SELECT bc.w1, bc.w2,
+         (greatest(bc.cb - {_KN_D}, 0.0)
+          + {_KN_D} * ctx.nf * (cont.np / tt.t)) / ctx.ct AS pkn
+  FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tt
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(exp(-sum(ln(p.pkn)) / count(*)) + 1e-12, 6) AS kn_ppl
+FROM pairs d JOIN p ON d.w1 = p.w1 AND d.w2 = p.w2
+GROUP BY d.doc_id
+"""
+
+
+@query("quality_kn_bigram_perplexity", oracle=_kn_oracle())
+def quality_kn_bigram_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity per document (absolute
+    discount D={D}) — the stronger LM-based quality signal beyond the
+    add-1 unigram ppl (quality_lm_perplexity): P(w2|w1) = (max(c(w1,w2)-D,
+    0) + D·N1+(w1·)·P_cont(w2)) / c(w1·), with the continuation
+    probability P_cont(w2) = N1+(·w2)/|bigram types| — the smoothing that
+    made n-gram LMs competitive and still the classic data-quality scorer
+    (low-ppl docs read like the corpus; high-ppl docs are noise/boilerplate
+    candidates).
+
+    Determinism: the probability expression is written in the identical
+    operation order in both engines (pure count arithmetic — exact
+    doubles), so only ln/exp libm tails differ (≤1 ulp each, absorbed by
+    the 6-dp round — the quality_lm_perplexity precedent). 100 TB shape:
+    three count tables keyed by word/bigram (map-side partial counts), the
+    continuation/context tables are vocab-sized, the scoring join shuffles
+    on the bigram key, per-doc agg on doc_id — no pairwise anything."""
+    from ..helpers import spread
+
+    d = spread(T(spark, sf_dir, "documents"), "doc_id")
+    a = F.split(F.lower("text"), r"\s+")
+    pairs = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(a, 1, F.size(a) - 1).alias("w1"),
+                    F.slice(a, 2, F.size(a) - 1).alias("w2"),
+                )
+            ).alias("u"),
+        )
+        .select("doc_id", F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bc = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("cb")
+    )
+    ctx = bc.groupBy("w1").agg(
+        F.sum("cb").alias("ct"), F.count(F.lit(1)).cast("double").alias("nf")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("np"))
+    tt = bc.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    p = (
+        bc.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            (
+                (
+                    F.greatest(F.col("cb") - _KN_D, F.lit(0.0))
+                    + _KN_D * F.col("nf") * (F.col("np") / F.col("t"))
+                )
+                / F.col("ct")
+            ).alias("pkn"),
+        )
+    )
+    return (
+        pairs.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.exp(-F.sum(F.log("pkn")) / F.count(F.lit(1))) + F.lit(1e-12),
+                6,
+            ).alias("kn_ppl"),
+        )
+    )
+
+
+quality_kn_bigram_perplexity.__doc__ = quality_kn_bigram_perplexity.__doc__.replace(
+    "{D}", str(_KN_D)
+)
