@@ -60,6 +60,9 @@ EXTRA_HEADLINERS = (
     # here) but stays registered; tests assert its equality to the split.
     "ivf_pq_build_index",
     "ivf_pq_search_topk",
+    # round-6: hybrid retrieval (BM25 + vector-PRF fused by RRF) — the
+    # composition headliner spanning the lexical and vector stacks
+    "search_hybrid_rrf",
 )
 
 # BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond
