@@ -140,33 +140,22 @@ def compact_line(
     regressions: list[dict[str, float | str]],
 ) -> str:
     """The driver-facing grade: ONE short JSON line. The tail-capture
-    contract (round-5 lesson) caps it; tests assert < 2048 bytes."""
-    line = json.dumps(
-        {
-            "metric": "headline_warm_total (q1_agg+q3_join+qw_window shapes)",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "contended": contended,
-            "regressions": [r["q"] for r in regressions],
-        },
-        separators=(",", ":"),
-    )
+    contract (round-5 lesson) caps it; tests assert < 2048 bytes. Built
+    from ONE dict so the slim fallback can never drop a field the full
+    line carries — only `queries` shrinks to the graded trio."""
+    grade = {
+        "metric": "headline_warm_total (q1_agg+q3_join+qw_window shapes)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "contended": contended,
+        "regressions": [r["q"] for r in regressions],
+    }
+    line = json.dumps(grade, separators=(",", ":"))
     if len(line) >= 2048:  # never hand the driver a truncatable grade
-        slim = json.dumps(
-            {
-                "metric": "headline_warm_total (q1_agg+q3_join+qw_window shapes)",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: timings[k] for k in BASELINE_COMPARABLE},
-                "sf": sf,
-                "contended": contended,
-                "regressions": [r["q"] for r in regressions],
-            },
-            separators=(",", ":"),
-        )
-        return slim
+        grade["queries"] = {k: timings.get(k) for k in BASELINE_COMPARABLE}
+        line = json.dumps(grade, separators=(",", ":"))
     return line
 
 
@@ -180,14 +169,16 @@ def _sidecar_path(sf: float | str) -> str:
 
 
 def _load_prev_best(sf: float | str) -> dict[str, float]:
+    """The regression comparator: the sidecar's `best` dict (running
+    per-query minima across runs). Falls back to `queries` for sidecars
+    written before the `best` field existed."""
     try:
         with open(_sidecar_path(sf)) as fh:
             prev = json.load(fh)
         if prev.get("sf") != sf:
             return {}
-        return {
-            k: v for k, v in (prev.get("queries") or {}).items() if v is not None
-        }
+        src = prev.get("best") or prev.get("queries") or {}
+        return {k: v for k, v in src.items() if v is not None}
     except (OSError, ValueError):
         return {}
 
@@ -232,7 +223,16 @@ def main() -> int:
     total = round(sum(core), 4) if len(core) == len(BASELINE_COMPARABLE) else None
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     sf = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
-    regressions = find_regressions(_load_prev_best(sf), timings)
+    prev_best = _load_prev_best(sf)
+    regressions = find_regressions(prev_best, timings)
+    # `best` = running per-query minima: the regression baseline must not
+    # be clobbered by one slow/contended run (a persistent regression would
+    # otherwise be reported exactly once and then silently pass), and a
+    # crashed query (None) must not erase its committed best.
+    best = dict(prev_best)
+    for k, v in timings.items():
+        if v is not None:
+            best[k] = min(v, best[k]) if k in best else v
     # Full payload -> sidecar (spread, regression detail, contention census);
     # also next round's regression baseline. Best-effort: a read-only repo
     # checkout must not kill the grade line.
@@ -246,6 +246,7 @@ def main() -> int:
                     "unit": "sec",
                     "sf": sf,
                     "queries": timings,
+                    "best": best,
                     "spread": spread,
                     "contended": bool(foreign),
                     "foreign_jvms": len(foreign),

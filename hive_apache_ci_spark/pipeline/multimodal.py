@@ -75,14 +75,20 @@ _FEATURES_SCHEMA = Ty.StructType(
 )
 
 
+def _digest_dims(h: bytes) -> tuple[int, int]:
+    """(width, height) from digest bytes 0/1 — the ONE place the stub
+    geometry formula lives (decode and resize both derive through it, so
+    the stubs and their oracles cannot drift apart)."""
+    return 64 + h[0] % 192, 64 + h[1] % 192  # 64..255
+
+
 def fake_decode_features(payload: bytes) -> tuple[int, int, float]:
     """STUB decoder: derives (width, height, mean_intensity) deterministically
     from the payload's md5. A real implementation would be e.g.
     ``PIL.Image.open(io.BytesIO(payload))`` — unavailable in this container.
     """
     h = hashlib.md5(payload).digest()
-    width = 64 + h[0] % 192          # 64..255
-    height = 64 + h[1] % 192
+    width, height = _digest_dims(h)
     mean_intensity = round(sum(h) / (len(h) * 255.0), 6)
     return width, height, mean_intensity
 
@@ -279,15 +285,15 @@ _RESIZE_SCHEMA = Ty.StructType(
 
 
 def fake_resize(payload: bytes) -> tuple[int, int, float, float, str]:
-    """STUB resize: source dims from the digest (same derivation as
-    fake_decode_features), output checksum = md5 of the source digest hex
-    + the target geometry tag — a pure function of the stored bytes, so
-    the transform chain (decode → resize → re-checksum) is replayable. A
-    real implementation would be PIL's Image.resize."""
-    src = hashlib.md5(payload).hexdigest()
-    h = hashlib.md5(payload).digest()
-    src_w = 64 + h[0] % 192
-    src_h = 64 + h[1] % 192
+    """STUB resize: source dims via the SAME derivation as
+    fake_decode_features (shared call, so the two stubs and their oracles
+    can never drift apart), output checksum = md5 of the source digest
+    hex + the target geometry tag — a pure function of the stored bytes,
+    so the transform chain (decode → resize → re-checksum) is replayable.
+    A real implementation would be PIL's Image.resize."""
+    m = hashlib.md5(payload)  # payload hashed ONCE per row
+    src = m.hexdigest()
+    src_w, src_h = _digest_dims(m.digest())
     out = hashlib.md5(f"{src}#{_RESIZE_W}x{_RESIZE_H}".encode()).hexdigest()
     return (
         src_w,

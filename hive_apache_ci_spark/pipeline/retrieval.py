@@ -361,18 +361,17 @@ _RRF_PRF_DOCS = 5  # BM25 top-N whose embedding mean forms the vector query
 _RRF_ARM_K = 20    # per-arm depth
 _RRF_OUT_K = 10    # fused result depth
 
-_DOT = (
-    "list_sum(list_transform(list_zip({a}, {b}), "
-    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-)
-_COS = (
-    f"({_DOT.format(a='e.embedding', b='q.qvec')} / "
-    f"(sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) "
-    f"* sqrt({_DOT.format(a='q.qvec', b='q.qvec')})))"
-)
+def _rrf_cos_sql() -> str:
+    """Cosine-SQL template imported from similarity (the single source of
+    the fold/cast discipline — a determinism fix there must reach this
+    oracle too; review-caught duplication)."""
+    from .similarity import _cos_sql
+
+    return _cos_sql("e.embedding", "q.qvec")
 
 
 def _rrf_oracle() -> str:
+    _COS = _rrf_cos_sql()
     return f"""
     WITH bm AS (SELECT rk AS bm_rk, doc_id FROM ({_BM25_ORACLE}) b),
     qdims AS (

@@ -784,7 +784,11 @@ def ann_recall_report(spark, sf_dir):
     bounded query set; the recall join is queries*k rows. In production
     the same report runs on a sampled query panel — the shape is
     identical."""
-    truth = knn_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    truth = (
+        knn_topk_cosine(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()  # feeds the semi-join AND the query-id spine
+    )
     ivf = ivf_probe_topk(spark, sf_dir).select("query_id", "neighbor_id")
     hits = (
         truth.join(ivf, ["query_id", "neighbor_id"], "left_semi")
@@ -1729,13 +1733,16 @@ ivf_pq_topk.__doc__ = (
 # the build is idempotent and a racing concurrent build publishes
 # byte-identical data.
 
-_PQ_INDEX_VERSION = "r5"
+_PQ_INDEX_VERSION = "r6"  # r6: versioned-dir + LATEST-pointer layout
 
 
 def _pq_index_dir(sf_dir: str) -> str:
-    """Materialized-index location, keyed by recipe version AND the source
+    """Materialized-index ROOT, keyed by recipe version AND the source
     file's identity (mtime+size) so regenerated testdata or a changed
-    training recipe can never serve a stale index."""
+    training recipe can never serve a stale index. Since round 6 the root
+    holds immutable version dirs behind a LATEST pointer file (the
+    streaming-state publish protocol) — a rebuild never deletes the dir a
+    concurrent reader has already resolved."""
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -1797,52 +1804,65 @@ def _ivf_pq_index_frames(spark, sf_dir):
     return coarse, routing, cent, codes
 
 
-def _ensure_pq_index(spark, sf_dir: str, rebuild: bool = False) -> str:
-    """Train and atomically publish the index if absent; return its dir.
-    Publish = write to a uuid temp dir, then os.rename into the final path
-    (POSIX-atomic). A concurrent builder that loses the rename race simply
-    discards its attempt — the content is deterministic, so the winner's
-    copy is identical.
+def _resolve_pq_index(root: str) -> str | None:
+    """The committed version dir named by root/LATEST, or None."""
+    import os
 
-    rebuild=True must actually republish (r5 ADVICE: os.rename onto an
-    existing dir always raises, so the fresh build was being discarded and
-    the oracle kept validating round-1 bytes — a training-determinism
-    regression would have gone undetected). The swap is rename-out /
-    rename-in: the only non-atomic window leaves NO published dir, which a
-    reader treats as 'absent, rebuild' — never a torn index."""
+    try:
+        with open(os.path.join(root, "LATEST")) as fh:
+            vname = fh.read().strip()
+    except OSError:
+        return None
+    vdir = os.path.join(root, vname)
+    if os.path.isfile(os.path.join(vdir, "_SUCCESS")):
+        return vdir
+    return None
+
+
+def _ensure_pq_index(spark, sf_dir: str, rebuild: bool = False) -> str:
+    """Train and publish the index if absent; return the COMMITTED VERSION
+    dir (immutable). Publish protocol (round-6, review-hardened — the old
+    rename-out/rename-in swap deleted the live dir under concurrent
+    readers' feet and left a no-published-dir window): each build writes
+    its own uuid version dir under the content-keyed root, commits it with
+    _SUCCESS, then atomically flips root/LATEST via os.replace — exactly
+    the streaming-state pointer protocol. Readers resolve the pointer once
+    and hold an immutable dir. GC keeps the new version plus the one it
+    replaced (a one-generation grace window for in-flight readers); a
+    concurrent rebuild's last flip wins and all contents are deterministic,
+    so every survivor is byte-equivalent."""
     import os
     import shutil
     import uuid
 
-    final = _pq_index_dir(sf_dir)
-    if os.path.isfile(os.path.join(final, "_SUCCESS")) and not rebuild:
-        return final
-    tmp = final + ".build." + uuid.uuid4().hex
+    root = _pq_index_dir(sf_dir)
+    live = _resolve_pq_index(root)
+    if live is not None and not rebuild:
+        return live
+    vname = "v_" + uuid.uuid4().hex
+    vdir = os.path.join(root, vname)
     coarse, routing, codebook, codes = _ivf_pq_index_frames(spark, sf_dir)
-    coarse.write.mode("overwrite").parquet(os.path.join(tmp, "coarse"))
-    routing.write.mode("overwrite").parquet(os.path.join(tmp, "routing"))
-    codebook.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
-    codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
-    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    coarse.write.mode("overwrite").parquet(os.path.join(vdir, "coarse"))
+    routing.write.mode("overwrite").parquet(os.path.join(vdir, "routing"))
+    codebook.write.mode("overwrite").parquet(os.path.join(vdir, "codebook"))
+    codes.write.mode("overwrite").parquet(os.path.join(vdir, "codes"))
+    open(os.path.join(vdir, "_SUCCESS"), "w").close()
+    prev = _resolve_pq_index(root)  # re-resolve: racing builders may have flipped
+    ptr = os.path.join(root, "LATEST")
+    tmp_ptr = ptr + ".tmp." + uuid.uuid4().hex
+    with open(tmp_ptr, "w") as fh:
+        fh.write(vname)
+    os.replace(tmp_ptr, ptr)
+    # GC: reap versions other than the new one and its immediate
+    # predecessor (the grace generation a live reader may still hold)
+    keep = {vname, os.path.basename(prev) if prev else None}
     try:
-        os.rename(tmp, final)
-        return final
+        for e in os.listdir(root):
+            if e.startswith("v_") and e not in keep:
+                shutil.rmtree(os.path.join(root, e), ignore_errors=True)
     except OSError:
         pass
-    if not rebuild:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: same bytes won
-        return final
-    # rebuild over an existing publish: swap the fresh build in
-    old = final + ".old." + uuid.uuid4().hex
-    try:
-        os.rename(final, old)
-        os.rename(tmp, final)
-        shutil.rmtree(old, ignore_errors=True)
-    except OSError:
-        # concurrent swapper beat us between the renames; deterministic
-        # content means whatever is (or is about to be) published is ours
-        shutil.rmtree(tmp, ignore_errors=True)
-    return final
+    return vdir
 
 
 @query(
@@ -2338,7 +2358,14 @@ def ann_matryoshka_recall(spark, sf_dir):
     ranking reuses the knn topology (broadcast queries, per-query window);
     recall joins are id-only. Fully hash-oracled — the sequential fold
     over identical slices is bit-deterministic in both engines."""
-    truth = knn_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    # checkpoint: `truth` (the expensive brute-force pass) feeds the semi-
+    # join AND the query-id spine for EVERY dim — without the cut it would
+    # recompute 2x per union branch (review-caught; the _pq_train rule)
+    truth = (
+        knn_topk_cosine(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
     parts = []
     for d in _MRL_DIMS:
         trunc = _knn_trunc(spark, sf_dir, d)
@@ -2399,7 +2426,12 @@ def ann_nprobe_sweep(spark, sf_dir):
     computed once. At 100 TB this is a sampled-panel job: cost scales with
     panel size x probed-list fraction, never the corpus — exactly why the
     sweep is affordable to run continuously against a production index."""
-    truth = knn_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    # one brute-force pass for all sweep points (review-caught recompute)
+    truth = (
+        knn_topk_cosine(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
     parts = []
     for np_ in _SWEEP_PROBES:
         ivf = _ivf_search(spark, sf_dir, np_).select("query_id", "neighbor_id")

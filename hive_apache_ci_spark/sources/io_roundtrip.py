@@ -18,6 +18,7 @@ this); small-file compaction ≙ a pre-write ``repartition(n)``.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Iterator
 
 import pandas as pd
@@ -262,6 +263,33 @@ def io_regex_serde(spark, sf_dir):
     )
 
 
+def _gc_stale_smb_tables(wh: str) -> None:
+    """Reap OTHER runs' bucketed *_smb_* table dirs idle past the stale
+    window (review-caught: per-run names otherwise accrete two data-sized
+    dirs per process in the shared warehouse forever — the scratch dirs
+    get this via helpers._gc_stale_runs, the warehouse needs its own
+    sweep; legacy fixed-name dirs from pre-round-6 match too)."""
+    import time
+
+    from ..helpers import _STALE_SECONDS
+
+    rid = RUN_ID.replace("-", "_")
+    try:
+        entries = os.listdir(wh)
+    except OSError:
+        return
+    now = time.time()
+    for e in entries:
+        if "_smb_" not in e or rid in e:
+            continue
+        p = os.path.join(wh, e)
+        try:
+            if now - os.path.getmtime(p) > _STALE_SECONDS:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
 _SMB_ORACLE = """
     SELECT c_mktsegment,
            count(*)                    AS n,
@@ -280,8 +308,6 @@ def io_bucketed_smb_join(spark, sf_dir):
     Exchange (plan-asserted in tests/test_plans.py). This is the 100 TB
     co-located fact⋈dim topology: pay the shuffle once at write time,
     never at read time."""
-    import shutil
-
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     # per-run table names: the shared warehouse dir is the same concurrency
     # surface as the scratch paths (two processes would DROP/rmtree each
@@ -292,6 +318,7 @@ def io_bucketed_smb_join(spark, sf_dir):
     spark.sql(f"DROP TABLE IF EXISTS {ct}")
     # the in-memory catalog forgets dirs across sessions — clear leftovers
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    _gc_stale_smb_tables(wh)
     for t in (ot, ct):
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     (

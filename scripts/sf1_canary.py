@@ -240,19 +240,27 @@ def main() -> int:
     spark = get_spark("sf1-canary")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
-    # positional names (optional) restrict the sweep — resume/spot-check
+    # Parse --timeout-sf1 ONCE, stripping every occurrence (flag + value)
+    # from the positional list; a missing value is a usage error, not an
+    # IndexError mid-sweep.
     argv = sys.argv[1:]
-    if "--timeout-sf1" in argv:
+    timeout_sf1 = None
+    while "--timeout-sf1" in argv:
         i = argv.index("--timeout-sf1")
-        argv = argv[:i] + argv[i + 2 :]  # drop the flag AND its value
+        if i + 1 >= len(argv):
+            print("usage: --timeout-sf1 <seconds>", file=sys.stderr)
+            return 2
+        timeout_sf1 = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    # positional names (optional) restrict the sweep — resume/spot-check
     explicit = [a for a in argv if not a.startswith("--")]
     if explicit:
         names = explicit
     else:
         names = sorted(qs.keys()) if all_mode else CANARY_QUERIES
     timeouts = dict(TIMEOUT_S)
-    if "--timeout-sf1" in sys.argv:
-        timeouts["sf1"] = float(sys.argv[sys.argv.index("--timeout-sf1") + 1])
+    if timeout_sf1 is not None:
+        timeouts["sf1"] = timeout_sf1
     out: dict[str, dict] = {}
     for name in names:
         row: dict = {}

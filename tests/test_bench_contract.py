@@ -79,3 +79,25 @@ def test_sidecar_is_committed_and_loadable():
         prev = json.load(fh)
     assert prev["queries"], "sidecar lost its per-query bests"
     assert all(v is None or v > 0 for v in prev["queries"].values())
+
+
+def test_regression_baseline_is_running_minimum(tmp_path, monkeypatch):
+    """A slow run must not clobber the committed bests (the review-caught
+    contract gap: a persistent regression would be reported once and then
+    silently pass), and a crashed query must not erase its best."""
+    import json
+
+    side = tmp_path / "BENCH_LAST.json"
+    monkeypatch.setattr(bench, "_SIDECAR", str(side))
+    side.write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 9.9}, "best": {"a": 1.0, "b": 2.0}})
+    )
+    prev = bench._load_prev_best(0.1)
+    assert prev == {"a": 1.0, "b": 2.0}  # `best` wins over `queries`
+    # simulate the merge rule from main(): slow run + crash
+    timings = {"a": 3.0, "b": None, "c": 0.5}
+    best = dict(prev)
+    for k, v in timings.items():
+        if v is not None:
+            best[k] = min(v, best[k]) if k in best else v
+    assert best == {"a": 1.0, "b": 2.0, "c": 0.5}

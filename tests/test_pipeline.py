@@ -219,8 +219,30 @@ def test_ivf_pq_index_reused_not_retrained(spark):
     d1 = _ensure_pq_index(spark, SF_DIR)
     stamp = os.path.getmtime(os.path.join(d1, "codebook"))
     d2 = _ensure_pq_index(spark, SF_DIR)
-    assert d1 == d2 == _pq_index_dir(SF_DIR)
+    # round-6 layout: immutable version dirs under the content-keyed root
+    assert d1 == d2 and os.path.dirname(d1) == _pq_index_dir(SF_DIR)
     assert os.path.getmtime(os.path.join(d2, "codebook")) == stamp
+
+
+def test_ivf_pq_rebuild_republishes_with_reader_grace(spark):
+    """rebuild=True must publish a NEW version dir (the r5 advisory: the
+    old swap discarded fresh builds) while the version a concurrent reader
+    already resolved stays on disk (one-generation grace), and the pointer
+    must resolve to the new build."""
+    import os
+
+    from hive_apache_ci_spark.pipeline.similarity import (
+        _ensure_pq_index,
+        _resolve_pq_index,
+        _pq_index_dir,
+    )
+
+    before = _ensure_pq_index(spark, SF_DIR)
+    after = _ensure_pq_index(spark, SF_DIR, rebuild=True)
+    assert after != before  # fresh build actually published
+    assert _resolve_pq_index(_pq_index_dir(SF_DIR)) == after
+    # grace: the dir a reader resolved pre-flip is still readable
+    assert os.path.isfile(os.path.join(before, "_SUCCESS"))
 
 
 # ---- round-6 additions: matryoshka / nprobe sweep / fingerprint prefilter
