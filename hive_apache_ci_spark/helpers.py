@@ -102,6 +102,38 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in cols])
 
 
+_BYTE_SUFFIXES = {
+    "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def parse_byte_string(s) -> int | None:
+    """Spark size-conf parser (the JavaUtils.byteStringAsBytes grammar:
+    optional k/m/g/t/p unit with optional trailing 'b', case-insensitive,
+    bare digits = bytes). Returns None on unparseable input so callers can
+    degrade LOUDLY — a bare int() here silently disabled the fuzzy-join
+    broadcast gate whenever the session conf used a Spark-normal suffixed
+    form like '64m'."""
+    if s is None:
+        return None
+    s = str(s).strip().lower()
+    mult = 1
+    for suf in sorted(_BYTE_SUFFIXES, key=len, reverse=True):
+        if s.endswith(suf):
+            mult = _BYTE_SUFFIXES[suf]
+            s = s[: -len(suf)].strip()
+            break
+    try:
+        return int(s) * mult
+    except ValueError:
+        return None
+
+
 def source_is_broadcastable(
     spark: SparkSession, sf_dir: str, name: str
 ) -> bool:
@@ -114,9 +146,17 @@ def source_is_broadcastable(
     shuffle join before a growing build side can blow the driver."""
     import os
 
-    try:
-        thresh = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-    except (TypeError, ValueError):
+    thresh = parse_byte_string(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    )
+    if thresh is None:
+        import warnings
+
+        warnings.warn(
+            "autoBroadcastJoinThreshold unparseable; broadcast gate "
+            "degrades to shuffle join",
+            stacklevel=2,
+        )
         return False
     if thresh <= 0:
         return False

@@ -208,8 +208,12 @@ def search_bm25_topk(spark, sf_dir):
     dl/avgdl come from one doc-keyed count. The three per-term scores are
     summed in FIXED textual order via a conditional pivot — never an
     order-nondeterministic double ``sum()`` — so the score is bitwise
-    reproducible and the final global top-20 (TakeOrderedAndProject over a
-    20-row-per-partition pre-cut) is rank-stable."""
+    reproducible. The global top-20 is ``orderBy().limit(20)`` —
+    TakeOrderedAndProject, i.e. distributed per-partition partial top-k
+    merged on the driver, never a corpus-sized single-partition sort (the
+    round-6 shape leaned on InferWindowGroupLimit with nothing pinning
+    it; plan-gated in tests/test_plans.py since round 7) — and the rank
+    column is derived by a 20-row window AFTER the cut."""
     toks = _term_rows(spark, sf_dir)
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
@@ -250,11 +254,10 @@ def search_bm25_topk(spark, sf_dir):
             6,
         ).alias("score")
     )
+    topk = piv.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
     wo = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        piv.withColumn("rk", F.row_number().over(wo))
-        .filter(F.col("rk") <= 20)
-        .select("rk", "doc_id", "score")
+    return topk.select(
+        F.row_number().over(wo).alias("rk"), "doc_id", "score"
     )
 
 
@@ -341,11 +344,10 @@ def search_query_likelihood(spark, sf_dir):
     scored = cells.groupBy("doc_id").agg(
         F.round(total + F.lit(1e-9), 6).alias("score")
     )
+    topk = scored.orderBy(F.desc("score"), "doc_id").limit(20)
     w = Window.orderBy(F.desc("score"), "doc_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("rk", "doc_id", "score")
+    return topk.select(
+        F.row_number().over(w).alias("rk"), "doc_id", "score"
     )
 
 
@@ -457,8 +459,9 @@ def search_hybrid_rrf(spark, sf_dir):
     sem = (
         e.crossJoin(F.broadcast(qv))
         .select("vec_id", cos.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(_RRF_ARM_K)
         .withColumn("vec_rk", F.row_number().over(wsem))
-        .filter(F.col("vec_rk") <= _RRF_ARM_K)
         .select(F.col("vec_id").alias("doc_id"), "vec_rk")
     )
     fused = (

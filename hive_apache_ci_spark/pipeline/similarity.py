@@ -1734,6 +1734,11 @@ ivf_pq_topk.__doc__ = (
 # byte-identical data.
 
 _PQ_INDEX_VERSION = "r6"  # r6: versioned-dir + LATEST-pointer layout
+# Uncommitted (_SUCCESS-less) version dirs younger than this are presumed
+# in-flight concurrent builds and exempt from GC; far above any real build
+# time (sf0.1 build ≈ 3 s) yet short enough that crashed builds don't
+# accumulate across a day of rounds.
+_PQ_GC_STALE_SECONDS = 1800
 
 
 def _pq_index_dir(sf_dir: str) -> str:
@@ -1853,13 +1858,36 @@ def _ensure_pq_index(spark, sf_dir: str, rebuild: bool = False) -> str:
     with open(tmp_ptr, "w") as fh:
         fh.write(vname)
     os.replace(tmp_ptr, ptr)
-    # GC: reap versions other than the new one and its immediate
-    # predecessor (the grace generation a live reader may still hold)
+    # GC: reap versions other than the new one, its immediate predecessor
+    # (the grace generation a live reader may still hold), and whatever
+    # LATEST names RIGHT NOW (re-read inside the GC pass — a racing
+    # builder may have flipped after our own flip; reaping the dir the
+    # pointer currently names would leave it dangling for every later
+    # reader). A dir WITHOUT _SUCCESS is a concurrent builder's in-flight
+    # write, never reapable on sight — deleting it mid-write poisons that
+    # builder's eventual commit (its remaining parquet writes recreate the
+    # dir minus the frames written before the reap, then it flips LATEST
+    # to the truncated index). Uncommitted dirs are reaped only past a
+    # staleness window (an abandoned/crashed build).
+    import time
+
     keep = {vname, os.path.basename(prev) if prev else None}
     try:
+        cur = _resolve_pq_index(root)
+        if cur is not None:
+            keep.add(os.path.basename(cur))
+        now = time.time()
         for e in os.listdir(root):
-            if e.startswith("v_") and e not in keep:
-                shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+            if not e.startswith("v_") or e in keep:
+                continue
+            p = os.path.join(root, e)
+            if not os.path.isfile(os.path.join(p, "_SUCCESS")):
+                try:
+                    if now - os.path.getmtime(p) < _PQ_GC_STALE_SECONDS:
+                        continue  # in-flight build — hands off
+                except OSError:
+                    continue
+            shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass
     return vdir

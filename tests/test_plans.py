@@ -512,3 +512,18 @@ def test_fingerprint_prefilter_semi_join_broadcasts_fp_set(spark):
     p = plan(spark, "dedup_fingerprint_prefilter")
     assert "BroadcastHashJoin" in p and ("LeftSemi" in p or "LeftAnti" in p), p
     assert "CartesianProduct" not in p
+
+
+def test_retrieval_topk_is_take_ordered_not_global_window(spark):
+    """Round-7 pin (r6 verdict #1): the three retrieval top-k shapes must
+    plan a distributed TakeOrderedAndProject partial top-k, NOT rely on
+    InferWindowGroupLimit rewriting a corpus-wide row_number window (which
+    nothing asserted), and NOT funnel the corpus through one single-
+    partition Sort. The only Window allowed is the rank-after pass over
+    the k survivors, which sits ABOVE the TakeOrderedAndProject cut."""
+    for q in ("search_bm25_topk", "search_query_likelihood",
+              "search_hybrid_rrf"):
+        p = plan(spark, q)
+        assert "TakeOrderedAndProject" in p, (q, p)
+        # no corpus-sized single-partition sort below an exchange
+        assert "Exchange rangepartitioning" not in p, (q, p)
