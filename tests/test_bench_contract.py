@@ -101,3 +101,50 @@ def test_regression_baseline_is_running_minimum(tmp_path, monkeypatch):
         if v is not None:
             best[k] = min(v, best[k]) if k in best else v
     assert best == {"a": 1.0, "b": 2.0, "c": 0.5}
+
+
+def test_compact_line_carries_converged_story_and_still_fits():
+    """Round-7 (r6 verdict #2): the grade line must carry noisy/best_total
+    so the driver's artifact references converged numbers even on a loaded
+    box — and adding them must not break the 2 KB tail contract."""
+    timings = _fake_timings(30)
+    line = bench.compact_line(370.37, timings, 0.1, False, [], True, 1.519)
+    assert len(line) < 2048, len(line)
+    parsed = json.loads(line)
+    assert parsed["noisy"] is True
+    assert parsed["best_total"] == 1.519
+    # default: a clean run is explicitly not-noisy (absence is ambiguous)
+    parsed = json.loads(bench.compact_line(1.5, timings, 0.1, False, []))
+    assert parsed["noisy"] is False and parsed["best_total"] is None
+
+
+def test_trio_total_requires_all_three():
+    t = {n: 0.5 for n in bench.BASELINE_COMPARABLE}
+    assert bench._trio_total(t) == 1.5
+    t[bench.BASELINE_COMPARABLE[0]] = None
+    assert bench._trio_total(t) is None  # a crashed trio query -> no total
+
+
+def test_measure_merges_running_minima():
+    """The auto-rerun merges via minima — a rerun can only improve a
+    number, never clobber a faster first pass."""
+
+    class _FakeDF:
+        def __init__(self, delay):
+            self.delay = delay
+
+        def collect(self):
+            pass
+
+    calls = {"n": 0}
+
+    def fake_query(spark, sf_dir):
+        calls["n"] += 1
+        return _FakeDF(0)
+
+    timings = {"q": 0.0}  # pre-existing unbeatable result
+    spread = {"q": {"best": 0.0, "median": 0.0, "worst": 0.0}}
+    bench._measure(None, "x", {"q": fake_query}, ("q",), timings, spread)
+    assert timings["q"] == 0.0  # rerun (slower) did not clobber
+    assert spread["q"]["best"] == 0.0
+    assert calls["n"] >= 2  # cold + warm reps actually ran
