@@ -42,6 +42,55 @@ SF01 = "/root/testdata/sf0.1"
 SF1_DIR = "/tmp/hive_apache_ci_spark_sf1"
 COPIES = 10
 
+# Round-7 (r6 verdict #6): cross-round ratio trend. A single round's
+# verdict ("ratio <= 30") can't see the slow boil — a query whose
+# sf1/sf0.1 ratio creeps from 8 to 11 to 15 across rounds is going
+# super-linear without ever tripping the in-round flag. The sidecar keeps
+# each query's best (minimum) observed ratio, the run's output carries
+# `ratio_creep` for any query whose current ratio exceeds its committed
+# best by >CREEP_RATIO, and the sidecar merge is a running minimum (the
+# BENCH_LAST.json clobber-proof rule: one noisy run must not erase the
+# trend baseline).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RATIO_SIDECAR = os.path.join(_REPO, "docs", "CANARY_RATIOS.json")
+CREEP_RATIO = 1.25
+
+
+def load_prev_ratios(path: str = RATIO_SIDECAR) -> dict[str, float]:
+    try:
+        with open(path) as fh:
+            prev = json.load(fh)
+        if prev.get("copies") != COPIES:
+            return {}  # ratios from a different replication factor
+        return {
+            k: v for k, v in (prev.get("best_ratio") or {}).items()
+            if isinstance(v, (int, float))
+        }
+    except (OSError, ValueError):
+        return {}
+
+
+def find_ratio_creep(
+    prev_best: dict[str, float], ratios: dict[str, float]
+) -> list[dict]:
+    """Queries whose current sf1/sf0.1 ratio exceeds their committed best
+    ratio by >CREEP_RATIO — the cross-round super-linearity drift rule."""
+    out = []
+    for name, now in ratios.items():
+        prev = prev_best.get(name)
+        if prev is not None and now > prev * CREEP_RATIO:
+            out.append({"q": name, "best": prev, "now": now})
+    return out
+
+
+def merge_best_ratios(
+    prev_best: dict[str, float], ratios: dict[str, float]
+) -> dict[str, float]:
+    best = dict(prev_best)
+    for k, v in ratios.items():
+        best[k] = min(v, best[k]) if k in best else v
+    return best
+
 # Per-attempt wall-clock ceilings. The slowest healthy sf1 query in the r5
 # full sweep ran ~25 s; 120 s is ~5x headroom, while the bug class this
 # guards against (work serialized into one task) runs for many minutes.
@@ -301,7 +350,46 @@ def main() -> int:
                 row["verdict"] = "VACUOUS-AT-SF1"
         out[name] = row
         print(f"  {name}: {row}", file=sys.stderr)
-    print(json.dumps({"copies": COPIES, "all": all_mode, "queries": out}))
+    ratios = {
+        k: r["ratio"] for k, r in out.items() if r.get("ratio") is not None
+    }
+    prev_best = load_prev_ratios()
+    creep = find_ratio_creep(prev_best, ratios)
+    for c in creep:
+        print(
+            f"canary: RATIO-CREEP {c['q']}: best {c['best']} -> now {c['now']}"
+            f" (> {CREEP_RATIO}x)",
+            file=sys.stderr,
+        )
+    # Persist the trend baseline (best-effort; full sweeps only overwrite
+    # entries they measured — a spot-check run must not shrink the sidecar)
+    try:
+        os.makedirs(os.path.dirname(RATIO_SIDECAR), exist_ok=True)
+        with open(RATIO_SIDECAR, "w") as fh:
+            json.dump(
+                {
+                    "copies": COPIES,
+                    "best_ratio": merge_best_ratios(prev_best, ratios),
+                    "last_ratio": ratios,
+                    "creep_rule": f">{CREEP_RATIO}x best",
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+    except OSError as exc:
+        print(f"canary: ratio sidecar write failed: {exc}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "copies": COPIES,
+                "all": all_mode,
+                "queries": out,
+                "ratio_creep": [c["q"] for c in creep],
+            }
+        )
+    )
     return 0
 
 
