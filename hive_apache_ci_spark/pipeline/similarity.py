@@ -2491,6 +2491,46 @@ _INGEST_BUCKET_SQL = (
 )
 
 
+def _ingest_split(e):
+    """(base, delta) corpus split by md5(vec_id) decimal bucket — the
+    deterministic stand-in for 'yesterday's corpus vs today's ingest
+    batch', shared by ivf_pq_ingest_delta and ivf_pq_retrain_decision."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    tagged = e.withColumn("bk", bucket)
+    return (
+        tagged.filter(F.col("bk") < _INGEST_SPLIT).drop("bk"),
+        tagged.filter(F.col("bk") >= _INGEST_SPLIT).drop("bk"),
+    )
+
+
+def _encode_frozen(spark, batch, cent):
+    """Encode a batch against a FROZEN codebook: per-subspace nearest-
+    codeword argmin via broadcast cent + map-side min_by — encode cost is
+    ∝ batch, never corpus. Returns (vec_id, s, cid, d2)."""
+    dvv = _pq_subvectors(spark, batch)
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("emb", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    return (
+        dvv.join(F.broadcast(cent), "s")
+        .select("vec_id", "s", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "s")
+        .agg(F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("m"))
+        .select(
+            "vec_id", "s", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2")
+        )
+    )
+
+
 def _ingest_delta_oracle() -> str:
     d2 = (
         "round(list_sum(list_transform(list_zip(v.emb, c.cvec), "
@@ -2557,31 +2597,9 @@ def ivf_pq_ingest_delta(spark, sf_dir):
     training on the identical base slice, so a codebook that silently
     retrained on delta data would hash-mismatch."""
     e = T(spark, sf_dir, "embeddings")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        % 10
-    )
-    tagged = e.withColumn("bk", bucket)
-    base = tagged.filter(F.col("bk") < _INGEST_SPLIT).drop("bk")
-    delta = tagged.filter(F.col("bk") >= _INGEST_SPLIT).drop("bk")
+    base, delta = _ingest_split(e)
     _, cent, base_assign = _pq_train(spark, sf_dir, src=base)
-    dvv = _pq_subvectors(spark, delta)
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with("emb", "cvec", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        9,
-    )
-    dassign = (
-        dvv.join(F.broadcast(cent), "s")
-        .select("vec_id", "s", "cid", d2.alias("d2"))
-        .groupBy("vec_id", "s")
-        .agg(F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("m"))
-        .select("vec_id", "s", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
-    )
+    dassign = _encode_frozen(spark, delta, cent)
     nb = base_assign.groupBy("s", "cid").agg(F.count(F.lit(1)).alias("n_base"))
     nd = dassign.groupBy("s", "cid").agg(
         F.count(F.lit(1)).alias("n_delta"),
@@ -2602,3 +2620,246 @@ def ivf_pq_ingest_delta(spark, sf_dir):
             F.coalesce("delta_err", F.lit(0.0)).alias("delta_err"),
         )
     )
+
+
+# ---- round 7: retrain decision (closes build -> serve -> ingest -> decide)
+
+_RETRAIN_ERR_RATIO = 1.5   # ingest fits >1.5x worse than base => drift
+_RETRAIN_OCC_SHARE = 0.5   # a codeword holding >2x the uniform 1/K share
+
+
+def _retrain_decision_oracle() -> str:
+    d2 = (
+        "round(list_sum(list_transform(list_zip(v.emb, c.cvec), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 9)"
+    )
+    return f"""
+    WITH base_embeddings AS (
+      SELECT * FROM embeddings WHERE {_INGEST_BUCKET_SQL} < {_INGEST_SPLIT}
+    ),
+    {_pq_ctes(src="base_embeddings")},
+    delta AS (
+      SELECT * FROM embeddings WHERE {_INGEST_BUCKET_SQL} >= {_INGEST_SPLIT}
+    ),
+    dvv AS (
+      SELECT e.vec_id, sp.s,
+             list_transform(list_slice(e.embedding,
+                                       sp.s * {_PQ_SUB} + 1,
+                                       sp.s * {_PQ_SUB} + {_PQ_SUB}),
+                            x -> CAST(x AS DOUBLE)) AS emb
+      FROM delta e
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) sp
+    ),
+    dassign AS (
+      SELECT vec_id, s, cid, d2 FROM (
+        SELECT v.vec_id, v.s, c.cid, {d2} AS d2,
+               row_number() OVER (PARTITION BY v.vec_id, v.s
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM dvv v JOIN c{_PQ_ITERS} c ON v.s = c.s
+      ) WHERE rn = 1
+    ),
+    nb AS (SELECT s, cid, count(*) AS n_base,
+                  round(sum(d2) + 1e-9, 4) AS base_err
+           FROM a{_PQ_ITERS} GROUP BY s, cid),
+    nd AS (SELECT s, cid, count(*) AS n_delta,
+                  round(sum(d2) + 1e-9, 4) AS delta_err
+           FROM dassign GROUP BY s, cid),
+    led AS (
+      SELECT c.s, c.cid,
+             CAST(coalesce(nb.n_base, 0) AS BIGINT)  AS n_base,
+             CAST(coalesce(nd.n_delta, 0) AS BIGINT) AS n_delta,
+             coalesce(nb.base_err, 0.0)              AS base_err,
+             coalesce(nd.delta_err, 0.0)             AS delta_err
+      FROM c{_PQ_ITERS} c
+      LEFT JOIN nb ON nb.s = c.s AND nb.cid = c.cid
+      LEFT JOIN nd ON nd.s = c.s AND nd.cid = c.cid
+    ),
+    m AS (
+      SELECT *, n_base + n_delta AS n_total,
+             CASE WHEN n_base > 0
+                  THEN round(base_err / n_base + 1e-9, 6) ELSE 0.0 END
+                 AS mean_base_err,
+             CASE WHEN n_delta > 0
+                  THEN round(delta_err / n_delta + 1e-9, 6) ELSE 0.0 END
+                 AS mean_delta_err
+      FROM led
+    ),
+    ss AS (
+      SELECT s, sum(n_total) AS n_total_s,
+             CASE WHEN sum(n_base) > 0
+                  THEN round(sum(base_err) / sum(n_base) + 1e-9, 6)
+                  ELSE 0.0 END AS s_mean_base_err,
+             CASE WHEN sum(n_delta) > 0
+                  THEN round(sum(delta_err) / sum(n_delta) + 1e-9, 6)
+                  ELSE 0.0 END AS s_mean_delta_err
+      FROM m GROUP BY s
+    ),
+    m2 AS (
+      SELECT m.*,
+             round(CAST(m.n_total AS DOUBLE) / ss.n_total_s + 1e-9, 6)
+                 AS occ_share,
+             CASE WHEN m.mean_base_err > 0 AND m.n_delta > 0
+                  THEN round(m.mean_delta_err / m.mean_base_err + 1e-9, 4)
+                  ELSE 0.0 END AS err_ratio,
+             CASE WHEN ss.s_mean_base_err > 0 AND ss.s_mean_delta_err > 0
+                  THEN round(ss.s_mean_delta_err / ss.s_mean_base_err
+                             + 1e-9, 4)
+                  ELSE 0.0 END AS s_err_ratio
+      FROM m JOIN ss ON m.s = ss.s
+    ),
+    sk AS (SELECT s, max(occ_share) AS max_occ_share FROM m2 GROUP BY s)
+    SELECT m2.s, m2.cid, n_base, n_delta,
+           CAST(n_total AS BIGINT) AS n_total,
+           base_err, delta_err, mean_base_err, mean_delta_err,
+           err_ratio, occ_share,
+           (err_ratio > {_RETRAIN_ERR_RATIO} AND n_delta > 0) AS err_drift,
+           occ_share > {_RETRAIN_OCC_SHARE} AS occ_skew,
+           s_err_ratio,
+           (s_err_ratio > {_RETRAIN_ERR_RATIO}
+            OR sk.max_occ_share > {_RETRAIN_OCC_SHARE}) AS retrain_subspace,
+           CASE WHEN s_err_ratio > {_RETRAIN_ERR_RATIO}
+                     AND sk.max_occ_share > {_RETRAIN_OCC_SHARE}
+                THEN 'err+skew'
+                WHEN s_err_ratio > {_RETRAIN_ERR_RATIO} THEN 'err_drift'
+                WHEN sk.max_occ_share > {_RETRAIN_OCC_SHARE} THEN 'occ_skew'
+                ELSE 'ok' END AS reason
+    FROM m2 JOIN sk ON m2.s = sk.s
+    """
+
+
+@query("ivf_pq_retrain_decision", oracle=_retrain_decision_oracle())
+def ivf_pq_retrain_decision(spark, sf_dir):
+    """Retrain trigger — the decision step that CONSUMES the ingest drift
+    ledger (r6 verdict #3), closing the index lifecycle
+    build -> serve -> ingest -> decide: per codeword, compare the ingest
+    batch's mean quantization error against the base corpus's own mean
+    error under the SAME frozen codebook (err_ratio — rising means the
+    codebook no longer fits incoming data) and each codeword's share of
+    its subspace's occupancy (occ_share — a hot codeword degrades both
+    compression and probe selectivity). Verdicts at both grains: per-
+    codeword ``err_drift``/``occ_skew`` booleans, and the per-subspace
+    ``retrain_subspace`` + ``reason`` an index operator would alert on
+    (subspace-weighted err ratio > {R} OR any codeword holding > {O} of
+    the subspace, i.e. 2x the uniform 1/K share).
+
+    100 TB shape: everything derives from two (s, cid)-keyed ledgers
+    (M*K rows each — 16 here) already produced by the ingest dataflow:
+    base encode is one corpus scan (the same scan the build pays), delta
+    encode is ∝ batch, and every decision metric is arithmetic over the
+    tiny ledger — the decision itself costs nothing at any scale. All
+    ratios divide identically-rounded inputs (6dp means, 4dp sums) in the
+    same op order both engines, so the verdict booleans hash-oracle
+    cleanly."""
+    e = T(spark, sf_dir, "embeddings")
+    base, delta = _ingest_split(e)
+    _, cent, base_assign = _pq_train(spark, sf_dir, src=base)
+    dassign = _encode_frozen(spark, delta, cent)
+    nb = base_assign.groupBy("s", "cid").agg(
+        F.count(F.lit(1)).alias("n_base"),
+        F.round(F.sum("d2") + F.lit(1e-9), 4).alias("base_err"),
+    )
+    nd = dassign.groupBy("s", "cid").agg(
+        F.count(F.lit(1)).alias("n_delta"),
+        F.round(F.sum("d2") + F.lit(1e-9), 4).alias("delta_err"),
+    )
+    led = (
+        cent.select("s", "cid")
+        .join(nb, ["s", "cid"], "left")
+        .join(nd, ["s", "cid"], "left")
+        .select(
+            "s",
+            "cid",
+            F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce("n_delta", F.lit(0)).cast("bigint").alias("n_delta"),
+            F.coalesce("base_err", F.lit(0.0)).alias("base_err"),
+            F.coalesce("delta_err", F.lit(0.0)).alias("delta_err"),
+        )
+    )
+    m = led.select(
+        "*",
+        (F.col("n_base") + F.col("n_delta")).alias("n_total"),
+        F.when(
+            F.col("n_base") > 0,
+            F.round(F.col("base_err") / F.col("n_base") + F.lit(1e-9), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_base_err"),
+        F.when(
+            F.col("n_delta") > 0,
+            F.round(F.col("delta_err") / F.col("n_delta") + F.lit(1e-9), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_delta_err"),
+    )
+    ss = m.groupBy("s").agg(
+        F.sum("n_total").alias("n_total_s"),
+        F.when(
+            F.sum("n_base") > 0,
+            F.round(F.sum("base_err") / F.sum("n_base") + F.lit(1e-9), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("s_mean_base_err"),
+        F.when(
+            F.sum("n_delta") > 0,
+            F.round(F.sum("delta_err") / F.sum("n_delta") + F.lit(1e-9), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("s_mean_delta_err"),
+    )
+    m2 = m.join(F.broadcast(ss), "s").select(
+        "*",
+        F.round(
+            F.col("n_total").cast("double") / F.col("n_total_s") + F.lit(1e-9), 6
+        ).alias("occ_share"),
+        F.when(
+            (F.col("mean_base_err") > 0) & (F.col("n_delta") > 0),
+            F.round(
+                F.col("mean_delta_err") / F.col("mean_base_err") + F.lit(1e-9), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("err_ratio"),
+        F.when(
+            (F.col("s_mean_base_err") > 0) & (F.col("s_mean_delta_err") > 0),
+            F.round(
+                F.col("s_mean_delta_err") / F.col("s_mean_base_err")
+                + F.lit(1e-9),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("s_err_ratio"),
+    )
+    sk = m2.groupBy("s").agg(F.max("occ_share").alias("max_occ_share"))
+    drift = F.col("s_err_ratio") > _RETRAIN_ERR_RATIO
+    skew = F.col("max_occ_share") > _RETRAIN_OCC_SHARE
+    return m2.join(F.broadcast(sk), "s").select(
+        "s",
+        "cid",
+        "n_base",
+        "n_delta",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        "base_err",
+        "delta_err",
+        "mean_base_err",
+        "mean_delta_err",
+        "err_ratio",
+        "occ_share",
+        (
+            (F.col("err_ratio") > _RETRAIN_ERR_RATIO) & (F.col("n_delta") > 0)
+        ).alias("err_drift"),
+        (F.col("occ_share") > _RETRAIN_OCC_SHARE).alias("occ_skew"),
+        "s_err_ratio",
+        (drift | skew).alias("retrain_subspace"),
+        F.when(drift & skew, F.lit("err+skew"))
+        .when(drift, F.lit("err_drift"))
+        .when(skew, F.lit("occ_skew"))
+        .otherwise(F.lit("ok"))
+        .alias("reason"),
+    )
+
+
+ivf_pq_retrain_decision.__doc__ = (
+    ivf_pq_retrain_decision.__doc__.replace("{R}", str(_RETRAIN_ERR_RATIO))
+    .replace("{O}", str(_RETRAIN_OCC_SHARE))
+)
