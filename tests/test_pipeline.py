@@ -301,6 +301,36 @@ def test_prefilter_no_false_negatives_and_confirms_match_incremental(spark):
     assert got == want
 
 
+def test_bloom_prefilter_confirm_tier_equals_fp_variant(spark):
+    """r6 verdict #4 acceptance: the bloom topology must agree with the
+    deterministic-fp form on the CONFIRM tier exactly — same doc set, same
+    is_dup verdicts, same dup_of_base assignments. The bloom tier may only
+    differ in EXTRA candidates (false positives), never missed dups."""
+    from hive_apache_ci_spark.registry import all_queries
+
+    qs = all_queries()
+    fp = {r.doc_id: r for r in qs["dedup_fingerprint_prefilter"](spark, SF_DIR).collect()}
+    bl = {r.doc_id: r for r in qs["dedup_bloom_prefilter"](spark, SF_DIR).collect()}
+    assert set(fp) == set(bl)  # both verdict every increment doc
+    for doc_id, f in fp.items():
+        b = bl[doc_id]
+        assert (f.is_dup, f.dup_of_base) == (b.is_dup, b.dup_of_base), doc_id
+        if f.is_dup == 1:  # a true dup must pass ANY no-false-negative tier
+            assert b.was_candidate == 1, doc_id
+    # the fp tier's candidates (exact prefix-fingerprint matches: true dups
+    # + shared-prefix near-dups) must ALL pass the bloom too — the bloom
+    # encodes the same fingerprints, so an fp-candidate missing from the
+    # bloom's candidate set would be a false negative in the bit array
+    fp_cand = {d for d, r in fp.items() if r.was_candidate == 1}
+    bl_cand = {d for d, r in bl.items() if r.was_candidate == 1}
+    assert fp_cand <= bl_cand, fp_cand - bl_cand
+    # ...and the bloom's EXTRA candidates (k-position collisions, the only
+    # place the tiers may differ) stay near the designed ~0.1% fp rate
+    n_new = sum(1 for r in bl.values() if r.is_dup == 0)
+    extra = len(bl_cand - fp_cand)
+    assert n_new == 0 or extra <= max(2, n_new * 0.05), (extra, n_new)
+
+
 def test_calibration_bins_equal_count_and_monotone(spark):
     from hive_apache_ci_spark.pipeline.training import _CAL_BINS
     from hive_apache_ci_spark.registry import all_queries
