@@ -69,6 +69,13 @@ EXTRA_HEADLINERS = (
     # round-6: hybrid retrieval (BM25 + vector-PRF fused by RRF) — the
     # composition headliner spanning the lexical and vector stacks
     "search_hybrid_rrf",
+    # round-7 promotions (r6 verdict #5/#7): the index WRITE path's cost is
+    # the operational number that matters day-to-day; the indexed RRF makes
+    # the brute-force->index arm-swap cost visible next to its sibling;
+    # KN perplexity is the heaviest LM op added in r6
+    "ivf_pq_ingest_delta",
+    "search_hybrid_rrf_indexed",
+    "quality_kn_bigram_perplexity",
 )
 
 # BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond

@@ -363,6 +363,27 @@ _RRF_PRF_DOCS = 5  # BM25 top-N whose embedding mean forms the vector query
 _RRF_ARM_K = 20    # per-arm depth
 _RRF_OUT_K = 10    # fused result depth
 
+def _prf_query_vector(bm, e):
+    """1-row (qvec) DataFrame: the 6dp-quantized dimension-wise mean of
+    the BM25 top-{P} docs' embeddings — classic vector PRF, shared by the
+    brute-force and indexed RRF variants."""
+    qdims = (
+        bm.filter(F.col("bm_rk") <= _RRF_PRF_DOCS)
+        .join(e, bm.doc_id == e.vec_id)
+        .select(F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy((F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")) + F.lit(1e-12), 6).alias("c")
+        )
+    )
+    return qdims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("qvec")
+    )
+
+
 def _rrf_cos_sql() -> str:
     """Cosine-SQL template imported from similarity (the single source of
     the fold/cast discipline — a determinism fix there must reach this
@@ -438,19 +459,7 @@ def search_hybrid_rrf(spark, sf_dir):
         F.col("rk").alias("bm_rk"), "doc_id"
     )
     e = T(spark, sf_dir, "embeddings")
-    qdims = (
-        bm.filter(F.col("bm_rk") <= _RRF_PRF_DOCS)
-        .join(e, bm.doc_id == e.vec_id)
-        .select(F.posexplode("embedding").alias("pos0", "val"))
-        .groupBy((F.col("pos0") + 1).alias("pos"))
-        .agg(F.round(F.avg(F.col("val").cast("double")) + F.lit(1e-12), 6).alias("c"))
-    )
-    qv = qdims.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))),
-            lambda s: s.getField("c"),
-        ).alias("qvec")
-    )
+    qv = _prf_query_vector(bm, e)
     cos = dot_fold(F.col("embedding"), F.col("qvec")) / (
         F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
         * F.sqrt(dot_fold(F.col("qvec"), F.col("qvec")))
@@ -495,4 +504,248 @@ search_hybrid_rrf.__doc__ = (
     search_hybrid_rrf.__doc__.replace("{K}", str(_RRF_K))
     .replace("{A}", str(_RRF_ARM_K))
     .replace("{P}", str(_RRF_PRF_DOCS))
+)
+
+
+# ---- round 7: hybrid retrieval served from the materialized ANN index ----
+
+
+def _rrf_indexed_oracle() -> str:
+    from .similarity import (
+        _FULL_D2_SQL,
+        _IVF_PROBE,
+        _PQ_ITERS,
+        _PQ_M,
+        _PQ_SUB,
+        _SUB_D2_SQL,
+        _coarse_ctes,
+        _pq_ctes,
+    )
+
+    _COS = _rrf_cos_sql()
+    qd2 = _FULL_D2_SQL.format(a="q.qvec", b="c.cvec")
+    return f"""
+    WITH bm AS (SELECT rk AS bm_rk, doc_id FROM ({_BM25_ORACLE}) b),
+    qdims AS (
+      SELECT u.pos AS pos, round(avg(CAST(u.val AS DOUBLE)) + 1e-12, 6) AS c
+      FROM bm
+      JOIN embeddings e ON e.vec_id = bm.doc_id
+      CROSS JOIN unnest(list_transform(range(1, len(e.embedding) + 1),
+                        i -> {{'pos': i, 'val': e.embedding[i]}})) AS t(u)
+      WHERE bm.bm_rk <= {_RRF_PRF_DOCS}
+      GROUP BY u.pos
+    ),
+    qv AS (SELECT list(c ORDER BY pos) AS qvec FROM qdims),
+    {_pq_ctes()},
+    {_coarse_ctes()},
+    probes AS (
+      SELECT c_label FROM (
+        SELECT c.c_label,
+               row_number() OVER (ORDER BY {qd2} + c.c_label * 1e-12) AS rk
+        FROM cvl c CROSS JOIN qv q
+      ) WHERE rk <= {_IVF_PROBE}
+    ),
+    cands AS (SELECT a.vec_id FROM assigned a SEMI JOIN probes USING (c_label)),
+    qsub AS (
+      SELECT sp.s,
+             list_transform(list_slice(q.qvec,
+                                       sp.s * {_PQ_SUB} + 1,
+                                       sp.s * {_PQ_SUB} + {_PQ_SUB}),
+                            x -> CAST(x AS DOUBLE)) AS emb
+      FROM qv q
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) sp
+    ),
+    lut AS (
+      SELECT q.s, c.cid, {_SUB_D2_SQL} AS pd2
+      FROM qsub q JOIN c{_PQ_ITERS} c ON q.s = c.s
+    ),
+    adc AS (
+      SELECT cd.vec_id, round(sum(l.pd2) + 1e-12, 8) AS adc_d2
+      FROM cands cd
+      JOIN a{_PQ_ITERS} a ON a.vec_id = cd.vec_id
+      JOIN lut l ON l.s = a.s AND l.cid = a.cid
+      GROUP BY cd.vec_id
+    ),
+    sem AS (
+      SELECT vec_id AS doc_id, rk AS vec_rk FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY adc_d2, vec_id) AS rk
+        FROM adc
+      ) WHERE rk <= {_RRF_ARM_K}
+    ),
+    bf AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               row_number() OVER (ORDER BY {_COS} DESC, e.vec_id) AS rk
+        FROM embeddings e CROSS JOIN qv q
+      ) WHERE rk <= {_RRF_ARM_K}
+    ),
+    rec AS (
+      SELECT round(CAST(count(*) AS DOUBLE) / {_RRF_ARM_K} + 1e-9, 6)
+                 AS vec_arm_recall
+      FROM sem SEMI JOIN bf ON sem.doc_id = bf.vec_id
+    ),
+    fused AS (
+      SELECT coalesce(bm.doc_id, sem.doc_id) AS doc_id,
+             bm.bm_rk, sem.vec_rk,
+             round(coalesce(1.0 / ({_RRF_K} + bm.bm_rk), 0.0)
+                   + coalesce(1.0 / ({_RRF_K} + sem.vec_rk), 0.0), 6)
+                 AS rrf_score
+      FROM bm FULL OUTER JOIN sem ON bm.doc_id = sem.doc_id
+    )
+    SELECT rk, doc_id,
+           CAST(bm_rk AS INTEGER)  AS bm_rk,
+           CAST(vec_rk AS INTEGER) AS vec_rk,
+           rrf_score, vec_arm_recall
+    FROM (SELECT doc_id, bm_rk, vec_rk, rrf_score,
+                 row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rk
+          FROM fused) CROSS JOIN rec
+    WHERE rk <= {_RRF_OUT_K}
+    """
+
+
+@query("search_hybrid_rrf_indexed", oracle=_rrf_indexed_oracle())
+def search_hybrid_rrf_indexed(spark, sf_dir):
+    """Hybrid RRF retrieval SERVED FROM THE MATERIALIZED IVF-PQ INDEX —
+    the arm swap search_hybrid_rrf's docstring promises at corpus scale
+    (r6 verdict #5): the vector arm routes the PRF query vector through
+    the published index (broadcast coarse table -> nprobe lists -> ADC
+    scoring of the probed lists' PQ codes against a 1-query LUT) instead
+    of brute-force cosine over every embedding. The corpus embedding
+    column is never read by the vector arm; its cost is the
+    ivf_pq_search_topk serving shape (LUT build + code lookups over
+    ~nprobe/K of the codes table). The output adds ``vec_arm_recall`` —
+    the indexed arm's overlap@{A} against the brute-force cosine arm,
+    computed in-plan — so the quality cost of the arm swap is graded
+    next to its rank effects, not assumed. (ADC ranks by L2 on
+    unnormalized embeddings while the brute-force arm ranks by cosine, so
+    the recall delta also prices the metric mismatch — exactly what an
+    operator tuning the swap needs to see.)
+
+    100 TB: BM25 arm as before (broadcast df + TakeOrderedAndProject);
+    vector arm reads only index tables (codes rows are M small ints);
+    fusion is 40 id-rank rows; the recall audit joins two 20-row sets.
+    The brute-force comparator stays in-plan ONLY for the audit column —
+    drop it in production and the corpus is never scanned at all."""
+    import os
+
+    from .similarity import (
+        _IVF_PROBE,
+        _PQ_M,
+        _PQ_SUB,
+        _ensure_pq_index,
+        dot_fold,
+    )
+
+    bm = search_bm25_topk(spark, sf_dir).select(
+        F.col("rk").alias("bm_rk"), "doc_id"
+    )
+    e = T(spark, sf_dir, "embeddings")
+    qv = _prf_query_vector(bm, e)
+    idx = _ensure_pq_index(spark, sf_dir)
+    coarse = spark.read.parquet(os.path.join(idx, "coarse"))
+    routing = spark.read.parquet(os.path.join(idx, "routing"))
+    codebook = spark.read.parquet(os.path.join(idx, "codebook"))
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    qd2 = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        qv.crossJoin(F.broadcast(coarse))
+        .select("c_label", qd2.alias("d2"))
+        .orderBy(F.col("d2") + F.col("c_label") * 1e-12)
+        .limit(_IVF_PROBE)
+        .select("c_label")
+    )
+    cands = routing.join(F.broadcast(probes), "c_label").select("vec_id")
+    sub = spark.range(_PQ_M).select(F.col("id").cast("int").alias("s"))
+    qsub = (
+        qv.crossJoin(F.broadcast(sub))
+        .select(
+            "s",
+            F.transform(
+                F.slice("qvec", F.col("s") * _PQ_SUB + 1, _PQ_SUB),
+                lambda x: x.cast("double"),
+            ).alias("qemb"),
+        )
+    )
+    pd2 = F.round(
+        F.aggregate(
+            F.zip_with("qemb", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    lut = qsub.join(codebook, "s").select("s", "cid", pd2.alias("pd2"))
+    adc = (
+        cands.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("pd2") + F.lit(1e-12), 8).alias("adc_d2"))
+    )
+    wsem = Window.orderBy("adc_d2", "doc_id")
+    sem = (
+        adc.select(F.col("vec_id").alias("doc_id"), "adc_d2")
+        .orderBy("adc_d2", "doc_id")
+        .limit(_RRF_ARM_K)
+        .withColumn("vec_rk", F.row_number().over(wsem))
+        .select("doc_id", "vec_rk")
+    )
+    cos = dot_fold(F.col("embedding"), F.col("qvec")) / (
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot_fold(F.col("qvec"), F.col("qvec")))
+    )
+    bf = (
+        e.crossJoin(F.broadcast(qv))
+        .select("vec_id", cos.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(_RRF_ARM_K)
+        .select("vec_id")
+    )
+    rec = (
+        sem.join(bf, sem.doc_id == bf.vec_id, "left_semi")
+        .agg(
+            F.round(
+                F.count(F.lit(1)).cast("double") / _RRF_ARM_K + F.lit(1e-9), 6
+            ).alias("vec_arm_recall")
+        )
+    )
+    fused = (
+        bm.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "bm_rk",
+            "vec_rk",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("bm_rk")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("vec_rk")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= _RRF_OUT_K)
+        .crossJoin(F.broadcast(rec))
+        .select(
+            "rk",
+            "doc_id",
+            F.col("bm_rk").cast("int").alias("bm_rk"),
+            F.col("vec_rk").cast("int").alias("vec_rk"),
+            "rrf_score",
+            "vec_arm_recall",
+        )
+    )
+
+
+search_hybrid_rrf_indexed.__doc__ = search_hybrid_rrf_indexed.__doc__.replace(
+    "{A}", str(_RRF_ARM_K)
 )

@@ -1528,18 +1528,25 @@ knn_mmr_rerank.__doc__ = (
 # ---- IVF-PQ: coarse routing + asymmetric-distance scoring ----------------
 
 
-def _ivf_pq_oracle() -> str:
-    sub_d2 = (
-        "round(list_sum(list_transform(list_zip(q.emb, c.cvec), "
-        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 9)"
-    )
-    full_d2 = (
-        "list_sum(list_transform(list_zip({a}, {b}), "
-        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
-        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
-    )
+# Shared oracle SQL fragments (single source — a determinism fix here must
+# reach every consumer, incl. retrieval's indexed-RRF oracle):
+_SUB_D2_SQL = (
+    "round(list_sum(list_transform(list_zip(q.emb, c.cvec), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2]))), 9)"
+)
+_FULL_D2_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+)
+
+
+def _coarse_ctes() -> str:
+    """dims/centroids/cvl/assigned CTE bodies (no WITH) — the label-mean
+    coarse router replay (6dp centroid quantization before any routing
+    argmin), shared by _ivf_pq_oracle and retrieval's indexed-RRF
+    oracle."""
     return f"""
-    WITH {_pq_ctes()},
     dims AS (
       SELECT label, u.pos AS pos, u.val AS val
       FROM (
@@ -1559,11 +1566,19 @@ def _ivf_pq_oracle() -> str:
     assigned AS (
       SELECT vec_id,
              arg_min(c_label,
-                     {full_d2.format(a='embedding', b='cvec')}
+                     {_FULL_D2_SQL.format(a='embedding', b='cvec')}
                      + c_label * 1e-12) AS c_label
       FROM embeddings CROSS JOIN cvl
       GROUP BY vec_id
-    ),
+    )"""
+
+
+def _ivf_pq_oracle() -> str:
+    sub_d2 = _SUB_D2_SQL
+    full_d2 = _FULL_D2_SQL
+    return f"""
+    WITH {_pq_ctes()},
+    {_coarse_ctes()},
     probes AS (
       SELECT vec_id AS query_id, c_label FROM (
         SELECT e.vec_id, c.c_label,

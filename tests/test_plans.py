@@ -522,7 +522,7 @@ def test_retrieval_topk_is_take_ordered_not_global_window(spark):
     partition Sort. The only Window allowed is the rank-after pass over
     the k survivors, which sits ABOVE the TakeOrderedAndProject cut."""
     for q in ("search_bm25_topk", "search_query_likelihood",
-              "search_hybrid_rrf"):
+              "search_hybrid_rrf", "search_hybrid_rrf_indexed"):
         p = plan(spark, q)
         assert "TakeOrderedAndProject" in p, (q, p)
         # no corpus-sized single-partition sort below an exchange
