@@ -2052,3 +2052,155 @@ def dedup_ladder_report(spark, sf_dir):
 dedup_ladder_report.__doc__ = dedup_ladder_report.__doc__.replace(
     "{TH}", str(_LADDER_JACC_TH)
 )
+
+
+# ---- round 7: incremental near-dup (MinHash-LSH batch-vs-base) -----------
+
+_MH_SIG_CTES = f"""
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                              i -> concat(a[i], ' ', a[i+1])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+            FROM documents)
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS ha,
+             CAST(('0x' || substr(md5(shingle), 17, 15)) AS BIGINT)
+               % {MINHASH_P} AS hb
+      FROM sh WHERE shingle <> ''
+    ),
+    sig AS (
+      SELECT doc_id, seed,
+             min((ha + (seed + 1) * hb) % {MINHASH_P}) AS mh
+      FROM hashed, unnest(range(0, {N_HASHES})) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(seed / {BAND_ROWS}) AS INTEGER) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_sig
+      FROM sig GROUP BY doc_id, 2
+    )"""
+
+
+@query(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH {_MH_SIG_CTES},
+    bk AS (SELECT doc_id, {_INC_BUCKET} AS bk FROM documents),
+    baseb AS (SELECT b.* FROM bands b JOIN bk USING (doc_id) WHERE bk < 8),
+    incb  AS (SELECT b.* FROM bands b JOIN bk USING (doc_id) WHERE bk >= 8),
+    cand AS (
+      SELECT DISTINCT i.doc_id, b.doc_id AS base_id
+      FROM incb i JOIN baseb b
+        ON i.band = b.band AND i.band_sig = b.band_sig
+    ),
+    agree AS (
+      SELECT c.doc_id, c.base_id,
+             round(CAST(sum(CASE WHEN si.mh = sb.mh THEN 1 ELSE 0 END)
+                        AS DOUBLE) / {N_HASHES} + 1e-9, 6) AS sig_agree
+      FROM cand c
+      JOIN sig si ON si.doc_id = c.doc_id
+      JOIN sig sb ON sb.doc_id = c.base_id AND sb.seed = si.seed
+      GROUP BY c.doc_id, c.base_id
+    )
+    SELECT doc_id, CAST(n_candidates AS BIGINT) AS n_candidates,
+           base_id AS best_base_id, sig_agree AS best_sig_agree
+    FROM (
+      SELECT doc_id, base_id, sig_agree,
+             count(*) OVER (PARTITION BY doc_id) AS n_candidates,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY sig_agree DESC, base_id) AS rn
+      FROM agree
+    ) WHERE rn = 1
+    """,
+)
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental NEAR-dup detection — the LSH sibling of
+    dedup_incremental_batch (which only catches exact-hash dups): the base
+    corpus's band signatures act as the persisted LSH index, today's batch
+    (md5-bucket 20%) computes its own bands and probes them, and each
+    surviving (batch, base) candidate is scored by SIGNATURE AGREEMENT —
+    the fraction of the {H} minhashes that coincide, the standard unbiased
+    Jaccard estimate, computed from the 2x{H} ints alone (the raw shingle
+    sets are never touched post-signature, which is the entire economics
+    of storing an LSH index). Per batch doc: candidate count, best base
+    match by (agreement desc, base_id) and its agreement score. All
+    arithmetic on exact 61-bit ints — bit-replayable, so the oracle
+    verifies candidates AND scores.
+
+    100 TB: base bands are the stored index (band-keyed layout); the probe
+    shuffles only the batch's {B} band rows/doc; agreement joins are keyed
+    on candidate doc ids (bounded by candidate volume, which LSH keeps
+    sub-quadratic); the per-doc best is a window on the doc-keyed
+    exchange, never global."""
+    d = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    tagged = d.withColumn("bk", bucket)
+    base_docs = tagged.filter(F.col("bk") < 8).drop("bk")
+    inc_docs = tagged.filter(F.col("bk") >= 8).drop("bk")
+    sig_all = minhash_signatures(d)  # one signature pass, split below
+    seeds = F.array(*[F.col(f"h{s}") for s in range(N_HASHES)])
+    sig_long = sig_all.select(
+        "doc_id", F.posexplode(seeds).alias("seed", "mh")
+    )
+    bands_base = lsh_bands(
+        sig_all.join(base_docs.select("doc_id"), "doc_id", "left_semi")
+    )
+    bands_inc = lsh_bands(
+        sig_all.join(inc_docs.select("doc_id"), "doc_id", "left_semi")
+    )
+    i, b = bands_inc.alias("i"), bands_base.alias("b")
+    cand = (
+        i.join(
+            b,
+            (F.col("i.band") == F.col("b.band"))
+            & (F.col("i.band_sig") == F.col("b.band_sig")),
+        )
+        .select(F.col("i.doc_id").alias("doc_id"), F.col("b.doc_id").alias("base_id"))
+        .distinct()
+    )
+    si = sig_long.select(F.col("doc_id"), "seed", F.col("mh").alias("mh_i"))
+    sb = sig_long.select(
+        F.col("doc_id").alias("base_id"), "seed", F.col("mh").alias("mh_b")
+    )
+    agree = (
+        cand.join(si, "doc_id")
+        .join(sb, ["base_id", "seed"])
+        .groupBy("doc_id", "base_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("mh_i") == F.col("mh_b"), 1).otherwise(0))
+                .cast("double")
+                / N_HASHES
+                + F.lit(1e-9),
+                6,
+            ).alias("sig_agree")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id")
+    wo = w.orderBy(F.desc("sig_agree"), F.asc("base_id"))
+    return (
+        agree.withColumn("n_candidates", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("base_id").alias("best_base_id"),
+            F.col("sig_agree").alias("best_sig_agree"),
+        )
+    )
+
+
+dedup_minhash_incremental.__doc__ = (
+    dedup_minhash_incremental.__doc__.replace("{H}", str(N_HASHES))
+    .replace("{B}", str(N_BANDS))
+)

@@ -1541,11 +1541,13 @@ _FULL_D2_SQL = (
 )
 
 
-def _coarse_ctes() -> str:
+def _coarse_ctes(cent_src: str = "embeddings") -> str:
     """dims/centroids/cvl/assigned CTE bodies (no WITH) — the label-mean
     coarse router replay (6dp centroid quantization before any routing
-    argmin), shared by _ivf_pq_oracle and retrieval's indexed-RRF
-    oracle."""
+    argmin), shared by _ivf_pq_oracle, retrieval's indexed-RRF oracle and
+    the merge-compact oracle. `cent_src` trains the centroids on a slice
+    (frozen-router compaction) while assignment always routes the full
+    corpus."""
     return f"""
     dims AS (
       SELECT label, u.pos AS pos, u.val AS val
@@ -1553,7 +1555,7 @@ def _coarse_ctes() -> str:
         SELECT label,
                unnest(list_transform(range(1, len(embedding) + 1),
                       i -> {{'pos': i, 'val': CAST(embedding[i] AS DOUBLE)}})) AS u
-        FROM embeddings
+        FROM {cent_src}
       )
     ),
     centroids AS (
@@ -2878,3 +2880,128 @@ ivf_pq_retrain_decision.__doc__ = (
     ivf_pq_retrain_decision.__doc__.replace("{R}", str(_RETRAIN_ERR_RATIO))
     .replace("{O}", str(_RETRAIN_OCC_SHARE))
 )
+
+
+# ---- round 7: inverted-list merge-compact --------------------------------
+
+_VEC_H32_SQL = (
+    "CAST(('0x' || substr(md5(CAST({v} AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+
+def _merge_compact_oracle() -> str:
+    return f"""
+    WITH base_embeddings AS (
+      SELECT * FROM embeddings WHERE {_INGEST_BUCKET_SQL} < {_INGEST_SPLIT}
+    ),
+    {_coarse_ctes(cent_src="base_embeddings")},
+    tag AS (SELECT vec_id, {_INGEST_BUCKET_SQL} AS bk FROM embeddings)
+    SELECT a.c_label,
+           CAST(sum(CASE WHEN t.bk < {_INGEST_SPLIT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_base,
+           CAST(sum(CASE WHEN t.bk >= {_INGEST_SPLIT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_delta,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(min(a.vec_id) AS BIGINT) AS min_vec_id,
+           CAST(max(a.vec_id) AS BIGINT) AS max_vec_id,
+           CAST(sum({_VEC_H32_SQL.format(v='a.vec_id')}) AS BIGINT)
+               AS list_digest,
+           round(CAST(sum(CASE WHEN t.bk >= {_INGEST_SPLIT} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) + 1e-9, 6) AS delta_share
+    FROM assigned a JOIN tag t USING (vec_id)
+    GROUP BY a.c_label
+    """
+
+
+@query("ivf_pq_merge_compact", oracle=_merge_compact_oracle())
+def ivf_pq_merge_compact(spark, sf_dir):
+    """Inverted-list MERGE-COMPACT — the companion to the retrain decision
+    (r6 verdict #3 named "retrain_decision or merge-compact"; round 7
+    ships both): after enough delta ingests, production rewrites each
+    coarse list merging the base segment with its appended deltas. The
+    router is FROZEN on the base slice (label-mean centroids over the 90%
+    base, 6dp-quantized — compaction must never re-route, or served
+    results change under the reader); every vector routes through it and
+    the report certifies each merged list's CONTENT, not just its size:
+    n_base/n_delta/n_total plus min/max vec_id and a commutative content
+    digest (sum of 32-bit md5-derived id hashes) that any engine can
+    recompute from base ∪ delta — a dropped or duplicated vector flips
+    the digest even when counts collide.
+
+    100 TB: the digest/min/max/counts are all COMMUTATIVE partial
+    aggregates — map-side combine on the routing shuffle, no collect_list
+    of a 10^9-row list, no order dependence; compaction cost is one scan
+    of routing + one broadcast of the frozen centroid table. The digest
+    is the same trick LSM compactions use to verify a merge without
+    sorting: content equality reduces to an O(1) comparison per list."""
+    e = T(spark, sf_dir, "embeddings")
+    base, _delta = _ingest_split(e)
+    dims = base.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "val_f")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    centroids = dims.groupBy("label", "pos").agg(
+        F.round(F.avg("val") + F.lit(1e-12), 6).alias("c")
+    )
+    cvl = (
+        centroids.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    tiebreak = F.col("d2") + F.col("c_label") * 1e-12
+    assigned = (
+        e.select("vec_id", "embedding")
+        .join(F.broadcast(cvl))
+        .select("vec_id", "c_label", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min_by("c_label", tiebreak).alias("c_label"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    tag = e.select("vec_id", bucket.alias("bk"))
+    h32 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        assigned.join(tag, "vec_id")
+        .groupBy("c_label")
+        .agg(
+            F.sum(F.when(F.col("bk") < _INGEST_SPLIT, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_base"),
+            F.sum(F.when(F.col("bk") >= _INGEST_SPLIT, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_delta"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.min("vec_id").cast("bigint").alias("min_vec_id"),
+            F.max("vec_id").cast("bigint").alias("max_vec_id"),
+            F.sum(h32).cast("bigint").alias("list_digest"),
+        )
+        .select(
+            "*",
+            F.round(
+                F.col("n_delta").cast("double") / F.col("n_total") + F.lit(1e-9),
+                6,
+            ).alias("delta_share"),
+        )
+    )

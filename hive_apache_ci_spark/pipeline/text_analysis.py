@@ -364,3 +364,88 @@ def text_winnow_fingerprints(spark, sf_dir):
 text_winnow_fingerprints.__doc__ = text_winnow_fingerprints.__doc__.replace(
     "{K}", str(_WIN_K)
 ).replace("{W}", str(_WIN_W))
+
+
+# ---- round 7: Flesch-Kincaid readability ---------------------------------
+
+
+@query(
+    "text_readability_fk",
+    oracle="""
+    SELECT doc_id, n_sentences, n_words, n_syllables,
+           round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+                 + 1e-9, 6) AS fre,
+           round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                 - 15.59 + 1e-9, 6) AS fkgl,
+           CASE WHEN round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                           + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                           - 15.59 + 1e-9, 6) < 6.0  THEN 'easy'
+                WHEN round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                           + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                           - 15.59 + 1e-9, 6) < 10.0 THEN 'standard'
+                WHEN round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                           + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                           - 15.59 + 1e-9, 6) < 14.0 THEN 'difficult'
+                ELSE 'academic' END AS band
+    FROM (
+      SELECT doc_id,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(greatest(len(string_split_regex(lower(text), '\\s+')), 1)
+                  AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    """,
+)
+def text_readability_fk(spark, sf_dir):
+    """Flesch reading-ease + Flesch-Kincaid grade level per document — the
+    classic education-level filter a curation pipeline runs next to the
+    composite quality score (text_quality_score measures FORM: length/
+    stopwords/diversity; this measures READING DIFFICULTY). Syllables use
+    the standard vowel-group heuristic (runs of [aeiouy] — exact for the
+    scoring's purpose and, unlike dictionary lookups, replayable in any
+    engine); sentences = [.!?]+ runs (floor 1); words = whitespace tokens
+    (floor 1, same split as the sibling text ops). Both scores are pure
+    arithmetic over exact integer counts — division of identical integers
+    is bit-identical cross-engine, so 6dp rounding + the band CASE on the
+    ROUNDED grade hash-oracle cleanly.
+
+    100 TB: one narrow projection per document, all regexp counting
+    inside whole-stage codegen, no shuffle at all — the cheapest possible
+    per-doc map, which is the point: readability is a first-pass gate run
+    on everything."""
+    d = T(spark, sf_dir, "documents")
+    n_sent = F.greatest(
+        F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    n_words = F.greatest(
+        F.size(F.split(F.lower("text"), r"\s+")), F.lit(1)
+    ).cast("bigint")
+    n_syll = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).cast("bigint")
+    base = d.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    fre = F.round(206.835 - 1.015 * wps - 84.6 * spw + F.lit(1e-9), 6)
+    fkgl = F.round(0.39 * wps + 11.8 * spw - 15.59 + F.lit(1e-9), 6)
+    return base.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        fre.alias("fre"),
+        fkgl.alias("fkgl"),
+        F.when(fkgl < 6.0, F.lit("easy"))
+        .when(fkgl < 10.0, F.lit("standard"))
+        .when(fkgl < 14.0, F.lit("difficult"))
+        .otherwise(F.lit("academic"))
+        .alias("band"),
+    )
