@@ -972,3 +972,366 @@ def events_lateness_audit(spark, sf_dir):
             6,
         ).alias("share_over_10min"),
     )
+
+
+# ---- round 7: LTTB downsampling ------------------------------------------
+
+_LTTB_OUT = 30  # output points per series (first + 28 buckets + last)
+
+
+def _lttb_oracle() -> str:
+    nb = _LTTB_OUT - 2
+    return f"""
+    WITH pts0 AS (
+      SELECT event_type, event_id, ts, value,
+             epoch(ts) AS xe,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) - 1 AS idx,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             min(epoch(ts)) OVER (PARTITION BY event_type) AS tmin
+      FROM events
+    ),
+    pts AS (
+      SELECT event_type, event_id, ts, value,
+             round(xe - tmin + 1e-12, 6) AS x,
+             CAST(value AS DOUBLE) AS y, idx, n
+      FROM pts0 WHERE n >= {_LTTB_OUT}
+    ),
+    mid AS (
+      SELECT *, CAST(((idx - 1) * {nb}) // (n - 2) AS INTEGER) AS bucket
+      FROM pts WHERE idx >= 1 AND idx <= n - 2
+    ),
+    am AS (
+      SELECT event_type, bucket,
+             round(avg(x) + 1e-9, 4) AS mx,
+             round(avg(y) + 1e-9, 4) AS my
+      FROM mid GROUP BY event_type, bucket
+    ),
+    firstp AS (SELECT * FROM pts WHERE idx = 0),
+    lastp  AS (SELECT * FROM pts WHERE idx = n - 1),
+    aprev AS (
+      SELECT event_type, bucket + 1 AS bucket, mx AS ax, my AS ay FROM am
+      UNION ALL
+      SELECT event_type, 0, round(x + 1e-9, 4), round(y + 1e-9, 4)
+      FROM firstp
+    ),
+    anext AS (
+      SELECT event_type, bucket - 1 AS bucket, mx AS nx, my AS ny FROM am
+      UNION ALL
+      SELECT event_type, {nb - 1}, round(x + 1e-9, 4), round(y + 1e-9, 4)
+      FROM lastp
+    ),
+    scored AS (
+      SELECT m.event_type, m.bucket, m.event_id, m.ts, m.value,
+             round(abs((p.ax - q.nx) * (m.y - p.ay)
+                       - (p.ax - m.x) * (p.ay - q.ny)) + 1e-9, 6) AS area
+      FROM mid m
+      JOIN aprev p ON m.event_type = p.event_type AND m.bucket = p.bucket
+      JOIN anext q ON m.event_type = q.event_type AND m.bucket = q.bucket
+    ),
+    sel AS (
+      SELECT event_type, bucket + 1 AS slot, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, area
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                                         ORDER BY area DESC, ts, event_id)
+                        AS rn
+            FROM scored)
+      WHERE rn = 1
+    )
+    SELECT event_type, CAST(slot AS INTEGER) AS slot, event_id, ts_s,
+           value, area
+    FROM sel
+    UNION ALL
+    SELECT event_type, 0, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT), value, 0.0 FROM firstp
+    UNION ALL
+    SELECT event_type, {_LTTB_OUT - 1}, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT), value, 0.0 FROM lastp
+    """
+
+
+@query("events_downsample_lttb", oracle=_lttb_oracle())
+def events_downsample_lttb(spark, sf_dir):
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) —
+    the standard visually-faithful decimation dashboards run before
+    plotting a dense series: per event_type, keep first + last point and,
+    from each of {B} equal-COUNT middle buckets, the point forming the
+    largest triangle with its neighbor buckets' anchors. This is the
+    PARALLEL variant (anchors = neighbor-bucket MEANS, fixed up front)
+    rather than the sequential original (anchor = previously selected
+    point), which has a chain dependency no engine can parallelize — the
+    standard trade in distributed LTTB, visually indistinguishable.
+
+    Determinism: x is rebased per series (epoch - series min) BEFORE the
+    6dp-quantized bucket means — at raw-epoch magnitude (~1.7e9) the
+    cross-engine summation noise of an average (~1e-7 absolute) straddles
+    the 6dp grid, rebased (~1e6) it is 1e-10 and safely inside it; bucket
+    assignment is pure integer division; triangle areas multiply
+    identically-quantized doubles in the same op order both engines, and
+    the per-bucket argmax tie-breaks on (ts, event_id).
+
+    100 TB: one (type)-keyed window for idx/n, one (type, bucket) shuffle
+    for means and argmax — the anchors table is {N}·|types| rows
+    (broadcast); no global sort, no collect. At extreme per-type density,
+    sub-key the window by coarse time range and LTTB each range."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("ts", "event_id")
+    pts0 = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        F.col("ts").cast("double").alias("xe"),
+        (F.row_number().over(wo) - 1).alias("idx"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.min(F.col("ts").cast("double")).over(wt).alias("tmin"),
+    )
+    pts = pts0.filter(F.col("n") >= _LTTB_OUT).select(
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        F.round(F.col("xe") - F.col("tmin") + F.lit(1e-12), 6).alias("x"),
+        F.col("value").cast("double").alias("y"),
+        "idx",
+        "n",
+    )
+    nb = _LTTB_OUT - 2
+    mid = pts.filter((F.col("idx") >= 1) & (F.col("idx") <= F.col("n") - 2)).withColumn(
+        "bucket", F.expr(f"CAST(((idx - 1) * {nb}) DIV (n - 2) AS INT)")
+    )
+    am = mid.groupBy("event_type", "bucket").agg(
+        # 4dp + 1e-9 (the sums-of-partials rule): at rebased-x magnitude
+        # (~1e6) cross-engine avg noise is ~1e-9 — a 6dp grid flips ~1 in
+        # 1e3 anchors (observed: 2 of 150 rows in the first sweep)
+        F.round(F.avg("x") + F.lit(1e-9), 4).alias("mx"),
+        F.round(F.avg("y") + F.lit(1e-9), 4).alias("my"),
+    )
+    firstp = pts.filter(F.col("idx") == 0)
+    lastp = pts.filter(F.col("idx") == F.col("n") - 1)
+    aprev = am.select(
+        "event_type",
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("mx").alias("ax"),
+        F.col("my").alias("ay"),
+    ).unionByName(
+        firstp.select(
+            "event_type",
+            F.lit(0).alias("bucket"),
+            F.round(F.col("x") + F.lit(1e-9), 4).alias("ax"),
+            F.round(F.col("y") + F.lit(1e-9), 4).alias("ay"),
+        )
+    )
+    anext = am.select(
+        "event_type",
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("mx").alias("nx"),
+        F.col("my").alias("ny"),
+    ).unionByName(
+        lastp.select(
+            "event_type",
+            F.lit(nb - 1).alias("bucket"),
+            F.round(F.col("x") + F.lit(1e-9), 4).alias("nx"),
+            F.round(F.col("y") + F.lit(1e-9), 4).alias("ny"),
+        )
+    )
+    area = F.round(
+        F.abs(
+            (F.col("ax") - F.col("nx")) * (F.col("y") - F.col("ay"))
+            - (F.col("ax") - F.col("x")) * (F.col("ay") - F.col("ny"))
+        )
+        + F.lit(1e-9),
+        6,
+    )
+    scored = (
+        mid.join(F.broadcast(aprev), ["event_type", "bucket"])
+        .join(F.broadcast(anext), ["event_type", "bucket"])
+        .select("event_type", "bucket", "event_id", "ts", "value", area.alias("area"))
+    )
+    wsel = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("area"), "ts", "event_id"
+    )
+    sel = (
+        scored.withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            (F.col("bucket") + 1).cast("int").alias("slot"),
+            "event_id",
+            F.col("ts").cast("long").alias("ts_s"),
+            "value",
+            "area",
+        )
+    )
+    ends = firstp.select(
+        "event_type",
+        F.lit(0).cast("int").alias("slot"),
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        "value",
+        F.lit(0.0).alias("area"),
+    ).unionByName(
+        lastp.select(
+            "event_type",
+            F.lit(_LTTB_OUT - 1).cast("int").alias("slot"),
+            "event_id",
+            F.col("ts").cast("long").alias("ts_s"),
+            "value",
+            F.lit(0.0).alias("area"),
+        )
+    )
+    return sel.unionByName(ends)
+
+
+events_downsample_lttb.__doc__ = (
+    events_downsample_lttb.__doc__.replace("{B}", str(_LTTB_OUT - 2))
+    .replace("{N}", str(_LTTB_OUT))
+)
+
+
+# ---- round 7: CUSUM changepoint detection --------------------------------
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH hb AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+             round(avg(CAST(value AS DOUBLE)) + 1e-9, 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, count(*) AS n,
+             round(avg(v) + 1e-9, 6) AS gm,
+             round(var_samp(v) + 1e-9, 6) AS vr
+      FROM hb GROUP BY event_type
+    ),
+    cs AS (
+      SELECT h.event_type, h.bucket, s.n, s.gm, s.vr,
+             round(sum(h.v - s.gm)
+                     OVER (PARTITION BY h.event_type ORDER BY h.bucket
+                           ROWS UNBOUNDED PRECEDING) + 1e-9, 4) AS s_k
+      FROM hb h JOIN st s USING (event_type)
+    ),
+    cp AS (
+      SELECT event_type, bucket AS cp_bucket, s_k, n, gm, vr FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY abs(s_k) DESC, bucket) AS rn
+        FROM cs) WHERE rn = 1
+    ),
+    seg AS (
+      SELECT c.event_type,
+             round(avg(CASE WHEN h.bucket <= c.cp_bucket THEN h.v END)
+                   + 1e-9, 4) AS mean_before,
+             round(avg(CASE WHEN h.bucket > c.cp_bucket THEN h.v END)
+                   + 1e-9, 4) AS mean_after
+      FROM cp c JOIN hb h USING (event_type) GROUP BY c.event_type
+    )
+    SELECT c.event_type, CAST(c.n AS BIGINT) AS n_buckets,
+           c.gm AS grand_mean, c.cp_bucket,
+           round(abs(c.s_k) + 1e-9, 4) AS s_max,
+           g.mean_before, g.mean_after,
+           round(g.mean_after - g.mean_before + 1e-9, 4) AS shift,
+           (c.s_k * c.s_k > 4.0 * c.vr * c.n) AS detected
+    FROM cp c JOIN seg g USING (event_type)
+    """,
+)
+def events_changepoint_cusum(spark, sf_dir):
+    """CUSUM changepoint detection per event_type (Page 1954, the
+    offline max-|CUSUM| form): hourly mean series, cumulative sum of
+    deviations from the series mean, changepoint = the hour maximizing
+    |S_k|, plus before/after segment means, the shift estimate, and a
+    detection verdict comparing S_max^2 against 4·var·n — the squared
+    form of the classic S_max > 2·sd·sqrt(n) threshold, kept sqrt-free so
+    the verdict is pure arithmetic over already-quantized values (the
+    libm-tail discipline). The monitoring op that tells an operator WHEN
+    a metric's level shifted, next to events_anomaly_zscore's WHICH ROWS
+    are outliers.
+
+    Determinism: hourly means quantized 6dp before anything downstream;
+    the running CUSUM is a frame-ordered window sum (identical addition
+    order both engines) cut at 4dp (sums-of-partials rule); argmax
+    tie-breaks on bucket; segment means cut at 4dp.
+
+    100 TB: one (type, hour) partial-agg shuffle, then all windows ride
+    the type-keyed exchange over |hours| rows per type (~10^4/year) —
+    corpus-sized data never reaches a window."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    hb = (
+        e.groupBy(
+            "event_type",
+            (F.floor(F.col("ts").cast("double") / 3600) * 3600)
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .agg(F.round(F.avg(F.col("value").cast("double")) + F.lit(1e-9), 6).alias("v"))
+    )
+    st = hb.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v") + F.lit(1e-9), 6).alias("gm"),
+        F.round(F.var_samp("v") + F.lit(1e-9), 6).alias("vr"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cs = hb.join(st, "event_type").select(
+        "event_type",
+        "bucket",
+        "n",
+        "gm",
+        "vr",
+        "v",
+        F.round(
+            F.sum(F.col("v") - F.col("gm")).over(wcum) + F.lit(1e-9), 4
+        ).alias("s_k"),
+    )
+    wcp = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_k")).desc(), "bucket"
+    )
+    cp = (
+        cs.withColumn("rn", F.row_number().over(wcp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", F.col("bucket").alias("cp_bucket"), "s_k", "n", "gm", "vr"
+        )
+    )
+    seg = (
+        cp.select("event_type", "cp_bucket")
+        .join(hb, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("bucket") <= F.col("cp_bucket"), F.col("v")))
+                + F.lit(1e-9),
+                4,
+            ).alias("mean_before"),
+            F.round(
+                F.avg(F.when(F.col("bucket") > F.col("cp_bucket"), F.col("v")))
+                + F.lit(1e-9),
+                4,
+            ).alias("mean_after"),
+        )
+    )
+    return cp.join(seg, "event_type").select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_buckets"),
+        F.col("gm").alias("grand_mean"),
+        "cp_bucket",
+        F.round(F.abs(F.col("s_k")) + F.lit(1e-9), 4).alias("s_max"),
+        "mean_before",
+        "mean_after",
+        F.round(F.col("mean_after") - F.col("mean_before") + F.lit(1e-9), 4).alias(
+            "shift"
+        ),
+        (F.col("s_k") * F.col("s_k") > 4.0 * F.col("vr") * F.col("n")).alias(
+            "detected"
+        ),
+    )
