@@ -1875,20 +1875,28 @@ def _ensure_pq_index(spark, sf_dir: str, rebuild: bool = False) -> str:
     with open(tmp_ptr, "w") as fh:
         fh.write(vname)
     os.replace(tmp_ptr, ptr)
-    # GC: reap versions other than the new one, its immediate predecessor
-    # (the grace generation a live reader may still hold), and whatever
-    # LATEST names RIGHT NOW (re-read inside the GC pass — a racing
-    # builder may have flipped after our own flip; reaping the dir the
-    # pointer currently names would leave it dangling for every later
-    # reader). A dir WITHOUT _SUCCESS is a concurrent builder's in-flight
-    # write, never reapable on sight — deleting it mid-write poisons that
-    # builder's eventual commit (its remaining parquet writes recreate the
-    # dir minus the frames written before the reap, then it flips LATEST
-    # to the truncated index). Uncommitted dirs are reaped only past a
-    # staleness window (an abandoned/crashed build).
+    _gc_pq_versions(root, {vname, os.path.basename(prev) if prev else None})
+    return vdir
+
+
+def _gc_pq_versions(root: str, keep: set) -> None:
+    """Reap old index version dirs. Keeps: the explicit `keep` set (the
+    new version + its immediate predecessor — the grace generation a live
+    reader may still hold) AND whatever LATEST names RIGHT NOW (re-read
+    inside the GC pass — a racing builder may have flipped after our own
+    flip; reaping the dir the pointer currently names would leave it
+    dangling for every later reader). A dir WITHOUT _SUCCESS is a
+    concurrent builder's in-flight write, never reapable on sight —
+    deleting it mid-write poisons that builder's eventual commit (its
+    remaining parquet writes recreate the dir minus the frames written
+    before the reap, then it flips LATEST to the truncated index).
+    Uncommitted dirs are reaped only past the staleness window (an
+    abandoned/crashed build)."""
+    import os
+    import shutil
     import time
 
-    keep = {vname, os.path.basename(prev) if prev else None}
+    keep = {k for k in keep if k}
     try:
         cur = _resolve_pq_index(root)
         if cur is not None:
@@ -1907,7 +1915,6 @@ def _ensure_pq_index(spark, sf_dir: str, rebuild: bool = False) -> str:
             shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass
-    return vdir
 
 
 @query(

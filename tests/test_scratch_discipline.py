@@ -78,3 +78,42 @@ def test_no_fixed_shared_tmp_write_paths_in_tree():
     }
     bad = [o for o in offenders if o.rsplit(":", 1)[0] not in allowed]
     assert not bad, f"fixed /tmp write paths outside the audited allowlist: {bad}"
+
+
+def test_index_gc_never_reaps_inflight_builds(tmp_path):
+    """ADVICE r06 (high): two concurrent cold builders — A must not reap
+    B's in-progress (_SUCCESS-less) version dir, and the GC must keep
+    whatever LATEST names at GC time even if it is not in A's keep set."""
+    import os
+    import time
+
+    from hive_apache_ci_spark.pipeline.similarity import (
+        _PQ_GC_STALE_SECONDS,
+        _gc_pq_versions,
+    )
+
+    root = str(tmp_path)
+
+    def mkver(name, committed, mtime_ago=0.0):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        if committed:
+            open(os.path.join(d, "_SUCCESS"), "w").close()
+        if mtime_ago:
+            past = time.time() - mtime_ago
+            os.utime(d, (past, past))
+        return d
+
+    mkver("v_new", committed=True)          # A's fresh build (in keep)
+    mkver("v_prev", committed=True)         # grace generation (in keep)
+    mkver("v_inflight", committed=False)    # B's build mid-write
+    mkver("v_crashed", committed=False, mtime_ago=_PQ_GC_STALE_SECONDS + 60)
+    mkver("v_old", committed=True)          # genuinely old committed
+    mkver("v_pointed", committed=True)      # a racing builder's flip...
+    with open(os.path.join(root, "LATEST"), "w") as fh:
+        fh.write("v_pointed")               # ...LATEST names it, keep it
+
+    _gc_pq_versions(root, {"v_new", "v_prev", None})
+
+    left = {e for e in os.listdir(root) if e.startswith("v_")}
+    assert left == {"v_new", "v_prev", "v_inflight", "v_pointed"}, left
