@@ -296,3 +296,110 @@ def quality_calibration_report(spark, sf_dir):
 quality_calibration_report.__doc__ = quality_calibration_report.__doc__.replace(
     "{B}", str(_CAL_BINS)
 )
+
+
+# ---- round 7: standardized-coefficient importance report -----------------
+
+
+def _feat_importance_oracle() -> str:
+    unpiv = " UNION ALL ".join(
+        f"SELECT '{f}' AS feature, w{j} AS weight, s{j} AS sd, i{j} AS importance"
+        f" FROM imp"
+        for j, f in enumerate(_FEATS)
+    )
+    return f"""
+    {_logreg_chain_sql()},
+    fstats AS (
+      SELECT round(stddev_samp(x0) + 1e-12, 6) AS s0,
+             round(stddev_samp(x1) + 1e-12, 6) AS s1,
+             round(stddev_samp(x2) + 1e-12, 6) AS s2,
+             round(stddev_samp(x3) + 1e-12, 6) AS s3
+      FROM feat
+    ),
+    imp AS (
+      SELECT w.w0, w.w1, w.w2, w.w3, s.s0, s.s1, s.s2, s.s3,
+             round(w.w0 * s.s0 + 1e-12, 6) AS i0,
+             round(w.w1 * s.s1 + 1e-12, 6) AS i1,
+             round(w.w2 * s.s2 + 1e-12, 6) AS i2,
+             round(w.w3 * s.s3 + 1e-12, 6) AS i3
+      FROM w{_LR_ITERS} w CROSS JOIN fstats s
+    ),
+    tot AS (
+      SELECT round(abs(i0) + abs(i1) + abs(i2) + abs(i3) + 1e-12, 6) AS t
+      FROM imp
+    )
+    SELECT u.feature, u.weight, u.sd, u.importance,
+           CASE WHEN t.t > 0
+                THEN round(abs(u.importance) / t.t + 1e-9, 6)
+                ELSE 0.0 END AS abs_share,
+           CAST(row_number() OVER (ORDER BY abs(u.importance) DESC,
+                                   u.feature) AS INTEGER) AS rank
+    FROM ({unpiv}) u CROSS JOIN tot t
+    """
+
+
+@query("quality_feature_importance", oracle=_feat_importance_oracle())
+def quality_feature_importance(spark, sf_dir):
+    """Standardized-coefficient importance of the shared quality logreg —
+    the interpretability audit run before trusting a learned filter:
+    importance_j = w_j · sd(x_j) (the scale-free effect of a one-sd
+    feature move on the margin), each feature's share of total absolute
+    importance, and the rank. The intercept x0 standardizes to exactly 0
+    (sd of a constant), falling out of the ranking by construction — the
+    report shows WHAT the filter actually keys on, pairing with
+    quality_calibration_report's IS-IT-HONEST audit over the same trained
+    weights.
+
+    Determinism: feature sds are 6dp-cut aggregates over 6dp features;
+    importances multiply the 9dp weights by those cut sds; the share
+    total is a FIXED textual-order sum of the four rounded values (never
+    a row-order aggregate); rank orders on rounded values with a feature
+    tie-break. 100 TB: one stddev aggregate over the feature table (the
+    training scan already paid), then arithmetic over a 1-row frame."""
+    feat, w, _z = _logreg_train(spark, sf_dir)
+    fstats = feat.agg(
+        *[
+            F.round(F.stddev_samp(f) + F.lit(1e-12), 6).alias(f"s{j}")
+            for j, f in enumerate(_FEATS)
+        ]
+    )
+    imp = w.crossJoin(F.broadcast(fstats)).select(
+        "*",
+        *[
+            F.round(F.col(f"w{j}") * F.col(f"s{j}") + F.lit(1e-12), 6).alias(
+                f"i{j}"
+            )
+            for j in range(len(_FEATS))
+        ],
+    )
+    tot = F.round(
+        F.abs(F.col("i0")) + F.abs(F.col("i1")) + F.abs(F.col("i2"))
+        + F.abs(F.col("i3")) + F.lit(1e-12),
+        6,
+    )
+    rows = None
+    for j, f in enumerate(_FEATS):
+        r = imp.select(
+            F.lit(f).alias("feature"),
+            F.col(f"w{j}").alias("weight"),
+            F.col(f"s{j}").alias("sd"),
+            F.col(f"i{j}").alias("importance"),
+            tot.alias("t"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(F.abs(F.col("importance")).desc(), "feature")
+    return rows.select(
+        "feature",
+        "weight",
+        "sd",
+        "importance",
+        F.when(
+            F.col("t") > 0,
+            F.round(F.abs(F.col("importance")) / F.col("t") + F.lit(1e-9), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("abs_share"),
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )
