@@ -54,6 +54,13 @@ COPIES = 10
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RATIO_SIDECAR = os.path.join(_REPO, "docs", "CANARY_RATIOS.json")
 CREEP_RATIO = 1.25
+# Creep only matters when the ratio is drifting TOWARD super-linear
+# territory: with the baseline a cross-round running MINIMUM, a
+# constant-overhead query jitters 0.9 -> 1.2 and trips a bare 1.25x rule
+# (first full run flagged 60/307 queries, ~all low-absolute noise). A
+# ratio under this floor is constant-dominated at 10x data — not a
+# scaling signal at all.
+CREEP_MIN_RATIO = 3.0
 
 
 def load_prev_ratios(path: str = RATIO_SIDECAR) -> dict[str, float]:
@@ -74,11 +81,17 @@ def find_ratio_creep(
     prev_best: dict[str, float], ratios: dict[str, float]
 ) -> list[dict]:
     """Queries whose current sf1/sf0.1 ratio exceeds their committed best
-    ratio by >CREEP_RATIO — the cross-round super-linearity drift rule."""
+    ratio by >CREEP_RATIO AND sits above CREEP_MIN_RATIO — the cross-round
+    super-linearity drift rule, floored so constant-overhead jitter on
+    sub-linear ratios never flags."""
     out = []
     for name, now in ratios.items():
         prev = prev_best.get(name)
-        if prev is not None and now > prev * CREEP_RATIO:
+        if (
+            prev is not None
+            and now > prev * CREEP_RATIO
+            and now >= CREEP_MIN_RATIO
+        ):
             out.append({"q": name, "best": prev, "now": now})
     return out
 

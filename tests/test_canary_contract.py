@@ -25,13 +25,16 @@ _spec.loader.exec_module(canary)
 
 
 def test_ratio_creep_rule():
-    prev = {"a": 8.0, "b": 8.0, "gone": 5.0}
-    cur = {"a": 9.9, "b": 10.1, "new": 29.0}
+    prev = {"a": 8.0, "b": 8.0, "gone": 5.0, "tiny": 0.9}
+    cur = {"a": 9.9, "b": 10.1, "new": 29.0, "tiny": 1.4}
     creep = canary.find_ratio_creep(prev, cur)
     by_q = {c["q"]: c for c in creep}
     assert "a" not in by_q  # 9.9 <= 8.0 * 1.25 — inside the band
-    assert by_q["b"]["now"] == 10.1  # > 1.25x best — flagged
+    assert by_q["b"]["now"] == 10.1  # > 1.25x best AND >= floor — flagged
     assert "new" not in by_q  # no baseline yet — recorded, not flagged
+    # constant-overhead jitter below the absolute floor never flags even
+    # at >1.5x its best (the 60/307 noise-flag lesson from the first run)
+    assert "tiny" not in by_q
 
 
 def test_best_ratio_merge_is_running_minimum():
