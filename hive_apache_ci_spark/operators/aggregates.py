@@ -1013,3 +1013,134 @@ def market_basket_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+# ---- round 7: Count-Min sketch (the point-query frequency sketch) --------
+
+_CM_DEPTH = 4    # hash rows; overestimate-bound failure prob = e^-depth
+_CM_WIDTH = 256  # cells per row; eps = e / width
+_CM_EPS = 2.718281828459045 / _CM_WIDTH
+_CM_PROBE_K = 10
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n FROM orders),
+    rows4 AS (SELECT unnest(range(0, {_CM_DEPTH})) AS r),
+    cells AS (
+      SELECT r,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)
+                                      || ':' || CAST(r AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_CM_WIDTH} AS c,
+             count(*) AS cell
+      FROM orders CROSS JOIN rows4 GROUP BY 1, 2
+    ),
+    freq AS (SELECT o_custkey, count(*) AS true_cnt FROM orders GROUP BY 1),
+    probe AS (
+      SELECT o_custkey, true_cnt FROM freq
+      ORDER BY true_cnt DESC, o_custkey LIMIT {_CM_PROBE_K}
+    ),
+    est AS (
+      SELECT p.o_custkey, p.true_cnt, min(cl.cell) AS est_cnt
+      FROM probe p CROSS JOIN rows4 r
+      JOIN cells cl
+        ON cl.r = r.r
+       AND cl.c = CAST(('0x' || substr(md5(CAST(p.o_custkey AS VARCHAR)
+                                           || ':' || CAST(r.r AS VARCHAR)),
+                                       1, 15)) AS BIGINT) % {_CM_WIDTH}
+      GROUP BY p.o_custkey, p.true_cnt
+    )
+    SELECT e.o_custkey, CAST(e.true_cnt AS BIGINT) AS true_cnt,
+           CAST(e.est_cnt AS BIGINT) AS est_cnt,
+           e.est_cnt >= e.true_cnt AS over_ok,
+           e.est_cnt <= e.true_cnt
+               + CAST(ceil({_CM_EPS} * n.n) AS BIGINT) AS bound_ok,
+           round(CAST(e.est_cnt - e.true_cnt AS DOUBLE)
+                 / e.true_cnt + 1e-9, 6) AS rel_err
+    FROM est e CROSS JOIN n
+    """,
+)
+def agg_count_min_sketch(spark, sf_dir):
+    """Count-Min sketch point-query frequencies (Cormode & Muthukrishnan
+    2005) — the counting sketch next to the repo's HLL (distinct), GK
+    (quantiles) and histogram surfaces: {D} hash rows x {W} cells, each
+    order fans into one cell per row (md5-derived column, replayable),
+    and a key's estimate is the MIN over its {D} cells. Probed on the
+    top-{K} true-frequency customers with BOTH published guarantees
+    graded in-plan, per key: `over_ok` (CM never underestimates —
+    structural, must always hold) and `bound_ok` (est <= true + ceil(e/W
+    · N), the eps·N overestimate bound that holds w.p. 1-e^-{D}). The
+    exact `freq` table exists only to select probes and grade the bounds
+    — the audit, not the operator.
+
+    100 TB: the sketch build is the whole point — a {D}x-row fan-out
+    partially aggregated into {D}·{W} = 1024 cells (constant size at any
+    corpus), never a key-grouped shuffle; cells broadcast to the probe
+    side. The approx-op discipline: emit exact values next to verdict
+    booleans so the sketch's contract hash-oracles instead of the sketch
+    being waved through rows-only."""
+    o = T(spark, sf_dir, "orders")
+    n = o.agg(F.count(F.lit(1)).alias("n"))
+    rows4 = spark.range(_CM_DEPTH).select(F.col("id").cast("int").alias("r"))
+
+    def cm_col(key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            key_col.cast("string"),
+                            F.lit(":"),
+                            F.col("r").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CM_WIDTH
+        )
+
+    cells = (
+        o.select("o_custkey")
+        .crossJoin(F.broadcast(rows4))
+        .select("r", cm_col(F.col("o_custkey")).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    freq = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probe = freq.orderBy(F.desc("true_cnt"), "o_custkey").limit(_CM_PROBE_K)
+    est = (
+        probe.crossJoin(F.broadcast(rows4))
+        .select("o_custkey", "true_cnt", "r", cm_col(F.col("o_custkey")).alias("c"))
+        .join(F.broadcast(cells), ["r", "c"])
+        .groupBy("o_custkey", "true_cnt")
+        .agg(F.min("cell").alias("est_cnt"))
+    )
+    return est.crossJoin(F.broadcast(n)).select(
+        "o_custkey",
+        F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        F.col("est_cnt").cast("bigint").alias("est_cnt"),
+        (F.col("est_cnt") >= F.col("true_cnt")).alias("over_ok"),
+        (
+            F.col("est_cnt")
+            <= F.col("true_cnt")
+            + F.ceil(F.lit(_CM_EPS) * F.col("n")).cast("bigint")
+        ).alias("bound_ok"),
+        F.round(
+            (F.col("est_cnt") - F.col("true_cnt")).cast("double")
+            / F.col("true_cnt")
+            + F.lit(1e-9),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+agg_count_min_sketch.__doc__ = (
+    agg_count_min_sketch.__doc__.replace("{D}", str(_CM_DEPTH))
+    .replace("{W}", str(_CM_WIDTH))
+    .replace("{K}", str(_CM_PROBE_K))
+)
