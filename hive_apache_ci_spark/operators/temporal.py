@@ -277,3 +277,149 @@ def join_asof_forward(spark, sf_dir):
             ),
         )
     )
+
+
+# ---- round 7: nearest as-of (bidirectional) ------------------------------
+
+_ASOF_NEAREST_SQL = """
+WITH views AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+buys AS (
+  SELECT user_id, event_id AS buy_id, ts
+  FROM events WHERE event_type = 'purchase'
+),
+bk AS (
+  SELECT b.user_id, b.buy_id, v.view_id AS bk_id,
+         CAST(floor(epoch(b.ts)) AS BIGINT) AS buy_ts,
+         CAST(floor(epoch(v.ts)) AS BIGINT) AS bk_ts
+  FROM buys b ASOF LEFT JOIN views v
+    ON b.user_id = v.user_id AND v.ts <= b.ts
+),
+fw AS (
+  SELECT b.user_id, b.buy_id, v.view_id AS fw_id,
+         CAST(floor(epoch(v.ts)) AS BIGINT) AS fw_ts
+  FROM buys b ASOF LEFT JOIN views v
+    ON b.user_id = v.user_id AND v.ts > b.ts
+)
+SELECT bk.user_id, bk.buy_id, bk.buy_ts,
+       CASE WHEN bk.bk_id IS NULL AND fw.fw_id IS NULL THEN NULL
+            WHEN fw.fw_id IS NULL THEN bk.bk_id
+            WHEN bk.bk_id IS NULL THEN fw.fw_id
+            WHEN bk.buy_ts - bk.bk_ts <= fw.fw_ts - bk.buy_ts THEN bk.bk_id
+            ELSE fw.fw_id END AS view_id,
+       CASE WHEN bk.bk_id IS NULL AND fw.fw_id IS NULL THEN NULL
+            WHEN fw.fw_id IS NULL THEN bk.bk_ts - bk.buy_ts
+            WHEN bk.bk_id IS NULL THEN fw.fw_ts - bk.buy_ts
+            WHEN bk.buy_ts - bk.bk_ts <= fw.fw_ts - bk.buy_ts
+                 THEN bk.bk_ts - bk.buy_ts
+            ELSE fw.fw_ts - bk.buy_ts END AS gap_s,
+       CASE WHEN bk.bk_id IS NULL AND fw.fw_id IS NULL THEN 'none'
+            WHEN fw.fw_id IS NULL THEN 'backward'
+            WHEN bk.bk_id IS NULL THEN 'forward'
+            WHEN bk.buy_ts - bk.bk_ts <= fw.fw_ts - bk.buy_ts
+                 THEN 'backward'
+            ELSE 'forward' END AS direction
+FROM bk JOIN fw ON bk.user_id = fw.user_id AND bk.buy_id = fw.buy_id
+"""
+
+
+@query("join_asof_nearest", oracle=_ASOF_NEAREST_SQL)
+def join_asof_nearest(spark, sf_dir):
+    """As-of join (nearest): each purchase matched to the same user's
+    CLOSEST view in either direction — min |Δt|, ties to the backward
+    (at-or-before) match, the pandas ``merge_asof(direction='nearest')``
+    / kdb semantics that completes the repo's as-of family
+    (backward/forward/tolerance/nearest). ``gap_s`` is SIGNED
+    (view_ts - buy_ts: ≤0 backward, >0 forward) and ``direction`` names
+    the winning side.
+
+    The scalable part: BOTH directional scans ride ONE tagged-union
+    exchange — the backward (unboundedPreceding→current) and forward
+    (current→unboundedFollowing) frames share the same partition key and
+    sort order, so Catalyst plans a single user-keyed shuffle + sort with
+    two running values per timeline, and the per-row chooser is pure
+    projection. No second join, no range explosion — exactly the two
+    sibling ops' cost, not their sum. Oracled against two native DuckDB
+    ASOF JOINs composed with an identical chooser."""
+    e = T(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), "ts"
+    )
+    tagged = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        "view_id",
+        F.lit(None).cast("long").alias("buy_id"),
+    ).unionByName(
+        buys.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("tag"),
+            F.lit(None).cast("long").alias("view_id"),
+            "buy_id",
+        )
+    )
+    order = ["ts", "tag", "buy_id"]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    view_ts = F.when(F.col("tag") == 0, F.col("ts"))
+    scanned = (
+        tagged.withColumn("bk_id", F.last("view_id", ignorenulls=True).over(wb))
+        .withColumn("bk_ts", F.last(view_ts, ignorenulls=True).over(wb))
+        .withColumn("fw_id", F.first("view_id", ignorenulls=True).over(wf))
+        .withColumn("fw_ts", F.first(view_ts, ignorenulls=True).over(wf))
+        .filter(F.col("tag") == 1)
+        .select(
+            "user_id",
+            "buy_id",
+            F.col("ts").cast("long").alias("buy_ts"),
+            "bk_id",
+            F.col("bk_ts").cast("long").alias("bk_ts"),
+            "fw_id",
+            F.col("fw_ts").cast("long").alias("fw_ts"),
+        )
+    )
+    both_null = F.col("bk_id").isNull() & F.col("fw_id").isNull()
+    back_wins = (
+        F.col("fw_id").isNull()
+        | (
+            F.col("bk_id").isNotNull()
+            & (
+                F.col("buy_ts") - F.col("bk_ts")
+                <= F.col("fw_ts") - F.col("buy_ts")
+            )
+        )
+    )
+    return scanned.select(
+        "user_id",
+        "buy_id",
+        "buy_ts",
+        F.when(both_null, F.lit(None).cast("long"))
+        .when(back_wins, F.col("bk_id"))
+        .otherwise(F.col("fw_id"))
+        .alias("view_id"),
+        F.when(both_null, F.lit(None).cast("long"))
+        .when(back_wins, F.col("bk_ts") - F.col("buy_ts"))
+        .otherwise(F.col("fw_ts") - F.col("buy_ts"))
+        .alias("gap_s"),
+        F.when(both_null, F.lit("none"))
+        .when(back_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

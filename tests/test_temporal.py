@@ -56,3 +56,40 @@ def test_range_join_is_equi_not_nested_loop(spark):
     p = _plan(spark, "join_range_binned")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_asof_nearest_one_sort_no_join(spark):
+    """Both directional scans must ride ONE user-keyed sort — the nearest
+    variant costs the same exchange as either sibling, not their sum —
+    and, like them, plans no join operator at all."""
+    p = _plan(spark, "join_asof_nearest")
+    assert "Join" not in p, p
+    assert p.count("Sort ") == 1, p
+
+
+def test_asof_nearest_agrees_with_directional_siblings(spark):
+    """Per purchase: the nearest match must be whichever of the two
+    sibling ops' matches has the smaller |gap| (ties backward)."""
+    from hive_apache_ci_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    qs = all_queries()
+    bk = {r.buy_id: r for r in qs["join_asof_backward"](spark, SF_DIR).collect()}
+    fw = {r.buy_id: r for r in qs["join_asof_forward"](spark, SF_DIR).collect()}
+    nr = {r.buy_id: r for r in qs["join_asof_nearest"](spark, SF_DIR).collect()}
+    assert set(nr) == set(bk) == set(fw)
+    for bid, r in nr.items():
+        b, f = bk[bid], fw[bid]
+        if b.view_id is None and f.view_id is None:
+            assert r.direction == "none" and r.view_id is None
+        elif f.view_id is None:
+            assert r.direction == "backward" and r.view_id == b.view_id
+        elif b.view_id is None:
+            assert r.direction == "forward" and r.view_id == f.view_id
+        elif b.gap_s <= f.gap_s:  # both sibling gaps are non-negative
+            assert r.direction == "backward" and r.view_id == b.view_id
+            assert r.gap_s == -b.gap_s
+        else:
+            assert r.direction == "forward" and r.view_id == f.view_id
+            assert r.gap_s == f.gap_s
