@@ -444,3 +444,60 @@ def pandas_udaf_grouped(spark, sf_dir):
     return counts.join(udaf_side, "l_returnflag").select(
         "l_returnflag", "n", "weighted_geomean"
     )
+
+
+# ---- round 7: fixed-size deterministic sample ----------------------------
+
+_FIXK = 100
+_FIXK_SALT = "fxk7"
+
+
+@query(
+    "tablesample_fixed_k",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(row_number() OVER (ORDER BY hk, doc_id) AS INTEGER) AS rk
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             md5(CAST(doc_id AS VARCHAR) || ':{_FIXK_SALT}') AS hk
+      FROM documents
+      ORDER BY hk, doc_id LIMIT {_FIXK}
+    )
+    """,
+)
+def tablesample_fixed_k(spark, sf_dir):
+    """Fixed-size uniform sample without replacement — the third sampling
+    surface next to Bernoulli (tablesample_seeded) and bucket
+    (tablesample_bucket): rank every row by a salted md5 of its key and
+    keep the {K} smallest. This is the distributed equivalent of
+    reservoir sampling with the properties production wants and a
+    reservoir lacks: the SAME {K} rows on every rerun (md5 order is a
+    fixed uniform permutation), stable under partitioning/row order, and
+    mergeable (the union's sample = top-{K} of the parts' top-{K}s — the
+    bottom-k-sketch property). Exact row set, so fully hash-oracled —
+    no statistical-bound grading needed.
+
+    100 TB: orderBy(hash).limit(k) is TakeOrderedAndProject — per-
+    partition partial top-k merged on the driver, never a global sort;
+    cost is one scan + k·partitions rows of movement."""
+    d = T(spark, sf_dir, "documents")
+    hk = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_FIXK_SALT}")))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("hk", "doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars", hk.alias("hk"))
+        .orderBy("hk", "doc_id")
+        .limit(_FIXK)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+    )
+
+
+tablesample_fixed_k.__doc__ = tablesample_fixed_k.__doc__.replace(
+    "{K}", str(_FIXK)
+)

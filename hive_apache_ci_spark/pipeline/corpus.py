@@ -1222,3 +1222,156 @@ def corpus_token_budget_alloc(spark, sf_dir):
         got.alias("got_extra"),
         (F.col("floor_alloc") + got).cast("bigint").alias("alloc"),
     )
+
+
+# ---- round 7: KS two-sample drift monitor --------------------------------
+
+# Kolmogorov-Smirnov critical value for alpha=0.05, squared form:
+# c(a) = sqrt(-ln(a/2)/2); the verdict compares D^2 * n1*n2/(n1+n2)
+# against c^2 so no sqrt ever enters the plan (libm-tail discipline).
+_KS_CRIT_SQ = 1.8444397270569682
+_KS_BIN_DP = 3  # ECDF support = 3dp-quantized scores (~1e3 points max)
+
+
+def _ks_drift_oracle() -> str:
+    from .text_analysis import _STOP_SQL
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             round(round(0.4 * least(len(a) / 60.0, 1.0)
+                   + 0.3 * least(len(list_filter(a, t -> t IN {_STOP_SQL}))
+                                 * 1.0 / len(a) * 5.0, 1.0)
+                   + 0.3 * len(list_distinct(a)) * 1.0 / len(a)
+                   + 1e-9, 6) + 1e-9, {_KS_BIN_DP}) AS s,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 10 AS bk
+      FROM toks
+    ),
+    cnts AS (
+      SELECT s,
+             sum(CASE WHEN bk < 8 THEN 1 ELSE 0 END)  AS c1,
+             sum(CASE WHEN bk >= 8 THEN 1 ELSE 0 END) AS c2
+      FROM q GROUP BY s
+    ),
+    tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM cnts),
+    ecdf AS (
+      SELECT s,
+             sum(c1) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS a1,
+             sum(c2) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS a2
+      FROM cnts
+    ),
+    dstat AS (
+      SELECT s AS at_score,
+             round(abs(CAST(a1 AS DOUBLE) / t.n1
+                       - CAST(a2 AS DOUBLE) / t.n2) + 1e-9, 6) AS d,
+             t.n1, t.n2
+      FROM ecdf CROSS JOIN tot t
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_base, CAST(n2 AS BIGINT) AS n_batch,
+           d AS ks_d, at_score,
+           round(d * d * n1 * n2 / (n1 + n2) + 1e-9, 6) AS ks_stat_sq,
+           round(d * d * n1 * n2 / (n1 + n2) + 1e-9, 6) > {_KS_CRIT_SQ}
+               AS drift_detected
+    FROM (SELECT *, row_number() OVER (ORDER BY d DESC, at_score) AS rn
+          FROM dstat)
+    WHERE rn = 1
+    """
+
+
+@query("quality_ks_drift", oracle=_ks_drift_oracle())
+def quality_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift monitor over the quality-score
+    distribution — the standard data-drift gate a production corpus
+    pipeline runs between yesterday's corpus (md5-bucket 80%) and today's
+    batch (20%): D = max |ECDF_base - ECDF_batch|, the score where the
+    gap peaks, and the alpha=0.05 verdict in the SQRT-FREE squared form
+    (D^2·n1·n2/(n1+n2) vs c^2 = -ln(0.025)/2) so no libm tail enters the
+    comparison. A detected drift is the signal to re-run calibration
+    (quality_calibration_report) before trusting learned-filter cuts.
+
+    The scale trick: the ECDF support is the {B}dp-QUANTIZED score grid —
+    at most ~10^{B} distinct points regardless of corpus size — so the
+    one unpartitioned cumulative window runs over a provably tiny
+    relation (the same bounded-support argument as vocab_coverage_topk's
+    K=100 window; a raw per-doc ECDF would be the single-partition trap).
+    Everything upstream is one corpus scan + one (score)-keyed shuffle.
+    Exact integer cumulative counts divided by exact totals — identical
+    doubles both engines; D cut at 6dp with score tie-break."""
+    from pyspark.sql import Window
+
+    from .text_analysis import STOPWORDS, tokens_col
+
+    d = T(spark, sf_dir, "documents").withColumn("a", tokens_col())
+    n = F.size("a")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter("a", lambda t: F.array_contains(stop_arr, t))) * 1.0 / n
+    ttr = F.size(F.array_distinct("a")) * 1.0 / n
+    quality = F.round(
+        0.4 * F.least(n / 60.0, F.lit(1.0))
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + 0.3 * ttr
+        + F.lit(1e-9),
+        6,
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    q = d.select(
+        F.round(quality + F.lit(1e-9), _KS_BIN_DP).alias("s"),
+        bucket.alias("bk"),
+    )
+    cnts = q.groupBy("s").agg(
+        F.sum(F.when(F.col("bk") < 8, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("bk") >= 8, 1).otherwise(0)).alias("c2"),
+    )
+    tot = cnts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = cnts.select(
+        "s",
+        F.sum("c1").over(wcum).alias("a1"),
+        F.sum("c2").over(wcum).alias("a2"),
+    )
+    dstat = ecdf.crossJoin(F.broadcast(tot)).select(
+        F.col("s").alias("at_score"),
+        F.round(
+            F.abs(
+                F.col("a1").cast("double") / F.col("n1")
+                - F.col("a2").cast("double") / F.col("n2")
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("d"),
+        "n1",
+        "n2",
+    )
+    wmax = Window.orderBy(F.desc("d"), "at_score")
+    stat_sq = F.round(
+        F.col("d") * F.col("d") * F.col("n1") * F.col("n2")
+        / (F.col("n1") + F.col("n2"))
+        + F.lit(1e-9),
+        6,
+    )
+    return (
+        dstat.withColumn("rn", F.row_number().over(wmax))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("n1").cast("bigint").alias("n_base"),
+            F.col("n2").cast("bigint").alias("n_batch"),
+            F.col("d").alias("ks_d"),
+            "at_score",
+            stat_sq.alias("ks_stat_sq"),
+            (stat_sq > _KS_CRIT_SQ).alias("drift_detected"),
+        )
+    )
+
+
+quality_ks_drift.__doc__ = quality_ks_drift.__doc__.replace(
+    "{B}", str(_KS_BIN_DP)
+)
