@@ -1335,3 +1335,306 @@ def events_changepoint_cusum(spark, sf_dir):
             "detected"
         ),
     )
+
+
+_ACF_LAGS = (1, 2, 3, 6, 12)
+
+@query(
+    "events_autocorrelation",
+    oracle=f"""
+    WITH hb AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+             round(avg(CAST(value AS DOUBLE)) + 1e-9, 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, count(*) AS n,
+             round(avg(v) + 1e-9, 6) AS m
+      FROM hb GROUP BY event_type
+    ),
+    den AS (
+      SELECT h.event_type, s.n, s.m,
+             round(sum((h.v - s.m) * (h.v - s.m)) + 1e-9, 4) AS ss
+      FROM hb h JOIN st s USING (event_type) GROUP BY h.event_type, s.n, s.m
+    ),
+    lags AS (SELECT unnest([{", ".join(str(k) for k in _ACF_LAGS)}]) AS lag_h),
+    pairs AS (
+      SELECT h.event_type, l.lag_h,
+             count(*) AS n_pairs,
+             round(sum((h.v - d.m) * (p.v - d.m)) + 1e-9, 4) AS num
+      FROM hb h
+      CROSS JOIN lags l
+      JOIN hb p ON p.event_type = h.event_type
+              AND p.bucket = h.bucket - l.lag_h * 3600
+      JOIN den d ON d.event_type = h.event_type
+      GROUP BY h.event_type, l.lag_h, d.ss
+    )
+    SELECT p.event_type, CAST(p.lag_h AS INT) AS lag_h,
+           CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           round(p.num / d.ss + 1e-9, 4) AS acf
+    FROM pairs p JOIN den d USING (event_type)
+    """,
+)
+def events_autocorrelation(spark, sf_dir):
+    """Sample autocorrelation function per event_type at lags {1,2,3,6,12}
+    hours over the hourly mean series — the seasonality/persistence
+    diagnostic that tells an operator whether a metric has daily structure
+    (acf@12/24 high) or is white noise. ACF_k = Σ(v_t−m)(v_{t−k}−m) / Σ(v_t−m)²
+    with the full-series mean m and variance denominator (the standard
+    estimator); gap-aware because the lagged partner is matched by
+    *bucket arithmetic* (bucket − k·3600), not row offset, so missing
+    hours produce no phantom pairs.
+
+    Determinism: hourly means 6dp; m 6dp; products of rounded values are
+    bit-identical, their order-nondeterministic sums cut at 4dp before
+    the ratio; ratio re-cut 4dp.
+
+    100 TB: the raw scan collapses to (type, hour) partials first —
+    everything downstream (self-join on shifted bucket key, lag fan-out
+    ×5) runs over |types|·|hours| rows, shuffled on event_type; corpus
+    rows never reach a join."""
+    e = T(spark, sf_dir, "events")
+    hb = e.groupBy(
+        "event_type",
+        (F.floor(F.col("ts").cast("double") / 3600) * 3600)
+        .cast("bigint")
+        .alias("bucket"),
+    ).agg(F.round(F.avg(F.col("value").cast("double")) + F.lit(1e-9), 6).alias("v"))
+    st = hb.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v") + F.lit(1e-9), 6).alias("m"),
+    )
+    den = (
+        hb.join(st, "event_type")
+        .groupBy("event_type", "n", "m")
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))
+                + F.lit(1e-9),
+                4,
+            ).alias("ss")
+        )
+    )
+    lags = F.explode(F.array(*[F.lit(k) for k in _ACF_LAGS])).alias("lag_h")
+    fan = hb.select("event_type", "bucket", "v", lags)
+    part = hb.select(
+        "event_type", F.col("bucket").alias("pbucket"), F.col("v").alias("pv")
+    )
+    pairs = (
+        fan.join(
+            part,
+            (part["event_type"] == fan["event_type"])
+            & (part["pbucket"] == fan["bucket"] - fan["lag_h"] * 3600),
+        )
+        .drop(part["event_type"])
+        .join(den.select("event_type", "m", "ss"), "event_type")
+        .groupBy("event_type", "lag_h", "ss")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum((F.col("v") - F.col("m")) * (F.col("pv") - F.col("m")))
+                + F.lit(1e-9),
+                4,
+            ).alias("num"),
+        )
+    )
+    return pairs.select(
+        "event_type",
+        F.col("lag_h").cast("int").alias("lag_h"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round(F.col("num") / F.col("ss") + F.lit(1e-9), 4).alias("acf"),
+    )
+
+
+# Truncated-EWMA taps: alpha=0.3, w_j = 0.3 * 0.7^j, j = 0..7. Written as
+# exact decimal literals so BOTH engines parse the identical double constant
+# (a runtime pow() could differ in the last ulp between libm builds).
+_EWMA_W = (
+    "0.3",
+    "0.21",
+    "0.147",
+    "0.1029",
+    "0.07203",
+    "0.050421",
+    "0.0352947",
+    "0.02470629",
+)
+
+
+def _ewma_oracle() -> str:
+    lag_cols = ",\n             ".join(
+        f"lag(v, {j}) OVER w AS x{j}" for j in range(len(_EWMA_W))
+    )
+    num = " + ".join(
+        f"CASE WHEN x{j} IS NULL THEN 0.0 ELSE {w} * x{j} END"
+        for j, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN x{j} IS NULL THEN 0.0 ELSE {w} END"
+        for j, w in enumerate(_EWMA_W)
+    )
+    taps = " + ".join(
+        f"CASE WHEN x{j} IS NULL THEN 0 ELSE 1 END" for j in range(len(_EWMA_W))
+    )
+    return f"""
+    WITH hb AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+             round(avg(CAST(value AS DOUBLE)) + 1e-9, 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, bucket, v,
+             {lag_cols}
+      FROM hb
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    )
+    SELECT event_type, bucket, v,
+           CAST({taps} AS INT) AS n_taps,
+           round(({num}) / ({den}) + 1e-9, 6) AS ewma
+    FROM lagged
+    """
+
+
+@query("events_ewma_taps", oracle=_ewma_oracle())
+def events_ewma_taps(spark, sf_dir):
+    """Exponentially-weighted moving average, truncated to 8 taps
+    (alpha=0.3, so the dropped tail carries 0.7^8 ≈ 5.8% of the mass),
+    per event_type over the hourly mean series — the smoothing primitive
+    behind dashboards and alert baselines. The truncation is what makes
+    the op *windowed* instead of recursive: a true recursive EWMA is a
+    sequential scan per series, but 8 fixed taps are just lag(v, j)
+    columns in ONE window node, and the leading-edge rows renormalize
+    over the taps actually present.
+
+    Determinism: each tap is (exact decimal weight literal) × (6dp value)
+    — products of identically-rounded inputs are bit-identical on both
+    engines; numerator/denominator are FIXED TEXTUAL ORDER few-term sums
+    (the few-term-total rule, not an order-nondeterministic SUM agg), so
+    the ratio is bit-identical before its 6dp cut.
+
+    100 TB: one (type, hour) partial agg collapses the corpus; all 8 lags
+    ride a single type-keyed window exchange over |hours| rows per type.
+    A year of hourly buckets is ~8.8k rows per series — never a wide
+    partition."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    hb = e.groupBy(
+        "event_type",
+        (F.floor(F.col("ts").cast("double") / 3600) * 3600)
+        .cast("bigint")
+        .alias("bucket"),
+    ).agg(F.round(F.avg(F.col("value").cast("double")) + F.lit(1e-9), 6).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    lagged = hb.select(
+        "event_type",
+        "bucket",
+        "v",
+        *[F.lag("v", j).over(w).alias(f"x{j}") for j in range(len(_EWMA_W))],
+    )
+    num = None
+    den = None
+    taps = None
+    for j, wl in enumerate(_EWMA_W):
+        t_num = F.when(F.col(f"x{j}").isNull(), F.lit(0.0)).otherwise(
+            F.lit(float(wl)) * F.col(f"x{j}")
+        )
+        t_den = F.when(F.col(f"x{j}").isNull(), F.lit(0.0)).otherwise(F.lit(float(wl)))
+        t_tap = F.when(F.col(f"x{j}").isNull(), F.lit(0)).otherwise(F.lit(1))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+        taps = t_tap if taps is None else taps + t_tap
+    return lagged.select(
+        "event_type",
+        "bucket",
+        "v",
+        taps.cast("int").alias("n_taps"),
+        F.round(num / den + F.lit(1e-9), 6).alias("ewma"),
+    )
+
+
+@query(
+    "events_seasonal_residual",
+    oracle="""
+    WITH hb AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+             round(avg(CAST(value AS DOUBLE)) + 1e-9, 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    seas AS (
+      SELECT event_type,
+             CAST((bucket // 3600) % 24 AS INT) AS hod,
+             round(avg(v) + 1e-9, 6) AS base,
+             count(*) AS n_obs
+      FROM hb GROUP BY 1, 2
+    ),
+    res AS (
+      SELECT h.event_type, h.bucket, s.hod, h.v, s.base,
+             h.v - s.base AS r
+      FROM hb h
+      JOIN seas s ON s.event_type = h.event_type
+                 AND s.hod = CAST((h.bucket // 3600) % 24 AS INT)
+    ),
+    sd AS (
+      SELECT event_type, round(stddev_samp(r) + 1e-9, 6) AS sd_r
+      FROM res GROUP BY event_type
+    )
+    SELECT r.event_type, r.bucket, r.hod, r.v, r.base,
+           round(r.r + 1e-9, 4) AS resid,
+           (round(abs(r.r) + 1e-9, 4) > round(2.0 * d.sd_r + 1e-9, 4))
+             AS is_anomaly
+    FROM res r JOIN sd d USING (event_type)
+    """,
+)
+def events_seasonal_residual(spark, sf_dir):
+    """Seasonal-naive decomposition + residual anomaly flags: the hourly
+    mean series per event_type is split into an hour-of-day seasonal
+    baseline (avg over all same-hour observations) and a residual; hours
+    whose |residual| exceeds 2σ of the type's residual distribution are
+    flagged. This is the deseasonalized counterpart to
+    events_anomaly_zscore — a 3 am spike is judged against *other 3 ams*,
+    not the 24 h blend, so daily rhythm stops masking true anomalies.
+
+    Determinism: hourly means and baselines 6dp, so the residual (their
+    difference) is exact; σ is a variance sum cut at 6dp; BOTH comparison
+    sides re-cut at 4dp before the > so the boolean can't straddle an
+    accumulation tail.
+
+    100 TB: (type, hour) partial agg collapses the corpus; the seasonal
+    profile is |types|×24 rows joined back on the (type, hod) key; every
+    downstream table is bucket-granularity. One corpus scan total."""
+    e = T(spark, sf_dir, "events")
+    hb = e.groupBy(
+        "event_type",
+        (F.floor(F.col("ts").cast("double") / 3600) * 3600)
+        .cast("bigint")
+        .alias("bucket"),
+    ).agg(F.round(F.avg(F.col("value").cast("double")) + F.lit(1e-9), 6).alias("v"))
+    hod = ((F.col("bucket") / 3600) % 24).cast("int")
+    hbh = hb.withColumn("hod", hod)
+    seas = hbh.groupBy("event_type", "hod").agg(
+        F.round(F.avg("v") + F.lit(1e-9), 6).alias("base"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    res = hbh.join(F.broadcast(seas.select("event_type", "hod", "base")),
+                   ["event_type", "hod"]).withColumn(
+        "r", F.col("v") - F.col("base")
+    )
+    sd = res.groupBy("event_type").agg(
+        F.round(F.stddev_samp("r") + F.lit(1e-9), 6).alias("sd_r")
+    )
+    return res.join(F.broadcast(sd), "event_type").select(
+        "event_type",
+        "bucket",
+        "hod",
+        "v",
+        "base",
+        F.round(F.col("r") + F.lit(1e-9), 4).alias("resid"),
+        (
+            F.round(F.abs(F.col("r")) + F.lit(1e-9), 4)
+            > F.round(2.0 * F.col("sd_r") + F.lit(1e-9), 4)
+        ).alias("is_anomaly"),
+    )
