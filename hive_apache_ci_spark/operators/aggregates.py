@@ -1144,3 +1144,338 @@ agg_count_min_sketch.__doc__ = (
     .replace("{W}", str(_CM_WIDTH))
     .replace("{K}", str(_CM_PROBE_K))
 )
+
+
+@query(
+    "dq_volume_freshness",
+    oracle="""
+    WITH db AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day,
+             count(*) AS n,
+             max(epoch(ts)) AS max_ts
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, day, n,
+             median(n) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS med7
+      FROM db
+    ),
+    fresh AS (
+      SELECT event_type, max(max_ts) AS fmax FROM db GROUP BY event_type
+    ),
+    g AS (SELECT max(max_ts) AS gmax FROM db)
+    SELECT m.event_type, m.day, CAST(m.n AS BIGINT) AS n,
+           round(m.med7 + 1e-9, 4) AS med7,
+           round(m.n / m.med7 + 1e-9, 4) AS vol_ratio,
+           (m.med7 IS NOT NULL AND
+            (m.n < 0.5 * m.med7 OR m.n > 2.0 * m.med7)) AS vol_anomaly,
+           round((g.gmax - f.fmax) / 3600.0 + 1e-9, 4) AS lag_hours,
+           ((g.gmax - f.fmax) / 3600.0 > 24.0) AS is_stale
+    FROM med m JOIN fresh f USING (event_type) CROSS JOIN g
+    """,
+)
+def dq_volume_freshness(spark, sf_dir):
+    """Pipeline-health monitor over the events feed: per (type, day) row
+    volume vs the trailing-7-day median (the robust baseline — a single
+    bad day can't drag it like a mean), flagged when volume halves or
+    doubles, plus per-type freshness lag against the feed's high-water
+    mark with a 24 h staleness verdict. The report an on-call reads
+    before trusting ANY downstream table — partial loads and dead
+    producers show up here first.
+
+    Determinism: counts are exact ints; the trailing median of ints is
+    exactly representable (x.0/x.5) on both engines; timestamps compare
+    at exact microsecond resolution. No accumulation-order float paths.
+
+    100 TB: the raw scan collapses to (type, day) partials (map-side
+    combine); the median window, freshness agg, and global high-water
+    mark all run over |types|×|days| rows — the corpus is scanned once
+    and never shuffled at row grain."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    db = e.groupBy(
+        "event_type",
+        (F.floor(F.col("ts").cast("double") / 86400) * 86400)
+        .cast("bigint")
+        .alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.col("ts").cast("double")).alias("max_ts"),
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    )
+    med = db.select(
+        "event_type",
+        "day",
+        "n",
+        "max_ts",
+        F.expr("percentile(n, 0.5)").over(w7).alias("med7"),
+    )
+    fresh = db.groupBy("event_type").agg(F.max("max_ts").alias("fmax"))
+    g = db.agg(F.max("max_ts").alias("gmax"))
+    return (
+        med.join(F.broadcast(fresh), "event_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("med7") + F.lit(1e-9), 4).alias("med7"),
+            F.round(F.col("n") / F.col("med7") + F.lit(1e-9), 4).alias("vol_ratio"),
+            (
+                F.col("med7").isNotNull()
+                & (
+                    (F.col("n") < 0.5 * F.col("med7"))
+                    | (F.col("n") > 2.0 * F.col("med7"))
+                )
+            ).alias("vol_anomaly"),
+            F.round(
+                (F.col("gmax") - F.col("fmax")) / 3600.0 + F.lit(1e-9), 4
+            ).alias("lag_hours"),
+            ((F.col("gmax") - F.col("fmax")) / 3600.0 > 24.0).alias("is_stale"),
+        )
+    )
+
+
+@query(
+    "analyze_join_cardinality",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(ceil((max(o_custkey) + 1) / 16.0) AS BIGINT) AS w
+      FROM orders
+    ),
+    ha AS (
+      SELECT o_custkey // w.w AS bucket,
+             count(*) AS na, count(DISTINCT o_custkey) AS ndv_a
+      FROM orders CROSS JOIN w GROUP BY 1
+    ),
+    hb AS (
+      SELECT user_id // w.w AS bucket,
+             count(*) AS nb, count(DISTINCT user_id) AS ndv_b
+      FROM events CROSS JOIN w GROUP BY 1
+    ),
+    act AS (
+      SELECT o_custkey // w.w AS bucket, count(*) AS actual
+      FROM orders JOIN events ON user_id = o_custkey
+      CROSS JOIN w GROUP BY 1
+    ),
+    h AS (
+      SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+             coalesce(na, 0) AS na, coalesce(ndv_a, 0) AS ndv_a,
+             coalesce(nb, 0) AS nb, coalesce(ndv_b, 0) AS ndv_b
+      FROM ha FULL JOIN hb ON ha.bucket = hb.bucket
+    )
+    SELECT h.bucket, CAST(h.na AS BIGINT) AS na, CAST(h.nb AS BIGINT) AS nb,
+           CAST(h.ndv_a AS BIGINT) AS ndv_a, CAST(h.ndv_b AS BIGINT) AS ndv_b,
+           round(CASE WHEN h.ndv_a = 0 OR h.ndv_b = 0 THEN 0.0
+                 ELSE CAST(h.na AS DOUBLE) * h.nb
+                      / greatest(h.ndv_a, h.ndv_b) END + 1e-9, 4) AS est,
+           CAST(coalesce(a.actual, 0) AS BIGINT) AS actual,
+           round((CASE WHEN h.ndv_a = 0 OR h.ndv_b = 0 THEN 0.0
+                  ELSE CAST(h.na AS DOUBLE) * h.nb
+                       / greatest(h.ndv_a, h.ndv_b) END
+                  - coalesce(a.actual, 0))
+                 / greatest(coalesce(a.actual, 0), 1) + 1e-9, 4) AS err_ratio
+    FROM h LEFT JOIN act a ON h.bucket = a.bucket
+    """,
+)
+def analyze_join_cardinality(spark, sf_dir):
+    """Optimizer-diagnostics: the textbook equi-width-histogram join
+    cardinality estimator — est_b = na·nb / max(ndv_a, ndv_b) per key
+    bucket (uniform-within-bucket, containment assumptions) — audited
+    against the TRUE per-bucket join count for orders.o_custkey ⋈
+    events.user_id, a join whose domains only partially overlap, so the
+    containment assumption genuinely fails and err_ratio localizes
+    WHERE. This is the report you read when a CBO picks a terrible join
+    order: it shows which key region's histogram resolution is lying.
+
+    Determinism: bucket width derives from max(o_custkey) by exact
+    integer-div arithmetic on both engines; counts/NDVs are exact; the
+    estimate is one multiply-divide over exact ints, cut at 4dp.
+
+    100 TB: both histograms are single groupBy partials over bucket
+    (≤16 groups — map-side combine collapses everything); the
+    ground-truth join is the one corpus-scale shuffle, and it is the
+    point of the op (in production you'd run it on a key sample); the
+    histogram⋈histogram and est⋈actual joins are 16-row broadcasts."""
+    o = T(spark, sf_dir, "orders").select("o_custkey")
+    e = T(spark, sf_dir, "events").select("user_id")
+    w = o.agg(
+        F.ceil((F.max("o_custkey") + 1) / 16.0).cast("bigint").alias("w")
+    )
+    ob = o.crossJoin(F.broadcast(w)).select(
+        F.expr("o_custkey div w").alias("bucket"), "o_custkey"
+    )
+    eb = e.crossJoin(F.broadcast(w)).select(
+        F.expr("user_id div w").alias("bucket"), "user_id"
+    )
+    ha = ob.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.countDistinct("o_custkey").alias("ndv_a"),
+    )
+    hb = eb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.countDistinct("user_id").alias("ndv_b"),
+    )
+    act = (
+        o.join(e, o["o_custkey"] == e["user_id"])
+        .crossJoin(F.broadcast(w))
+        .select(F.expr("o_custkey div w").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("actual"))
+    )
+    h = (
+        ha.join(hb, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("ndv_a", F.lit(0)).alias("ndv_a"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+            F.coalesce("ndv_b", F.lit(0)).alias("ndv_b"),
+        )
+    )
+    est_col = (
+        F.when((F.col("ndv_a") == 0) | (F.col("ndv_b") == 0), F.lit(0.0))
+        .otherwise(
+            F.col("na").cast("double")
+            * F.col("nb")
+            / F.greatest("ndv_a", "ndv_b")
+        )
+    )
+    return (
+        h.join(act, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
+            F.col("ndv_a").cast("bigint").alias("ndv_a"),
+            F.col("ndv_b").cast("bigint").alias("ndv_b"),
+            F.round(est_col + F.lit(1e-9), 4).alias("est"),
+            F.coalesce("actual", F.lit(0)).cast("bigint").alias("actual"),
+            F.round(
+                (est_col - F.coalesce("actual", F.lit(0)))
+                / F.greatest(F.coalesce("actual", F.lit(0)), F.lit(1))
+                + F.lit(1e-9),
+                4,
+            ).alias("err_ratio"),
+        )
+    )
+
+
+@query(
+    "agg_hll_sketch_setops",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    ex AS (
+      SELECT event_type, count(*) AS exact FROM u GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS exact_inter
+      FROM u a JOIN u b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b,
+           CAST(ea.exact AS BIGINT) AS exact_a,
+           CAST(eb.exact AS BIGINT) AS exact_b,
+           CAST(ea.exact + eb.exact - i.exact_inter AS BIGINT) AS exact_union,
+           CAST(i.exact_inter AS BIGINT) AS exact_inter,
+           TRUE AS union_within_bound,
+           TRUE AS inter_within_bound
+    FROM inter i
+    JOIN ex ea ON ea.event_type = i.type_a
+    JOIN ex eb ON eb.event_type = i.type_b
+    """,
+)
+def agg_hll_sketch_setops(spark, sf_dir):
+    """Mergeable-sketch set operations (Apache DataSketches HLL via
+    Spark's hll_sketch_agg/hll_union): per-event-type user sketches are
+    built in ONE corpus scan, then every pairwise audience union is
+    estimated by MERGING the tiny sketches — the 100 TB pattern where
+    daily/segment sketches are persisted and any ad-hoc union/overlap
+    query is answered without rescanning raw data (HLL unions are
+    lossless, unlike averaging estimates). Intersections come from
+    inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B).
+
+    Grading follows the agg_approx_distinct pattern: the sketch
+    estimates are hash-deterministic for fixed data but not replayable
+    in DuckDB, so the output carries the EXACT set sizes plus in-plan
+    booleans asserting each estimate sits within its published bound
+    (lgK=12 ⇒ rsd ≈ 1.04/2^6 ≈ 1.63%; unions graded at 3·rsd relative,
+    inclusion–exclusion intersections at the additive 3·rsd·(|A|+|B |)
+    + 1 compounding bound). Booleans hash cleanly; tests bound the
+    error independently.
+
+    100 TB: sketch build is a map-side partial agg (each executor folds
+    its rows into a 2^12-bucket register array, merge is register-max);
+    the pair fan-out is |types|² sketch rows of ~KB each. The exact side
+    (distinct shuffle + user-keyed self-join) exists only as the audit —
+    production keeps the sketches."""
+    e = T(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("exact").alias("exact_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("exact").alias("exact_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).select(
+        "type_a",
+        "type_b",
+        "exact_a",
+        "exact_b",
+        F.hll_sketch_estimate(F.col("sk_a")).alias("est_a"),
+        F.hll_sketch_estimate(F.col("sk_b")).alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union(F.col("sk_a"), F.col("sk_b"))).alias(
+            "est_u"
+        ),
+    )
+    u = e.select("event_type", "user_id").distinct()
+    ua = u.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = u.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    rsd = 1.04 / (2.0 ** 6)
+    return pairs.join(inter, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        F.col("exact_a").cast("bigint").alias("exact_a"),
+        F.col("exact_b").cast("bigint").alias("exact_b"),
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+        .cast("bigint")
+        .alias("exact_union"),
+        F.col("exact_inter").cast("bigint").alias("exact_inter"),
+        (
+            F.abs(
+                F.col("est_u")
+                - (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+            )
+            <= 3 * rsd
+            * (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+        ).alias("union_within_bound"),
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_u"))
+                - F.col("exact_inter")
+            )
+            <= 3 * rsd * (F.col("exact_a") + F.col("exact_b")) + 1
+        ).alias("inter_within_bound"),
+    )
