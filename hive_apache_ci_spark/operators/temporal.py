@@ -423,3 +423,159 @@ def join_asof_nearest(spark, sf_dir):
         .otherwise(F.lit("forward"))
         .alias("direction"),
     )
+
+
+_SESS_GAP = 1800  # 30-min sessionization gap; also pads the interval close
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events
+    ),
+    sa AS (
+      SELECT user_id, t, event_id,
+             CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > {_SESS_GAP} THEN 1 ELSE 0
+             END AS is_new
+      FROM ev WHERE event_type IN ('view', 'click')
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    sa2 AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid,
+             t
+      FROM sa
+    ),
+    ia AS (
+      SELECT user_id, CAST(sid AS INT) AS a_sid, min(t) AS a_start,
+             max(t) + {_SESS_GAP} AS a_end
+      FROM sa2 GROUP BY user_id, sid
+    ),
+    sb AS (
+      SELECT user_id, t, event_id,
+             CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > {_SESS_GAP} THEN 1 ELSE 0
+             END AS is_new
+      FROM ev WHERE event_type IN ('purchase', 'error')
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    sb2 AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid,
+             t
+      FROM sb
+    ),
+    ib AS (
+      SELECT user_id, CAST(sid AS INT) AS b_sid, min(t) AS b_start,
+             max(t) + {_SESS_GAP} AS b_end
+      FROM sb2 GROUP BY user_id, sid
+    )
+    SELECT a.user_id, a.a_sid, b.b_sid, a.a_start, b.b_start,
+           CAST(least(a.a_end, b.b_end)
+                - greatest(a.a_start, b.b_start) AS BIGINT) AS overlap_sec,
+           (b.b_start >= a.a_start AND b.b_end <= a.a_end) AS b_contained
+    FROM ia a JOIN ib b
+      ON a.user_id = b.user_id
+     AND a.a_start <= b.b_end AND b.b_start <= a.a_end
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join where BOTH sides are large: browse sessions
+    (view/click, 30-min-gap sessionized, padded by the gap timeout)
+    overlap-joined to transaction sessions (purchase/error) of the same
+    user — which purchases happened DURING an active browse session, and
+    for how long the two overlapped. Completes the temporal-join family
+    (as-of = nearest point, range_binned = point-in-interval, this =
+    interval×interval).
+
+    The physical shape is the scale story: a naive overlap predicate
+    plans BroadcastNestedLoopJoin, O(n·m). Here each session interval
+    explodes into the hour buckets it spans, the join is hash-equi on
+    (user_id, bucket) with the exact overlap predicate as residual, and
+    bucket-multiplicity duplicates collapse with one distinct on the
+    session-pair key — the standard bin-overlap rewrite, same family as
+    join_range_binned but keyed on (user, time-bucket) so BOTH inputs
+    stream through a shuffle, no broadcast needed.
+
+    Determinism: everything is exact integer-second arithmetic
+    (sessionization ties break on event_id; interval bounds are
+    min/max of ints).
+
+    100 TB: sessionization rides one user-keyed window exchange;
+    interval tables are sessions (≪ events); bucket fan-out is bounded
+    by session span / 1 h; the overlap join shuffles on (user, bucket) —
+    co-partitioned, skew-bounded by per-user-per-hour session counts."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.floor(F.col("ts").cast("double")).cast("bigint").alias("t"),
+    )
+
+    def sessions(types, sid_name, start_name, end_name):
+        w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        wc = w.rowsBetween(Window.unboundedPreceding, 0)
+        f = e.filter(F.col("event_type").isin(*types))
+        f = f.withColumn(
+            "is_new",
+            F.when(
+                F.lag("t").over(w).isNull()
+                | (F.col("t") - F.lag("t").over(w) > _SESS_GAP),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ).withColumn("sid", F.sum("is_new").over(wc))
+        return f.groupBy("user_id", "sid").agg(
+            F.min("t").alias(start_name),
+            (F.max("t") + _SESS_GAP).alias(end_name),
+        ).select(
+            "user_id",
+            F.col("sid").cast("int").alias(sid_name),
+            start_name,
+            end_name,
+        )
+
+    ia = sessions(("view", "click"), "a_sid", "a_start", "a_end")
+    ib = sessions(("purchase", "error"), "b_sid", "b_start", "b_end")
+    binned_a = ia.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(F.floor(F.col("a_start") / 3600), F.floor(F.col("a_end") / 3600))
+        ),
+    )
+    binned_b = ib.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(F.floor(F.col("b_start") / 3600), F.floor(F.col("b_end") / 3600))
+        ),
+    )
+    pairs = (
+        binned_a.join(binned_b, ["user_id", "bucket"])
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select(
+            "user_id", "a_sid", "b_sid", "a_start", "a_end", "b_start", "b_end"
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "user_id",
+        "a_sid",
+        "b_sid",
+        "a_start",
+        "b_start",
+        (
+            F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+        ).cast("bigint").alias("overlap_sec"),
+        (
+            (F.col("b_start") >= F.col("a_start"))
+            & (F.col("b_end") <= F.col("a_end"))
+        ).alias("b_contained"),
+    )

@@ -449,3 +449,112 @@ def text_readability_fk(spark, sf_dir):
         .otherwise(F.lit("academic"))
         .alias("band"),
     )
+
+
+_ZIPF_TOPK = 200
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents
+    ),
+    cnt AS (
+      SELECT lang, w, count(*) AS c FROM tok WHERE w <> ''
+      GROUP BY lang, w
+    ),
+    rk AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, w) AS r
+      FROM cnt
+    ),
+    xy AS (
+      SELECT lang,
+             round(ln(r) + 1e-9, 6) AS x,
+             round(ln(c) + 1e-9, 6) AS y
+      FROM rk WHERE r <= {_ZIPF_TOPK}
+    ),
+    s AS (
+      SELECT lang, count(*) AS n,
+             round(sum(x) + 1e-9, 4) AS sx,
+             round(sum(y) + 1e-9, 4) AS sy,
+             round(sum(x * x) + 1e-9, 4) AS sxx,
+             round(sum(y * y) + 1e-9, 4) AS syy,
+             round(sum(x * y) + 1e-9, 4) AS sxy
+      FROM xy GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 4)
+             AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 + 1e-9, 4) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) + 1e-9, 4)
+             AS r2
+    FROM s
+    """,
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit per language: OLS of ln(frequency) on ln(rank) over
+    each language's top-{K} corpus token frequencies — slope ≈ −1 with
+    high r² is the signature of natural language, so a corpus slice
+    whose slope collapses toward 0 (flat = synthetic/boilerplate) or
+    whose r² craters (bimodal = mixed template+prose) fails the
+    naturalness screen. The corpus-statistics cousin of
+    text_token_entropy's per-doc score.
+
+    Determinism: counts exact; ln of exact ints is the same libm call on
+    identical doubles both engines, re-cut 6dp; the five OLS moment sums
+    are order-nondeterministic so each is cut at 4dp BEFORE the
+    closed-form slope/intercept/r² arithmetic (which is then
+    bit-identical); rank ties break on token text.
+
+    100 TB: tokenization fans out map-side; (lang, token) counts
+    collapse by partial agg; the rank window rides a lang-keyed exchange
+    over distinct terms (vocabulary-sized, not corpus-sized); the OLS
+    reduces {K} rows per lang to 5 moments. One corpus scan."""
+    d = T(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = d.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    cnt = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    rk = cnt.select(
+        "lang",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(F.col("c").desc(), "w"))
+        .alias("r"),
+    ).filter(F.col("r") <= _ZIPF_TOPK)
+    xy = rk.select(
+        "lang",
+        F.round(F.log("r") + F.lit(1e-9), 6).alias("x"),
+        F.round(F.log("c") + F.lit(1e-9), 6).alias("y"),
+    )
+    s = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("x") + F.lit(1e-9), 4).alias("sx"),
+        F.round(F.sum("y") + F.lit(1e-9), 4).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")) + F.lit(1e-9), 4).alias("sxx"),
+        F.round(F.sum(F.col("y") * F.col("y")) + F.lit(1e-9), 4).alias("syy"),
+        F.round(F.sum(F.col("x") * F.col("y")) + F.lit(1e-9), 4).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / dxx
+    return s.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope + F.lit(1e-9), 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n") + F.lit(1e-9), 4)
+        .alias("intercept"),
+        F.round(num * num / (dxx * dyy) + F.lit(1e-9), 4).alias("r2"),
+    )
+
+
+text_zipf_fit.__doc__ = text_zipf_fit.__doc__.replace("{K}", str(_ZIPF_TOPK))
