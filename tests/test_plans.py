@@ -527,3 +527,53 @@ def test_retrieval_topk_is_take_ordered_not_global_window(spark):
         assert "TakeOrderedAndProject" in p, (q, p)
         # no corpus-sized single-partition sort below an exchange
         assert "Exchange rangepartitioning" not in p, (q, p)
+
+
+def test_interval_overlap_is_hash_join_not_bnlj(spark):
+    """join_interval_overlap's whole point is the bin-overlap rewrite: the
+    overlap predicate must ride a hash equi-join on (user, bucket), never
+    a BroadcastNestedLoopJoin / CartesianProduct (the naive plan for a
+    raw interval predicate)."""
+    p = plan(spark, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    # equi-join on (user, bucket) with the overlap predicate as residual;
+    # at sf0.001 the planner may broadcast the tiny side — any HASH
+    # equi-join qualifies, a nested-loop over the raw predicate does not
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    ), p
+    assert "Join condition: ((a_start" in p, p  # residual rides the equi-join
+
+
+def test_ewma_single_window_node(spark):
+    """All 8 EWMA taps must ride ONE window node over one type-keyed
+    exchange — 8 separate Window operators would mean 8 sorts."""
+    import re
+
+    p = plan(spark, "events_ewma_taps")
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_timeseries_diagnostics_no_corpus_window(spark):
+    """ACF / seasonal-residual / volume-freshness all aggregate to
+    (type, bucket) grain BEFORE any window or join — no global-sort
+    exchange, no cartesian beyond broadcast scalar plumbing."""
+    for name in (
+        "events_autocorrelation",
+        "events_seasonal_residual",
+        "dq_volume_freshness",
+    ):
+        p = plan(spark, name)
+        assert "Exchange rangepartitioning" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_hll_setops_sketch_is_partial_agg(spark):
+    """The sketch build must be a two-phase aggregate (map-side partial
+    HLL fold before the type-keyed exchange)."""
+    p = plan(spark, "agg_hll_sketch_setops")
+    assert "partial_hll_sketch_agg" in p, p
