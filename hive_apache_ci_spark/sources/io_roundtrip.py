@@ -827,3 +827,94 @@ def catalog_partitions_report(spark, sf_dir):
             "n_files",
         )
     )
+
+
+@query(
+    "io_csv_malformed_quarantine",
+    oracle="""
+    WITH lines AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 7 = 0
+                  THEN s_suppkey || ',' || s_name || ',X'
+                  ELSE s_suppkey || ',' || s_name || ',' || s_nationkey
+             END AS line,
+             (s_suppkey % 7 = 0) AS bad
+      FROM supplier
+    )
+    SELECT CASE WHEN bad THEN 'quarantined' ELSE 'good' END AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(('0x' || substr(md5(line), 1, 8)) AS BIGINT))
+                AS BIGINT) AS line_digest
+    FROM lines GROUP BY 1
+    """,
+)
+def io_csv_malformed_quarantine(spark, sf_dir):
+    """Bad-record handling for text SerDes (Hive's
+    ``hive.exec.bad.records``-style tolerance, Spark's PERMISSIVE mode
+    with ``columnNameOfCorruptRecord``): a CSV feed is written where
+    every 7th supplier's numeric column is corrupted; the typed readback
+    must load every well-formed row, null out the unparseable field, and
+    QUARANTINE the raw offending line — never fail the job, never drop
+    the evidence. Output: per-status row counts, recovered key sums
+    (quarantined keys re-salvaged from the raw line via regexp), and a
+    commutative 32-bit-md5 line digest certifying the quarantined
+    CONTENT byte-for-byte, not just its count.
+
+    Determinism: both engines construct the identical line strings from
+    the same source rows; digests are order-insensitive sums of 32-bit
+    md5 prefixes (each ≤ 2^32, summed in BIGINT — no overflow at any SF).
+
+    100 TB: the write and the PERMISSIVE read both stream partition-
+    local (no shuffle until the 2-group count); quarantine triage on a
+    real feed is exactly this plan plus a WHERE on the corrupt column.
+    Cites: SURVEY.md §2.2 SerDe tolerance row."""
+    out = _scratch(sf_dir, "supplier_badcsv")
+    s = T(spark, sf_dir, "supplier")
+    lines = s.select(
+        F.when(
+            F.col("s_suppkey") % 7 == 0,
+            F.concat_ws(",", F.col("s_suppkey"), F.col("s_name"), F.lit("X")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",", F.col("s_suppkey"), F.col("s_name"), F.col("s_nationkey")
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    schema = "k BIGINT, name STRING, nk INT, _corrupt_record STRING"
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(committed(out))
+    )
+    # PERMISSIVE keeps parseable fields and stores the raw line alongside;
+    # cache() per Spark docs: a corrupt-record column query needs the raw
+    # row available in the same pass
+    back = back.cache()
+    raw_line = F.when(
+        F.col("_corrupt_record").isNotNull(), F.col("_corrupt_record")
+    ).otherwise(F.concat_ws(",", F.col("k"), F.col("name"), F.col("nk")))
+    salvage_key = F.coalesce(
+        F.col("k"),
+        F.regexp_extract(F.col("_corrupt_record"), r"^(\d+),", 1).cast("bigint"),
+    )
+    h32 = F.conv(F.substring(F.md5(raw_line), 1, 8), 16, 10).cast("bigint")
+    return (
+        back.select(
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("quarantined"))
+            .otherwise(F.lit("good"))
+            .alias("status"),
+            salvage_key.alias("sk"),
+            h32.alias("h"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("sk").cast("bigint").alias("key_sum"),
+            F.sum("h").cast("bigint").alias("line_digest"),
+        )
+    )

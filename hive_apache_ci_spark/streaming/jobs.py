@@ -835,3 +835,131 @@ def stream_upsert_latest_state(spark, sf_dir):
     )
     shutil.rmtree(base, ignore_errors=True)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Python streaming DataSource (Spark 4 pure-Python source API, stream side)
+
+_PYSS_N = 64          # total rows the feed emits
+_PYSS_BATCH = 16      # rows per micro-batch offset advance
+
+
+class _PyFeedStreamReader:
+    """SimpleDataSourceStreamReader emitting a deterministic bounded feed:
+    offsets advance {_PYSS_BATCH} rows per micro-batch until {_PYSS_N}.
+    readBetweenOffsets makes replay exact — a restarted query re-reads any
+    uncommitted span and lands on the identical rows (exactly-once)."""
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def _rows(self, lo, hi):
+        import hashlib
+
+        # a concrete list, not a generator: Spark's prefetch cache
+        # copy.copy()s the iterator for replay, which generators can't
+        return [
+            (j, hashlib.md5(str(j).encode()).hexdigest())
+            for j in range(lo, hi)
+        ]
+
+    def read(self, start):
+        i = start["i"]
+        end = min(i + _PYSS_BATCH, _PYSS_N)
+        return iter(self._rows(i, end)), {"i": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(start["i"], end["i"]))
+
+    def commit(self, end):
+        pass
+
+
+def _register_py_feed(spark):
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class PyFeedReader(_PyFeedStreamReader, SimpleDataSourceStreamReader):
+        pass
+
+    class PyFeedSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "hive_apache_ci_pyfeed"
+
+        def schema(self):
+            return "i bigint, h string"
+
+        def simpleStreamReader(self, schema):
+            return PyFeedReader()
+
+    spark.dataSource.register(PyFeedSource)
+
+
+@query(
+    "stream_python_datasource",
+    oracle="""
+    WITH feed AS (
+      SELECT i, md5(CAST(i AS VARCHAR)) AS h
+      FROM (SELECT unnest(range(0, 64)) AS i)
+    )
+    SELECT substr(h, 1, 1) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(i) AS BIGINT) AS i_sum,
+           CAST(sum(CAST(('0x' || substr(h, 1, 8)) AS BIGINT)) AS BIGINT)
+             AS h_digest
+    FROM feed GROUP BY 1
+    """,
+)
+def stream_python_datasource(spark, sf_dir):
+    """Custom STREAMING connector via the Spark 4 Python DataSource API
+    (`simpleStreamReader`) — the stream-side counterpart to
+    io_python_datasource: a pure-Python source with offset tracking
+    (initialOffset / read / readBetweenOffsets), drained through a real
+    MicroBatchExecution into a memory sink, then aggregated batch-side.
+    Replayability is the contract under test: offsets are JSON dicts,
+    uncommitted spans re-read via readBetweenOffsets, so the final table
+    is exactly-once-identical no matter how the micro-batches land —
+    which is what makes the DuckDB oracle (relational regeneration of
+    the same feed) valid.
+
+    AvailableNow is not supported for simple Python stream readers
+    (Spark falls back to one batch), so the query runs on a
+    processingTime trigger and is stopped once the bounded feed drains —
+    the same poll-until-quiescent shutdown a bounded backfill uses.
+
+    100 TB: `SimpleDataSourceStreamReader` prefetches DRIVER-side — the
+    template for control-plane/low-volume feeds (API change streams,
+    manifests). Bulk streams implement the partitioned `streamReader`
+    instead; the offset/replay contract exercised here is identical.
+
+    Cites SURVEY.md §2.2 (StorageHandler role) + §2.10."""
+    import time
+    import uuid as _uuid
+
+    _register_py_feed(spark)
+    qname = "pyfeed_" + _uuid.uuid4().hex[:8]
+    df = spark.readStream.format("hive_apache_ci_pyfeed").load()
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if spark.table(qname).count() >= _PYSS_N:
+                break
+            time.sleep(0.25)
+        else:
+            raise TimeoutError("python stream source did not drain")
+    finally:
+        q.stop()
+    got = spark.table(qname).localCheckpoint()
+    return got.groupBy(F.substring("h", 1, 1).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("i").cast("bigint").alias("i_sum"),
+        F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint"))
+        .cast("bigint")
+        .alias("h_digest"),
+    )

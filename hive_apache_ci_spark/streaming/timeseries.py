@@ -1638,3 +1638,71 @@ def events_seasonal_residual(spark, sf_dir):
             > F.round(2.0 * F.col("sd_r") + F.lit(1e-9), 4)
         ).alias("is_anomaly"),
     )
+
+
+@query(
+    "events_sliding_distinct_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day,
+             user_id
+      FROM events
+    ),
+    bounds AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM ud
+    ),
+    fan AS (
+      SELECT u.event_type, u.user_id,
+             u.day + k.k * 86400 AS wday
+      FROM ud u
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS k) k
+      CROSS JOIN bounds b
+      WHERE u.day + k.k * 86400 <= b.hi
+    )
+    SELECT event_type, wday AS window_end_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+    FROM fan GROUP BY 1, 2
+    """,
+)
+def events_sliding_distinct_users(spark, sf_dir):
+    """Sliding-window COUNT DISTINCT: for every (type, day), the number
+    of distinct users active in the trailing 7-day window — the weekly-
+    active-users series. Distinct-over-sliding-window is the textbook
+    op a SQL window function CANNOT express (count(distinct) over a
+    frame is unsupported precisely because it can't be computed
+    incrementally), so the engine rewrite is fan-out: dedup to
+    (type, user, day) grain first, replicate each survivor into the ≤7
+    window-end days it serves, and count distinct per (type, window).
+
+    Determinism: pure exact integer arithmetic end-to-end.
+
+    100 TB: the first distinct collapses the corpus to user-day grain
+    (map-side partials do most of it — a user's repeat events within a
+    day never leave the mapper); the ×7 fan-out multiplies the SMALL
+    deduped table, not the corpus; the final distinct shuffles on
+    (type, wday) — bounded keys, heavy values — which is exactly the
+    two-level distinct shape Spark plans as partial_count(distinct)."""
+    e = T(spark, sf_dir, "events")
+    ud = e.select(
+        "event_type",
+        (F.floor(F.col("ts").cast("double") / 86400) * 86400)
+        .cast("bigint")
+        .alias("day"),
+        "user_id",
+    ).distinct()
+    bounds = ud.agg(F.max("day").alias("hi"))
+    fan = (
+        ud.select(
+            "event_type",
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + 6 * 86400, F.lit(86400))
+            ).alias("wday"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("wday") <= F.col("hi"))
+    )
+    return fan.groupBy("event_type", F.col("wday").alias("window_end_day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_distinct_users")
+    )

@@ -87,3 +87,56 @@ def test_interval_overlap_bounds(spark):
     assert all(
         r.overlap_sec >= 1800 for r in rows if r.b_contained
     )
+
+
+def test_sliding_distinct_first_day_equals_daily(spark):
+    from hive_apache_ci_spark.catalog import load_table
+
+    df = run(spark, "events_sliding_distinct_users")
+    first = (
+        df.groupBy("event_type")
+        .agg(F.min("window_end_day").alias("d"))
+        .collect()
+    )
+    e = load_table(spark, SF_DIR, "events")
+    daily = (
+        e.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("double") / 86400) * 86400)
+            .cast("bigint")
+            .alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    )
+    daily_map = {(r.event_type, r.day): r.nd for r in daily}
+    win_map = {
+        (r.event_type, r.window_end_day): r.n_distinct_users
+        for r in df.collect()
+    }
+    for r in first:
+        # the first window has no trailing days: it IS that day's distinct
+        assert win_map[(r.event_type, r.d)] == daily_map[(r.event_type, r.d)]
+    # every window dominates its own day's distinct count
+    for (t, d), nd in daily_map.items():
+        assert win_map[(t, d)] >= nd
+
+
+def test_csv_quarantine_partitions_the_feed(spark):
+    from hive_apache_ci_spark.catalog import load_table
+
+    rows = {r.status: r for r in run(spark, "io_csv_malformed_quarantine").collect()}
+    assert set(rows) == {"good", "quarantined"}
+    total = load_table(spark, SF_DIR, "supplier").count()
+    assert rows["good"].n + rows["quarantined"].n == total
+    # quarantined = every 7th key; salvage recovered ALL of them
+    assert rows["quarantined"].key_sum is not None
+
+
+def test_stream_python_source_drains_exactly_once(spark):
+    df = run(spark, "stream_python_datasource")
+    agg = df.agg(F.sum("n"), F.sum("i_sum")).collect()[0]
+    assert agg[0] == 64            # every row, no duplicates
+    assert agg[1] == 64 * 63 // 2  # exact content, not just count
