@@ -332,3 +332,74 @@ def collation_case_insensitive(spark, sf_dir):
         GROUP BY seg
         """,
     )
+
+
+# ---- SQL scripting (Spark 4 BEGIN/END procedural blocks) ----------------
+
+_SCRIPT_SQL = """
+BEGIN
+  DECLARE lim BIGINT DEFAULT 0;
+  DECLARE thr DOUBLE DEFAULT 1000.0;
+  DECLARE n BIGINT DEFAULT 0;
+  DECLARE iters INT DEFAULT 0;
+  SET lim = (SELECT count(*) DIV 10 FROM orders);
+  SET n = (SELECT count(*) FROM orders WHERE o_totalprice > thr);
+  WHILE n > lim AND iters < 20 DO
+    SET thr = thr * 2;
+    SET iters = iters + 1;
+    SET n = (SELECT count(*) FROM orders WHERE o_totalprice > thr);
+  END WHILE;
+  SELECT CAST(thr AS DOUBLE) AS threshold, CAST(n AS BIGINT) AS n_above,
+         CAST(iters AS INT) AS iterations, CAST(lim AS BIGINT) AS limit_n;
+END
+"""
+
+
+@query(
+    "script_while_threshold",
+    oracle="""
+    WITH t AS (SELECT count(*) AS total, count(*) // 10 AS lim FROM orders),
+    ks AS (SELECT unnest(range(0, 21)) AS k),
+    cnts AS (
+      SELECT ks.k,
+             count(*) FILTER (
+               WHERE o.o_totalprice > 1000.0 * CAST(1 << ks.k AS DOUBLE)
+             ) AS n
+      FROM ks CROSS JOIN orders o GROUP BY ks.k
+    ),
+    pick AS (
+      SELECT least(coalesce(
+               (SELECT min(k) FROM cnts, t WHERE cnts.n <= t.lim), 20),
+             20) AS k
+    )
+    SELECT 1000.0 * CAST(1 << p.k AS DOUBLE) AS threshold,
+           CAST(c.n AS BIGINT) AS n_above,
+           CAST(p.k AS INT) AS iterations,
+           CAST(t.lim AS BIGINT) AS limit_n
+    FROM pick p JOIN cnts c ON c.k = p.k CROSS JOIN t
+    """,
+)
+def script_while_threshold(spark, sf_dir):
+    """SQL scripting (Spark 4 procedural blocks, SQL/PSM-shape): a
+    BEGIN…END script with DECLAREd session variables and a WHILE loop
+    that doubles a revenue threshold until at most 10% of orders exceed
+    it — the data-dependent iterate-until-converged pattern (threshold
+    search, price-band calibration) written in pure SQL where Hive
+    users needed an external driver script (beeline + bash loop) around
+    the engine. Each iteration is a full declarative aggregate, so every
+    probe is one Catalyst-planned scan; the procedural layer only
+    sequences them.
+
+    The DuckDB oracle replays the loop CLOSED-FORM: thresholds are the
+    geometric ladder 1000·2^k, the loop's exit is the minimal k whose
+    survivor count drops to the limit (capped at 20 doublings), so
+    final (threshold, count, iterations) are all derivable without
+    procedural SQL. Thresholds are exact powers of two times 1000 —
+    bit-identical doubles; counts exact.
+
+    100 TB: iteration count is O(log(price range)) ≤ 20 regardless of
+    data size, and each probe is a scan-level count Spark can answer
+    from partial aggregates — the script never materializes anything
+    driver-side beyond 4 scalars."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return _sql(spark, sf_dir, _SCRIPT_SQL)

@@ -963,3 +963,42 @@ def stream_python_datasource(spark, sf_dir):
         .cast("bigint")
         .alias("h_digest"),
     )
+
+
+@query(
+    "stream_state_store_reader",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS state_count
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_state_store_reader(spark, sf_dir):
+    """State-store introspection (Spark 4 `statestore` batch format): run
+    a keyed streaming aggregation to completion against a checkpoint,
+    then read the aggregation's STATE STORE back as an ordinary
+    DataFrame — key struct, value struct (the internal count buffer),
+    one row per live key. This is the ops surface that answers "what is
+    my stream's state RIGHT NOW" — state-skew audits, debugging a
+    watermark that never closes, estimating state size before a scale-up
+    — without touching the running query. The oracle is the whole
+    point: state read via the side door must equal the batch groupBy of
+    the same input exactly.
+
+    100 TB: the state reader plans one InputPartition per state-store
+    shard (the shuffle partitions of the streaming agg), so the audit
+    parallelizes like the stream itself and never replays the source.
+
+    Cites SURVEY.md §2.10 (state management row)."""
+    import uuid as _uuid
+
+    from ..helpers import run_scratch
+
+    src = events_stream(spark, sf_dir)
+    agg = src.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = run_scratch("stream", sf_dir, "ssr_ckpt_" + _uuid.uuid4().hex[:8])
+    _run_to_memory(agg, "complete", checkpoint=ckpt)
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("bigint").alias("state_count"),
+    )

@@ -140,3 +140,26 @@ def test_stream_python_source_drains_exactly_once(spark):
     agg = df.agg(F.sum("n"), F.sum("i_sum")).collect()[0]
     assert agg[0] == 64            # every row, no duplicates
     assert agg[1] == 64 * 63 // 2  # exact content, not just count
+
+
+def test_sql_script_converges_to_limit(spark):
+    r = run(spark, "script_while_threshold").collect()[0]
+    assert r.n_above <= r.limit_n or r.iterations == 20
+    assert r.threshold == 1000.0 * (2 ** r.iterations)
+
+
+def test_state_store_matches_batch_counts(spark):
+    from hive_apache_ci_spark.catalog import load_table
+
+    got = {
+        r.event_type: r.state_count
+        for r in run(spark, "stream_state_store_reader").collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
