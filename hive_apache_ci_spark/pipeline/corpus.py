@@ -1375,3 +1375,80 @@ def quality_ks_drift(spark, sf_dir):
 quality_ks_drift.__doc__ = quality_ks_drift.__doc__.replace(
     "{B}", str(_KS_BIN_DP)
 )
+
+
+@query(
+    "corpus_temperature_resample",
+    oracle="""
+    WITH per AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split_regex(lower(text), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM per),
+    p AS (
+      SELECT lang, n_docs, n_tokens,
+             round(n_tokens / t.t + 1e-9, 6) AS p_raw
+      FROM per CROSS JOIN tot t
+    ),
+    s AS (
+      SELECT lang, n_docs, n_tokens, p_raw,
+             round(sqrt(p_raw) + 1e-9, 6) AS sq
+      FROM p
+    ),
+    z AS (SELECT round(sum(sq) + 1e-9, 6) AS zn FROM s)
+    SELECT s.lang, s.n_docs, s.n_tokens, s.p_raw,
+           round(s.sq / z.zn + 1e-9, 6) AS w_temp,
+           round((s.sq / z.zn) / s.p_raw + 1e-9, 4) AS upsample_factor,
+           ((s.sq / z.zn) / s.p_raw > 3.0) AS capped
+    FROM s CROSS JOIN z
+    """,
+)
+def corpus_temperature_resample(spark, sf_dir):
+    """Temperature-scaled language sampling (the mT5/XLM-R multilingual
+    mixing rule, α = 0.5): w_l ∝ p_l^α flattens the language
+    distribution so low-resource languages are upsampled without
+    drowning the head. Reports raw token share, the temperature weight,
+    the implied upsampling factor w_l/p_l, and a `capped` verdict
+    flagging languages whose factor exceeds 3× (the repeat-epoch hazard
+    a curriculum should clamp). Complements corpus_mix_weights (raw
+    shares) and corpus_token_budget_alloc (integer apportionment) —
+    together: observe → reweight → allocate.
+
+    α is deliberately 1/2: sqrt is correctly-rounded in IEEE 754 on
+    BOTH engines (unlike a general pow(x, α) whose last ulp is libm-
+    specific), so after the 6dp input cut every downstream value is
+    bit-identical. Shares/factors re-cut 6dp/4dp; the normalizer is a
+    |langs|-term sum cut 6dp.
+
+    100 TB: one corpus scan to (lang) token partials; everything after
+    runs on |langs| rows (scalar broadcast joins, no window over
+    data)."""
+    d = T(spark, sf_dir, "documents")
+    per = d.select(
+        "lang", F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n")
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("t"))
+    p = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("t") + F.lit(1e-9), 6).alias("p_raw"),
+    )
+    s = p.withColumn("sq", F.round(F.sqrt("p_raw") + F.lit(1e-9), 6))
+    z = s.agg(F.round(F.sum("sq") + F.lit(1e-9), 6).alias("zn"))
+    w = F.col("sq") / F.col("zn")
+    return s.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "p_raw",
+        F.round(w + F.lit(1e-9), 6).alias("w_temp"),
+        F.round(w / F.col("p_raw") + F.lit(1e-9), 4).alias("upsample_factor"),
+        (w / F.col("p_raw") > 3.0).alias("capped"),
+    )
