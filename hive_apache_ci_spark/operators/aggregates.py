@@ -1479,3 +1479,81 @@ def agg_hll_sketch_setops(spark, sf_dir):
             <= 3 * rsd * (F.col("exact_a") + F.col("exact_b")) + 1
         ).alias("inter_within_bound"),
     )
+
+
+@query(
+    "agg_mode_median",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_quantity) AS INT) AS qty, l_extendedprice
+      FROM lineitem
+    ),
+    med AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             round(median(l_extendedprice) + 1e-9, 6) AS median_price
+      FROM base GROUP BY l_returnflag, l_linestatus
+    ),
+    c AS (
+      SELECT l_returnflag, l_linestatus, qty, count(*) AS cnt
+      FROM base GROUP BY l_returnflag, l_linestatus, qty
+    ),
+    m AS (
+      SELECT l_returnflag, l_linestatus, qty, cnt,
+             row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                                ORDER BY cnt DESC, qty) AS rk
+      FROM c
+    )
+    SELECT med.l_returnflag, med.l_linestatus, n_rows, median_price,
+           CAST(m.qty AS INT) AS mode_qty, CAST(m.cnt AS BIGINT) AS mode_cnt
+    FROM med
+    JOIN m ON m.l_returnflag = med.l_returnflag
+          AND m.l_linestatus = med.l_linestatus AND m.rk = 1
+    """,
+)
+def agg_mode_median(spark, sf_dir):
+    """Exact MEDIAN and deterministic MODE per group (Hive/Spark `median`
+    + `mode` aggregate surface, §2.4). Spark's built-in `mode()` is
+    non-deterministic on count ties, so the mode here is the two-level
+    deterministic form: groupBy(group, value).count() then
+    `max_by(value, struct(cnt, -value))` — highest count wins, ties break
+    to the SMALLEST value, which both engines agree on bitwise.
+
+    100 TB shape: the median is one sort-based aggregate per group (Spark
+    plans percentile over a per-group sort — heavy but shuffle-bounded by
+    the group key); the mode path never holds a group in memory: the
+    (group, value) pre-aggregate collapses duplicates map-side, then the
+    argmax is an ordinary hash aggregate over distinct values. The two
+    branches join on the 4-row group key — broadcast."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor("l_quantity").cast("int").alias("qty"),
+        "l_extendedprice",
+    )
+    med = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.median("l_extendedprice") + F.lit(1e-9), 6).alias(
+            "median_price"
+        ),
+    )
+    cnt = li.groupBy("l_returnflag", "l_linestatus", "qty").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = F.max_by(
+        F.struct(F.col("qty"), F.col("cnt")),
+        F.struct(F.col("cnt"), (-F.col("qty")).alias("nq")),
+    )
+    mode = cnt.groupBy("l_returnflag", "l_linestatus").agg(
+        best.getField("qty").cast("int").alias("mode_qty"),
+        best.getField("cnt").cast("bigint").alias("mode_cnt"),
+    )
+    return med.join(F.broadcast(mode), ["l_returnflag", "l_linestatus"]).select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        "median_price",
+        "mode_qty",
+        "mode_cnt",
+    )

@@ -803,3 +803,124 @@ def quality_kn_bigram_perplexity(spark, sf_dir):
 quality_kn_bigram_perplexity.__doc__ = quality_kn_bigram_perplexity.__doc__.replace(
     "{D}", str(_KN_D)
 )
+
+
+# ---- 8. PMI collocation mining ------------------------------------------
+
+_PMI_MIN_CNT = 5   # bigram count floor — kills noise pairs before ranking
+_PMI_TOPK = 50
+
+# PMI computed as a FIXED-ORDER sum of log2 terms (never one big product:
+# c_xy * N^2 can pass 2^53 on a web corpus and silently lose integer
+# exactness; each individual count stays exact as a double input to log2).
+# Both engines evaluate the same textual expression left-to-right, so the
+# IEEE op sequence is identical; the 6dp round + 1e-9 shift absorbs libm
+# last-ulp differences between JVM and C log2.
+_PMI_EXPR = (
+    "round(log2(CAST(cxy AS DOUBLE)) - log2(btot) - log2(CAST(cx AS DOUBLE))"
+    " - log2(CAST(cy AS DOUBLE)) + 2 * log2(ntot) + 1e-9, 6)"
+)
+
+_PMI_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a FROM documents
+),
+uni AS (
+  SELECT t, count(*) AS c
+  FROM (SELECT unnest(a) AS t FROM tok) WHERE t <> '' GROUP BY t
+),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS ntot FROM uni),
+bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                               i -> concat(a[i], ' ', a[i+1]))) AS bigram
+  FROM tok
+),
+bcnt AS (
+  SELECT bigram, count(*) AS cxy FROM bg
+  WHERE bigram <> '' AND bigram <> ' ' GROUP BY bigram
+  HAVING count(*) >= {_PMI_MIN_CNT}
+),
+btot AS (
+  SELECT CAST(sum(cxy) AS DOUBLE) AS btot FROM
+  (SELECT bigram, count(*) AS cxy FROM bg
+   WHERE bigram <> '' AND bigram <> ' ' GROUP BY bigram)
+),
+scored AS (
+  SELECT b.bigram, b.cxy, ux.c AS cx, uy.c AS cy,
+         {_PMI_EXPR} AS pmi
+  FROM bcnt b
+  JOIN uni ux ON ux.t = string_split(b.bigram, ' ')[1]
+  JOIN uni uy ON uy.t = string_split(b.bigram, ' ')[2]
+  CROSS JOIN tot CROSS JOIN btot
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, bigram) AS BIGINT) AS rk,
+       bigram, CAST(cxy AS BIGINT) AS cxy,
+       CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy, pmi
+FROM scored ORDER BY pmi DESC, bigram LIMIT {_PMI_TOPK}
+"""
+
+
+@query("quality_pmi_collocations", oracle=_PMI_SQL)
+def quality_pmi_collocations(spark, sf_dir):
+    """Pointwise-mutual-information collocation mining: top-{K} bigrams by
+    PMI = log2(p(xy) / (p(x)p(y))) with a count floor of {M} — the
+    association-strength companion to `corpus_bigram_counts`' raw
+    frequency head (frequency finds 'of the'; PMI finds the genuinely
+    bound pairs a tokenizer should keep whole).
+
+    100 TB shape: unigram and bigram counts are two groupBy shuffles over
+    exploded tokens (map-side combine collapses repeats early); the two
+    totals are broadcast single-row aggregates; attaching c_x/c_y is a
+    pair of joins keyed on token — at web scale the vocab exceeds
+    broadcast so these shuffle on the token key, and the count floor has
+    already cut the bigram side by orders of magnitude before either
+    join. Ranking is a distributed TakeOrdered over the floor survivors,
+    never a global sort. PMI is a fixed-order sum of log2 terms, rounded
+    BEFORE the rank cut (rounded-value ties break on the bigram string),
+    so the top-{K} membership itself is engine-stable."""
+    from ..functions.hive_compat import ngram_array
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("a")
+    )
+    uni = (
+        toks.select(F.explode("a").alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("ntot"))
+    bg = toks.select(
+        F.explode(ngram_array(F.col("a"), 2)).alias("bigram")
+    ).filter((F.col("bigram") != "") & (F.col("bigram") != " "))
+    bcnt_all = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cxy"))
+    btot = bcnt_all.agg(F.sum("cxy").cast("double").alias("btot"))
+    bcnt = bcnt_all.filter(F.col("cxy") >= _PMI_MIN_CNT).select(
+        "bigram",
+        "cxy",
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    scored = (
+        bcnt.join(uni.select(F.col("t").alias("w1"), F.col("c").alias("cx")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("c").alias("cy")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .withColumn("pmi", F.expr(_PMI_EXPR))
+    )
+    topk = scored.orderBy(F.col("pmi").desc(), "bigram").limit(_PMI_TOPK)
+    w = Window.orderBy(F.col("pmi").desc(), "bigram")
+    return topk.select(
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        "bigram",
+        F.col("cxy").cast("bigint").alias("cxy"),
+        F.col("cx").cast("bigint").alias("cx"),
+        F.col("cy").cast("bigint").alias("cy"),
+        "pmi",
+    )
+
+
+quality_pmi_collocations.__doc__ = quality_pmi_collocations.__doc__.replace(
+    "{K}", str(_PMI_TOPK)
+).replace("{M}", str(_PMI_MIN_CNT))

@@ -273,9 +273,7 @@ def _ql_term_sql(t: str) -> str:
     )
 
 
-@query(
-    "search_query_likelihood",
-    oracle=f"""
+_QL_ORACLE = f"""
     WITH toks AS ({_TOKENS_SQL}),
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
     cstat AS (SELECT count(*) AS c FROM toks),
@@ -303,8 +301,10 @@ def _ql_term_sql(t: str) -> str:
                  row_number() OVER (ORDER BY score DESC, doc_id) AS rk
           FROM scored)
     WHERE rk <= 20
-    """,
-)
+    """
+
+
+@query("search_query_likelihood", oracle=_QL_ORACLE)
 def search_query_likelihood(spark, sf_dir):
     """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty):
     score(q,d) = Σ_t ln((tf_td + μ·p(t|C)) / (|d| + μ)), μ={MU} — the

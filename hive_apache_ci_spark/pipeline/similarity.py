@@ -3012,3 +3012,96 @@ def ivf_pq_merge_compact(spark, sf_dir):
             ).alias("delta_share"),
         )
     )
+
+
+# ---- filtered ANN: metadata predicate fused into the search -------------
+
+_FILT_TOPK = 5
+
+_ANN_FILTERED_ORACLE = f"""
+    SELECT query_id, label, neighbor_id, rank, round(sim, 6) AS sim
+    FROM (
+      SELECT q.vec_id AS query_id, q.label AS label,
+             c.vec_id AS neighbor_id,
+             {_cos_sql('q.embedding', 'c.embedding')} AS sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.vec_id
+             ) AS rank
+      FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id
+    )
+    WHERE rank <= {_FILT_TOPK}
+    """
+
+
+@query("ann_filtered_topk", oracle=_ANN_FILTERED_ORACLE)
+def ann_filtered_topk(spark, sf_dir):
+    """Filtered ANN: top-{K} cosine neighbors restricted to candidates
+    sharing the query's label — the metadata-constrained search every
+    production vector store serves ("nearest docs in MY tenant / of THIS
+    language"). The constraint is fused into the search as a JOIN KEY,
+    not applied as a post-filter over an unconstrained top-k (post-filter
+    under-fills k whenever the constraint is selective — the classic
+    filtered-ANN correctness bug).
+
+    100 TB shape: equality on label makes this a hash-partitioned join —
+    each candidate partition holds one label shard, so the scan prunes to
+    matching shards instead of streaming the full corpus past every query
+    (with the corpus parquet laid out partitionBy(label), partition
+    pruning does it at the file level — the `io_dpp_partitioned_join`
+    layout applied to vectors). Queries stay broadcast; ranking is a
+    per-query window over one label's candidates with vec_id tiebreak,
+    never a global sort."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "embeddings").withColumn(
+        "nrm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    sims = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("clabel") == F.col("qlabel"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            "neighbor_id",
+            (
+                dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+            ).alias("sim_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _FILT_TOPK)
+        .select(
+            "query_id",
+            "label",
+            "neighbor_id",
+            "rank",
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
+
+
+ann_filtered_topk.__doc__ = ann_filtered_topk.__doc__.replace(
+    "{K}", str(_FILT_TOPK)
+)

@@ -1706,3 +1706,107 @@ def events_sliding_distinct_users(spark, sf_dir):
     return fan.groupBy("event_type", F.col("wday").alias("window_end_day")).agg(
         F.countDistinct("user_id").cast("bigint").alias("n_distinct_users")
     )
+
+
+# ---- interval union / coverage (gaps-and-islands) ------------------------
+
+_IVC_SQL = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 60 + (event_id % 541) AS e,
+         event_id
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e, event_id,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY user_id ORDER BY s, e, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (
+           PARTITION BY user_id ORDER BY s, e, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM flagged
+),
+per_island AS (
+  SELECT user_id, island_id,
+         min(s) AS i_start, max(e) AS i_end, count(*) AS n_iv
+  FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id,
+       CAST(sum(n_iv) AS BIGINT)            AS n_intervals,
+       CAST(count(*) AS BIGINT)             AS n_islands,
+       CAST(sum(i_end - i_start) AS BIGINT) AS covered_s,
+       CAST(max(i_end - i_start) AS BIGINT) AS max_island_s,
+       CAST(min(i_start) AS BIGINT)         AS first_start,
+       CAST(max(i_end) AS BIGINT)           AS last_end
+FROM per_island GROUP BY user_id
+"""
+
+
+@query("events_interval_coverage", oracle=_IVC_SQL)
+def events_interval_coverage(spark, sf_dir):
+    """Interval union / coverage per user (gaps-and-islands): each event
+    opens a deterministic interval [ts, ts + 60 + event_id % 541 s); all
+    overlapping-or-touching intervals merge into islands, and the report
+    is per-user island count, total covered seconds, and the longest
+    contiguous stretch — the classic uptime/occupancy/billing-coverage
+    operator that a naive `sum(duration)` double-counts.
+
+    The merge is the two-window rewrite: an interval starts a new island
+    iff its start exceeds the running max(end) over all PRECEDING
+    intervals in (start, end, event_id) order; the island id is then the
+    running sum of that flag. Pure BIGINT arithmetic — both engines agree
+    bitwise.
+
+    100 TB shape: one shuffle on user_id; both window passes reuse the
+    same sort (Spark plans a single Sort + two Window nodes), then the
+    island rollup is an ordinary hash aggregate. Per-user partitions are
+    event-count bounded — no global sort, no island materialized wider
+    than a row."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + 60 + F.col("event_id") % 541).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn(
+        "island_id", F.sum("new_island").over(w_run)
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("i_start"),
+        F.max("e").alias("i_end"),
+        F.count(F.lit(1)).alias("n_iv"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("n_iv").cast("bigint").alias("n_intervals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).cast("bigint").alias("covered_s"),
+        F.max(F.col("i_end") - F.col("i_start")).cast("bigint").alias("max_island_s"),
+        F.min("i_start").cast("bigint").alias("first_start"),
+        F.max("i_end").cast("bigint").alias("last_end"),
+    )
