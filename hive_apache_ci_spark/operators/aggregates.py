@@ -1557,3 +1557,104 @@ def agg_mode_median(spark, sf_dir):
         "mode_qty",
         "mode_cnt",
     )
+
+
+# ---- Benford first-digit audit -------------------------------------------
+
+_BENFORD_P = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+_BENFORD_CRIT = 15.507  # chi-square 0.95 quantile, 8 dof
+
+_BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT l_returnflag AS grp,
+         CAST(substring(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM lineitem WHERE l_extendedprice > 0
+),
+obs AS (SELECT grp, digit, count(*) AS o FROM digits GROUP BY grp, digit),
+tot AS (SELECT grp, count(*) AS n FROM digits GROUP BY grp),
+expd AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"({d}, CAST({p} AS DOUBLE))" for d, p in _BENFORD_P.items())}
+  ) AS t(digit, p)
+),
+cells AS (
+  SELECT o.grp, o.digit, o.o, t.n, e.p,
+         (o.o - e.p * t.n) * (o.o - e.p * t.n) / (e.p * t.n) AS chi
+  FROM obs o JOIN tot t USING (grp) JOIN expd e USING (digit)
+),
+g AS (SELECT grp, round(sum(chi) + 1e-9, 4) AS chi2 FROM cells GROUP BY grp)
+SELECT c.grp AS l_returnflag, c.digit,
+       CAST(c.o AS BIGINT) AS obs_n,
+       CAST(c.n AS BIGINT) AS n_total,
+       round(c.o * 1.0 / c.n + 1e-9, 6) AS obs_share,
+       c.p AS exp_share,
+       round(c.chi + 1e-9, 4) AS chi_cell,
+       g.chi2 AS chi2_total,
+       g.chi2 > {_BENFORD_CRIT} AS benford_reject
+FROM cells c JOIN g USING (grp)
+"""
+
+
+@query("dq_benford_audit", oracle=_BENFORD_SQL)
+def dq_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit of l_extendedprice per returnflag —
+    the forensic data-quality screen for fabricated or truncated numeric
+    columns (real multi-order-of-magnitude amounts follow
+    P(d) = log10(1+1/d); synthetic uniform data flunks it). Emits the
+    9-digit observed-vs-expected distribution, per-cell chi-square
+    contribution, and the group chi-square verdict against the 0.95
+    critical value (8 dof).
+
+    The first digit comes from the *integer cents* value formatted as a
+    string — floor(x*100+0.5) then substring — because floor(log10(x))
+    arithmetic misclassifies exact powers of ten under float log, and
+    integer-to-string formatting is bit-identical across engines while
+    double formatting is not. Expected shares are 6dp literals injected
+    into both plans (no cross-engine libm log10 dependence).
+
+    100 TB: one scan collapses map-side to |groups|x9 count cells; the
+    chi-square math runs over 27 rows. Scan-bound by construction."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    digits = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.substring(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit"),
+    )
+    obs = digits.groupBy("grp", "digit").agg(F.count(F.lit(1)).alias("o"))
+    tot = digits.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    expd = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], "digit int, p double"
+    )
+    cells = (
+        obs.join(tot, "grp")
+        .join(F.broadcast(expd), "digit")
+        .withColumn(
+            "chi",
+            (F.col("o") - F.col("p") * F.col("n"))
+            * (F.col("o") - F.col("p") * F.col("n"))
+            / (F.col("p") * F.col("n")),
+        )
+    )
+    g = cells.groupBy("grp").agg(ravg(F.sum("chi")).alias("chi2"))
+    return cells.join(F.broadcast(g), "grp").select(
+        F.col("grp").alias("l_returnflag"),
+        "digit",
+        F.col("o").cast("bigint").alias("obs_n"),
+        F.col("n").cast("bigint").alias("n_total"),
+        ravg(F.col("o") / F.col("n"), 6).alias("obs_share"),
+        F.col("p").alias("exp_share"),
+        ravg(F.col("chi")).alias("chi_cell"),
+        F.col("chi2").alias("chi2_total"),
+        (F.col("chi2") > F.lit(_BENFORD_CRIT)).alias("benford_reject"),
+    )

@@ -612,3 +612,51 @@ def window_rfm_scaled(spark, sf_dir):
         "o_custkey", F.col("score").alias("m_score")
     )
     return r.join(f, "o_custkey").join(m, "o_custkey")
+
+
+# ---- DISTINCT aggregate over a window frame -------------------------------
+
+_WDC_SQL = """
+SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
+       count(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dtypes_running,
+       count(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS dtypes_last10
+FROM events WHERE user_id <= 200
+"""
+
+
+@query("window_distinct_count", oracle=_WDC_SQL)
+def window_distinct_count(spark, sf_dir):
+    """DISTINCT aggregate over a window frame — Hive supports
+    ``count(DISTINCT ...) OVER`` (HIVE-9534); Spark's WindowExec does not,
+    so the engine rewrites it as ``size(collect_set(...))`` over the same
+    frame, which is semantically exact (set semantics, null-excluding) and
+    evaluates streaming within the partition buffer. Two frames: the
+    running prefix (how many distinct event types has this user emitted so
+    far) and a trailing 10-row frame (recent behavioral diversity — the
+    feature a fraud/segmentation model actually wants).
+
+    Determinism: frame order carries the unique (ts, event_id) tiebreak.
+
+    100 TB: one shuffle on user_id, both frames evaluated in the same
+    WindowExec pass; collect_set state is bounded by |event types| (tiny),
+    not frame length, so the prefix frame is O(1) memory per row. The
+    user_id predicate prunes the scan before the shuffle."""
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_10 = base.rowsBetween(-9, Window.currentRow)
+    return e.select(
+        "user_id",
+        F.col("ts").cast("double").cast("bigint").alias("ts_s"),
+        "event_id",
+        F.size(F.collect_set("event_type").over(w_run))
+        .cast("bigint")
+        .alias("dtypes_running"),
+        F.size(F.collect_set("event_type").over(w_10))
+        .cast("bigint")
+        .alias("dtypes_last10"),
+    )

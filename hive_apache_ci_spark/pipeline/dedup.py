@@ -2204,3 +2204,101 @@ dedup_minhash_incremental.__doc__ = (
     dedup_minhash_incremental.__doc__.replace("{H}", str(N_HASHES))
     .replace("{B}", str(N_BANDS))
 )
+
+
+# ---- multi-source BFS from landmark vertices ------------------------------
+
+_BFS_HOPS = 4
+_BFS_LANDMARKS = 5
+
+
+def _bfs_oracle() -> str:
+    from .similarity import _cos_sql, lsh_tb_cte_sql
+    return f"""
+    WITH RECURSIVE {lsh_tb_cte_sql()},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+             a.embedding AS ea, b.embedding AS eb
+      FROM tb a JOIN tb b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id < a.vec_id
+    ),
+    ed AS (
+      SELECT vb AS lo, va AS hi FROM cand
+      WHERE round({_cos_sql('ea', 'eb')} + 1e-9, 6) > {_TRI_TH}
+    ),
+    adj AS (
+      SELECT lo AS src, hi AS dst FROM ed
+      UNION SELECT hi, lo FROM ed
+    ),
+    lm AS (
+      SELECT src AS lmk FROM adj GROUP BY src ORDER BY src LIMIT {_BFS_LANDMARKS}
+    ),
+    bfs AS (
+      SELECT lmk, lmk AS v, 0 AS d FROM lm
+      UNION
+      SELECT b.lmk, a.dst, b.d + 1
+      FROM bfs b JOIN adj a ON a.src = b.v
+      WHERE b.d < {_BFS_HOPS}
+    )
+    SELECT lmk, v, CAST(min(d) AS BIGINT) AS dist
+    FROM bfs GROUP BY lmk, v
+    """
+
+
+@query("graph_bfs_landmarks", oracle=_bfs_oracle())
+def graph_bfs_landmarks(spark, sf_dir):
+    """Multi-source BFS hop distance (<= {H} hops) from {L} landmark
+    vertices over the confirmed near-dup graph — the landmark-distance
+    sketch behind graph dedup triage and approximate shortest-path
+    queries (dist(u,v) <= dist(u,lmk) + dist(lmk,v)). Landmarks are the
+    {L} smallest vertex ids present in the edge set (deterministic).
+
+    Spark runs textbook frontier BFS: {H} rounds of frontier-joins-adj,
+    anti-joined against the visited set so each (landmark, vertex) settles
+    at its first (= minimal) hop count, per-round state localCheckpoint'd.
+    The oracle replays it as a UNION-mode (distinct) recursive CTE and
+    takes min(d) — identical semantics because BFS's first visit IS the
+    min hop distance.
+
+    100 TB: per round one shuffle keyed on the frontier vertex; frontier
+    and visited state are (landmark x vertex) bounded, never corpus-
+    bounded; bounded iteration count with lineage cuts — the same
+    discipline as PageRank/LPA/k-core here. Landmark count scales the
+    work linearly and independently (each landmark's BFS is an
+    embarrassingly parallel key)."""
+    pairs = _confirmed_cosine_pairs(spark, sf_dir, th=_TRI_TH)
+    ed = pairs.select(F.col("vb").alias("lo"), F.col("va").alias("hi"))
+    adj = (
+        ed.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .union(ed.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    lm = (
+        adj.select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(_BFS_LANDMARKS)
+        .select(F.col("src").alias("lmk"))
+    )
+    dist = lm.select(
+        "lmk", F.col("lmk").alias("v"), F.lit(0).cast("int").alias("d")
+    ).localCheckpoint()
+    frontier = dist
+    for h in range(1, _BFS_HOPS + 1):
+        nxt = (
+            frontier.join(adj, frontier["v"] == adj["src"])
+            .select("lmk", F.col("dst").alias("v"))
+            .distinct()
+        )
+        new = nxt.join(dist.select("lmk", "v"), ["lmk", "v"], "left_anti").select(
+            "lmk", "v", F.lit(h).cast("int").alias("d")
+        )
+        dist = dist.union(new).localCheckpoint()
+        frontier = new
+    return dist.select("lmk", "v", F.col("d").cast("bigint").alias("dist"))
+
+
+graph_bfs_landmarks.__doc__ = graph_bfs_landmarks.__doc__.replace(
+    "{H}", str(_BFS_HOPS)
+).replace("{L}", str(_BFS_LANDMARKS))

@@ -1810,3 +1810,222 @@ def events_interval_coverage(spark, sf_dir):
         F.min("i_start").cast("bigint").alias("first_start"),
         F.max("i_end").cast("bigint").alias("last_end"),
     )
+
+# ---- Holt linear-trend smoothing + h-step forecast ------------------------
+
+_HOLT_Q6 = "floor(({x}) * 1000000 + 0.5) / 1000000"
+
+
+def _q6(x: str) -> str:
+    return _HOLT_Q6.format(x=x)
+
+
+_HOLT_LNEW = _q6("0.5 * s.v + 0.5 * (r.l + r.b)")
+
+_HOLT_SQL = f"""
+WITH RECURSIVE hb AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+         floor((avg(CAST(value AS DOUBLE)) + 1e-9) * 1000000 + 0.5) / 1000000 AS v
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+  FROM hb
+),
+sz AS (SELECT event_type, max(rn) AS n FROM seq GROUP BY event_type),
+rec AS (
+  SELECT s1.event_type,
+         CAST(1 AS BIGINT) AS rn,
+         s1.v AS l,
+         {_q6("s2.v - s1.v")} AS b,
+         CAST(0 AS DOUBLE) AS sse
+  FROM seq s1
+  JOIN seq s2 ON s2.event_type = s1.event_type AND s2.rn = 2
+  WHERE s1.rn = 1
+  UNION ALL
+  SELECT r.event_type, r.rn + 1,
+         {_HOLT_LNEW},
+         {_q6(f"0.25 * ({_HOLT_LNEW} - r.l) + 0.75 * r.b")},
+         r.sse + (s.v - (r.l + r.b)) * (s.v - (r.l + r.b))
+  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT r.event_type,
+       CAST(z.n AS BIGINT) AS n_buckets,
+       r.l AS level, r.b AS trend,
+       floor(r.sse * 10000 + 0.5) / 10000 AS sse,
+       floor((r.l + 1 * r.b) * 10000 + 0.5) / 10000 AS f1,
+       floor((r.l + 2 * r.b) * 10000 + 0.5) / 10000 AS f2,
+       floor((r.l + 3 * r.b) * 10000 + 0.5) / 10000 AS f3
+FROM rec r JOIN sz z ON z.event_type = r.event_type AND r.rn = z.n
+"""
+
+
+@query("events_holt_linear", oracle=_HOLT_SQL)
+def events_holt_linear(spark, sf_dir):
+    """Holt linear-trend exponential smoothing per event_type over the
+    hourly mean series, with 1/2/3-hour-ahead forecasts and the one-step
+    -ahead SSE (the model-fit number an operator alarms on) — the
+    forecasting counterpart to events_ewma_taps' filter. alpha=0.5,
+    beta=0.25 (exact binary fractions, so every product is deterministic):
+
+        l_t = 0.5*y_t + 0.5*(l_{t-1} + b_{t-1})
+        b_t = 0.25*(l_t - l_{t-1}) + 0.75*b_{t-1}
+        f_h = l_T + h*b_T          (init l_1=y_1, b_1=y_2-y_1)
+
+    Determinism: the hourly mean (the only order-nondeterministic sum) is
+    shift-quantized at 6dp; each recurrence step re-quantizes l and b at
+    6dp via the half-up floor formula (pandas .round is half-even, SQL
+    round is half-away — ``floor(x*1e6+0.5)/1e6`` is the one spelling both
+    engines compute bit-identically); the SSE accumulates in the same
+    sequential order on both sides, so it is bit-identical before its
+    final 4dp cut. The DuckDB oracle replays the recursion statement for
+    statement with a recursive CTE.
+
+    100 TB: the raw scan collapses map-side to (type, hour) partials; the
+    smoother itself is inherently sequential in time but keyed-parallel
+    across types via one applyInPandas over series whose length is
+    calendar-bounded (10 years ~ 87k hours), not data-bounded — the
+    classic "reduce to bounded state per key, then iterate in-core"
+    shape. Adding series (finer keys) adds parallelism, not state."""
+    import math
+
+    import pandas as pd
+
+    e = T(spark, sf_dir, "events")
+    hb = e.groupBy(
+        "event_type",
+        (F.floor(F.col("ts").cast("double") / 3600) * 3600)
+        .cast("bigint")
+        .alias("bucket"),
+    ).agg(
+        (
+            F.floor(
+                (F.avg(F.col("value").cast("double")) + F.lit(1e-9)) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("v")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        v = pdf["v"].to_numpy()
+        n = len(v)
+        if n < 2:
+            return pd.DataFrame(
+                columns=[
+                    "event_type", "n_buckets", "level", "trend",
+                    "sse", "f1", "f2", "f3",
+                ]
+            )
+        l = v[0]
+        b = math.floor((v[1] - v[0]) * 1000000 + 0.5) / 1000000
+        sse = 0.0
+        for t in range(1, n):
+            pred = l + b
+            d = v[t] - pred
+            sse = sse + d * d
+            l_new = math.floor((0.5 * v[t] + 0.5 * pred) * 1000000 + 0.5) / 1000000
+            b = math.floor(
+                (0.25 * (l_new - l) + 0.75 * b) * 1000000 + 0.5
+            ) / 1000000
+            l = l_new
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_buckets": [n],
+                "level": [l],
+                "trend": [b],
+                "sse": [math.floor(sse * 10000 + 0.5) / 10000],
+                "f1": [math.floor((l + 1 * b) * 10000 + 0.5) / 10000],
+                "f2": [math.floor((l + 2 * b) * 10000 + 0.5) / 10000],
+                "f3": [math.floor((l + 3 * b) * 10000 + 0.5) / 10000],
+            }
+        )
+
+    return hb.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, n_buckets bigint, level double, trend double, "
+        "sse double, f1 double, f2 double, f3 double",
+    )
+
+
+# ---- robust (MAD) outlier detection ---------------------------------------
+
+_MAD_C = 1.4826  # consistency constant: MAD * c estimates sigma under normality
+_MAD_K = 3.0
+
+_MAD_SQL = f"""
+WITH med AS (
+  SELECT event_type,
+         floor((quantile_cont(CAST(value AS DOUBLE), 0.5) + 1e-9) * 1000000
+               + 0.5) / 1000000 AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
+         m.med, abs(CAST(e.value AS DOUBLE) - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         floor((quantile_cont(adev, 0.5) + 1e-9) * 1000000 + 0.5) / 1000000
+           AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, round(d.value + 1e-9, 4) AS value,
+       d.med, m2.mad,
+       round(d.adev / ({_MAD_C} * m2.mad) + 1e-9, 6) AS robust_z
+FROM dev d JOIN mad m2 USING (event_type)
+WHERE round(d.adev / ({_MAD_C} * m2.mad) + 1e-9, 6) > {_MAD_K}
+"""
+
+
+@query("events_mad_outliers", oracle=_MAD_SQL)
+def events_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via median / MAD (median absolute
+    deviation): robust_z = |v - median| / (1.4826 * MAD) > 3 — the
+    breakdown-resistant counterpart to events_anomaly_zscore, which a
+    heavy-tailed metric silently defeats (outliers inflate the mean and
+    stddev that are supposed to catch them; the median and MAD have 50%
+    breakdown). Emits the flagged rows with their per-type robust score.
+
+    Determinism: both medians are exact linear-interpolated quantiles
+    (Spark percentile == DuckDB quantile_cont by definition), shift-
+    quantized at 6dp before reuse; the score is 6dp-rounded before the
+    threshold cut so an engine ULP cannot flip a boundary row.
+
+    100 TB: two grouped exact quantiles (Spark computes each as a single
+    shuffle-and-select per type — or swap percentile_approx in at trillion
+    -row scale, the docstring'd upgrade), then one broadcast join of the
+    5-row med/mad table against the scan. No corpus-sized shuffle in the
+    flagging pass."""
+    e = T(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("double")
+    )
+    q6 = lambda c: F.floor((c + F.lit(1e-9)) * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    med = e.groupBy("event_type").agg(
+        q6(F.percentile("value", 0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        q6(F.percentile("adev", 0.5)).alias("mad")
+    )
+    scored = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "robust_z",
+        F.round(
+            F.col("adev") / (F.lit(_MAD_C) * F.col("mad")) + F.lit(1e-9), 6
+        ),
+    )
+    return scored.filter(F.col("robust_z") > _MAD_K).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") + F.lit(1e-9), 4).alias("value"),
+        "med",
+        "mad",
+        "robust_z",
+    )
