@@ -969,3 +969,132 @@ def supplier_lead_time_p95(spark, sf_dir):
         top.withColumn("rk", F.row_number().over(w))
         .select("rk", "l_suppkey", "n_lines", "p50_days", "p95_days")
     )
+
+
+# ---- spatial radius join via grid bucketing --------------------------------
+
+_SPATIAL_R = 1.5     # radius; grid cell size == radius => 3x3 fan suffices
+_SPATIAL_R2 = 2.25   # r^2, exact double
+
+
+def _coord_sql(axis: str) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '{axis}'),"
+        f" 1, 15)) AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE)"
+        " * (SELECT L FROM st)"
+    )
+
+
+_SPATIAL_SQL = f"""
+WITH st AS (SELECT 10 * sqrt(count(*)) AS L FROM customer),
+pts AS (
+  SELECT c_custkey AS k,
+         {_coord_sql('x')} AS x,
+         {_coord_sql('y')} AS y
+  FROM customer
+),
+cells AS (
+  SELECT k, x, y,
+         CAST(floor(x / CAST({_SPATIAL_R} AS DOUBLE)) AS BIGINT) AS cx,
+         CAST(floor(y / CAST({_SPATIAL_R} AS DOUBLE)) AS BIGINT) AS cy
+  FROM pts
+),
+fan AS (
+  SELECT k, x, y, cx + dx AS cx, cy + dy AS cy
+  FROM cells, unnest([-1, 0, 1]) AS t1(dx), unnest([-1, 0, 1]) AS t2(dy)
+),
+pairs AS (
+  SELECT a.k AS ka, b.k AS kb,
+         round((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+               + 1e-9, 6) AS d2
+  FROM fan a JOIN cells b ON b.cx = a.cx AND b.cy = a.cy AND b.k > a.k
+)
+SELECT ka, kb, d2, round(sqrt(d2) + 1e-9, 6) AS dist
+FROM pairs WHERE d2 <= {_SPATIAL_R2}
+"""
+
+
+@query("join_spatial_grid", oracle=_SPATIAL_SQL)
+def join_spatial_grid(spark, sf_dir):
+    """Spatial radius self-join (all customer pairs within distance r) via
+    grid bucketing — the distributed spatial-join pattern: bucket points
+    into r-sized grid cells, fan each point into its 3x3 neighborhood,
+    equi-join on the cell key, then exact-distance confirm. With cell ==
+    radius the 3x3 fan is a *complete* candidate set (|dx|<=r forces cell
+    delta <=1), and each unordered pair is produced exactly once (b.k >
+    a.k; B's home cell is unique, A's fan hits it once) — no DISTINCT.
+
+    Coordinates are md5-derived uniforms scaled to an L x L domain with
+    L = 10*sqrt(n), keeping point density (and so pairs-per-point) constant
+    across scale factors — the result is non-vacuous at every SF by
+    construction. sqrt is correctly-rounded IEEE on both engines; the
+    squared distance is a product of identical doubles (bit-identical),
+    6dp-shift-rounded before the radius cut.
+
+    100 TB: the only shuffle keys on (cx, cy); constant-density cells keep
+    every join partition O(points-per-cell^2) with cells ~ n, so the work
+    is linear in points at fixed density — the exact reason real engines
+    (Sedona, PostGIS partitioned) grid-partition instead of cross-joining.
+    Skewed hotspots shard by salting the cell key, same as any skew join."""
+    c = T(spark, sf_dir, "customer")
+    st = c.agg((F.lit(10) * F.sqrt(F.count(F.lit(1)))).alias("L"))
+
+    def coord(axis: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(axis))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        ) / F.lit(1000000.0) * F.col("L")
+
+    pts = c.crossJoin(F.broadcast(st)).select(
+        F.col("c_custkey").alias("k"),
+        coord("x").alias("x"),
+        coord("y").alias("y"),
+    )
+    cells = pts.select(
+        "k", "x", "y",
+        F.floor(F.col("x") / F.lit(_SPATIAL_R)).cast("bigint").alias("cx"),
+        F.floor(F.col("y") / F.lit(_SPATIAL_R)).cast("bigint").alias("cy"),
+    )
+    offs = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    fan = (
+        cells.select("k", "x", "y", "cx", "cy", offs.alias("dx"))
+        .select("k", "x", "y", "cx", "cy", "dx", offs.alias("dy"))
+        .select(
+            "k", "x", "y",
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    a, b = fan.alias("a"), cells.alias("b")
+    d2 = F.round(
+        (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
+        + (F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y"))
+        + F.lit(1e-9),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("b.cx") == F.col("a.cx"))
+            & (F.col("b.cy") == F.col("a.cy"))
+            & (F.col("b.k") > F.col("a.k")),
+        )
+        .select(
+            F.col("a.k").alias("ka"),
+            F.col("b.k").alias("kb"),
+            d2.alias("d2"),
+        )
+        .filter(F.col("d2") <= _SPATIAL_R2)
+        .select(
+            "ka", "kb", "d2",
+            F.round(F.sqrt(F.col("d2")) + F.lit(1e-9), 6).alias("dist"),
+        )
+    )

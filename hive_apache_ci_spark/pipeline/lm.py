@@ -924,3 +924,106 @@ def quality_pmi_collocations(spark, sf_dir):
 quality_pmi_collocations.__doc__ = quality_pmi_collocations.__doc__.replace(
     "{K}", str(_PMI_TOPK)
 ).replace("{M}", str(_PMI_MIN_CNT))
+
+
+# ---- greedy decoding from the bigram LM -----------------------------------
+
+_GEN_STEPS = 12
+
+_GEN_SQL = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a FROM documents
+),
+w AS (SELECT unnest(a) AS tok FROM tok),
+uni AS (SELECT tok, count(*) AS c FROM w WHERE tok <> '' GROUP BY tok),
+seed AS (SELECT tok FROM uni ORDER BY c DESC, tok LIMIT 1),
+bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                               i -> {{'w1': a[i], 'w2': a[i+1]}})) AS u
+  FROM tok
+),
+pc AS (
+  SELECT u.w1 AS w1, u.w2 AS w2, count(*) AS cnt
+  FROM bg WHERE u.w1 <> '' AND u.w2 <> '' GROUP BY 1, 2
+),
+nxt AS (
+  SELECT w1, w2, cnt FROM (
+    SELECT w1, w2, cnt,
+           row_number() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rk
+    FROM pc
+  ) WHERE rk = 1
+),
+walk AS (
+  SELECT 0 AS step, tok AS token, CAST(NULL AS BIGINT) AS cnt FROM seed
+  UNION ALL
+  SELECT wa.step + 1, n.w2, CAST(n.cnt AS BIGINT)
+  FROM walk wa JOIN nxt n ON n.w1 = wa.token
+  WHERE wa.step < {_GEN_STEPS}
+)
+SELECT step, token, cnt FROM walk
+"""
+
+
+@query("lm_greedy_generation", oracle=_GEN_SQL)
+def lm_greedy_generation(spark, sf_dir):
+    """Greedy (argmax) decoding from the corpus bigram LM: seed with the
+    most frequent token, then {S} steps of next = argmax_w count(prev, w)
+    — the deterministic skeleton of LM inference (beam width 1,
+    temperature 0) run entirely as dataflow: no trained weights, the
+    count table IS the model. Emits the decoded sequence with each
+    transition's supporting bigram count.
+
+    Determinism: pure integer counts; ties broken lexicographically
+    (row_number over cnt DESC, w2). Dead-ends just stop the walk on both
+    engines.
+
+    100 TB: the count tables are the only corpus-scale work (one explode +
+    one groupBy each); the transition table (argmax per w1 = one hash-agg
+    -style window over |vocab| rows) is broadcast, and each decode step is
+    a 1-row broadcast join — the plan stays distributed end-to-end with
+    no collect, and S chained steps cost S tiny stages. The oracle replays
+    the walk with a recursive CTE."""
+    d = spread(T(spark, sf_dir, "documents"), "doc_id")
+    from ..functions.hive_compat import ngram_array
+
+    arr = F.split(F.lower("text"), r"\s+")
+    toks = d.select(F.explode(arr).alias("tok")).filter(F.col("tok") != "")
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    seed = uni.orderBy(F.desc("c"), "tok").limit(1).select(
+        F.lit(0).alias("step"),
+        F.col("tok").alias("token"),
+        F.lit(None).cast("bigint").alias("cnt"),
+    )
+    pairs = (
+        d.select(F.explode(ngram_array(arr, 2)).alias("bigram"))
+        .select(
+            F.split("bigram", " ")[0].alias("w1"),
+            F.split("bigram", " ")[1].alias("w2"),
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
+    wk = Window.partitionBy("w1").orderBy(F.desc("bcnt"), "w2")
+    nxt = (
+        pc.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select("w1", "w2", F.col("bcnt").cast("bigint").alias("bcnt"))
+    )
+    frames = [seed]
+    cur = seed
+    for i in range(1, _GEN_STEPS + 1):
+        cur = cur.join(F.broadcast(nxt), cur["token"] == nxt["w1"]).select(
+            F.lit(i).alias("step"),
+            F.col("w2").alias("token"),
+            F.col("bcnt").alias("cnt"),
+        )
+        frames.append(cur)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+lm_greedy_generation.__doc__ = lm_greedy_generation.__doc__.replace(
+    "{S}", str(_GEN_STEPS)
+)

@@ -558,3 +558,129 @@ def text_zipf_fit(spark, sf_dir):
 
 
 text_zipf_fit.__doc__ = text_zipf_fit.__doc__.replace("{K}", str(_ZIPF_TOPK))
+
+
+# ---- RAKE keyword extraction ----------------------------------------------
+
+_RAKE_STOP = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+_RAKE_K = 50
+
+_RAKE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(a)+1),
+                                 i -> {{'pos': i-1, 'tok': a[i]}})) AS u
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents)
+  )
+),
+content AS (
+  SELECT doc_id, pos, tok FROM toks
+  WHERE tok NOT IN {str(_RAKE_STOP)} AND tok <> ''
+),
+isl AS (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM content
+),
+phr AS (
+  SELECT doc_id, isl,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         count(*) AS n_words
+  FROM isl GROUP BY doc_id, isl
+),
+ws AS (
+  SELECT i.tok,
+         round(CAST(sum(p.n_words) AS DOUBLE) / count(*) + 1e-9, 6) AS s
+  FROM isl i JOIN phr p ON p.doc_id = i.doc_id AND p.isl = i.isl
+  GROUP BY i.tok
+),
+dp AS (
+  SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_occ
+  FROM phr GROUP BY phrase
+),
+pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS tok FROM dp),
+ps AS (
+  SELECT pw.phrase, round(sum(ws.s) + 1e-9, 4) AS score
+  FROM pw JOIN ws USING (tok) GROUP BY pw.phrase
+),
+top AS (
+  SELECT d2.phrase, d2.n_words, d2.n_occ, ps.score,
+         row_number() OVER (ORDER BY ps.score DESC, d2.phrase) AS rk
+  FROM dp d2 JOIN ps ON ps.phrase = d2.phrase
+)
+SELECT rk, phrase, n_words, n_occ, score FROM top WHERE rk <= {_RAKE_K}
+"""
+
+
+@query("text_keyword_rake", oracle=_RAKE_SQL)
+def text_keyword_rake(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    (degree = total length of phrases it appears in — co-occurrence mass);
+    a phrase scores the sum of its member word scores; top-{K} phrases.
+    The classic cheap unsupervised keyword surface for corpus triage.
+
+    Phrase assembly is gaps-and-islands (pos - row_number within doc over
+    content tokens), not regex splitting — byte-identical across engines
+    because it never leaves integer/token space; the ordered string_agg /
+    sorted-collect_list reassembly is the same trick dedup_repeated_
+    segments uses. Word scores 6dp before the phrase sum (few-term, 4dp
+    cut); final rank tie-broken by phrase text.
+
+    100 TB: token explode is map-side; island grouping shuffles on
+    (doc_id) once; word stats shuffle on token; phrase-score shuffles on
+    phrase text; the only global structure is the final top-{K}
+    (orderBy().limit() = distributed TakeOrderedAndProject). Nothing is
+    ever pairwise."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
+    )
+    content = toks.filter(
+        (~F.col("tok").isin(*_RAKE_STOP)) & (F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = content.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    phr = isl.groupBy("doc_id", "isl").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    ws = (
+        isl.join(phr.select("doc_id", "isl", "n_words"), ["doc_id", "isl"])
+        .groupBy("tok")
+        .agg(
+            F.round(
+                F.sum("n_words").cast("double") / F.count(F.lit(1)) + F.lit(1e-9),
+                6,
+            ).alias("s")
+        )
+    )
+    dp = phr.groupBy("phrase").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+    )
+    pw = dp.select("phrase", F.explode(F.split("phrase", " ")).alias("tok"))
+    ps = pw.join(ws, "tok").groupBy("phrase").agg(
+        F.round(F.sum("s") + F.lit(1e-9), 4).alias("score")
+    )
+    scored = dp.join(ps, "phrase")
+    top = scored.orderBy(F.desc("score"), "phrase").limit(_RAKE_K)
+    wr = Window.orderBy(F.desc("score"), "phrase")
+    return top.select(
+        F.row_number().over(wr).alias("rk"),
+        "phrase", "n_words", "n_occ", "score",
+    )
+
+
+text_keyword_rake.__doc__ = text_keyword_rake.__doc__.replace("{K}", str(_RAKE_K))
