@@ -1,0 +1,167 @@
+"""Invariant + plan-shape tests for the round-7 late additions:
+mode/median, PMI collocations, filtered ANN, interval coverage, Holt
+smoothing, Benford audit, windowed distinct, landmark BFS, MAD outliers,
+grid spatial join, RAKE keywords, greedy LM decoding. The oracle parity
+suite already value-hashes each; these pin the semantic invariants a
+hash can't express, plus the 100 TB plan shapes."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from hive_apache_ci_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+
+def run(spark, name):
+    return all_queries()[name](spark, SF_DIR)
+
+
+def plan(spark, name: str) -> str:
+    df = run(spark, name)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_mode_median_within_group_bounds(spark):
+    rows = run(spark, "agg_mode_median").collect()
+    assert rows
+    for r in rows:
+        assert r.mode_cnt >= 1
+        assert r.mode_cnt <= r.n_rows
+
+
+def test_pmi_collocations_floor_and_rank(spark):
+    from hive_apache_ci_spark.pipeline.lm import _PMI_MIN_CNT, _PMI_TOPK
+
+    rows = run(spark, "quality_pmi_collocations").collect()
+    assert len(rows) == _PMI_TOPK
+    assert all(r.cxy >= _PMI_MIN_CNT for r in rows)
+    ranks = sorted(r.rk for r in rows)
+    assert ranks == list(range(1, _PMI_TOPK + 1))
+
+
+def test_filtered_ann_fills_k_within_label(spark):
+    from hive_apache_ci_spark.pipeline.similarity import _FILT_TOPK
+
+    df = run(spark, "ann_filtered_topk")
+    per_q = df.groupBy("query_id").count().collect()
+    assert per_q and all(r["count"] == _FILT_TOPK for r in per_q)
+    # the label predicate is a pre-filter: no self-matches survive
+    assert df.filter(F.col("neighbor_id") == F.col("query_id")).count() == 0
+
+
+def test_interval_coverage_island_arithmetic(spark):
+    rows = run(spark, "events_interval_coverage").collect()
+    assert rows
+    for r in rows:
+        assert r.n_islands <= r.n_intervals
+        assert r.max_island_s <= r.covered_s
+        assert r.covered_s <= r.last_end - r.first_start
+
+
+def test_holt_forecasts_are_linear_in_trend(spark):
+    rows = run(spark, "events_holt_linear").collect()
+    assert rows
+    for r in rows:
+        assert r.n_buckets >= 2
+        # f_h = level + h*trend (4dp cuts): consecutive gaps equal trend
+        assert abs((r.f2 - r.f1) - r.trend) < 2e-4
+        assert abs((r.f3 - r.f2) - r.trend) < 2e-4
+        assert r.sse >= 0
+
+
+def test_benford_shares_and_chi2_consistency(spark):
+    df = run(spark, "dq_benford_audit")
+    g = (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("ncells"),
+            F.sum("obs_share").alias("s_obs"),
+            F.sum("chi_cell").alias("s_chi"),
+            F.max("chi2_total").alias("chi2"),
+        )
+        .collect()
+    )
+    assert g
+    for r in g:
+        assert r.ncells == 9
+        assert abs(r.s_obs - 1.0) < 1e-3
+        assert abs(r.s_chi - r.chi2) < 1e-2
+
+
+def test_window_distinct_count_frame_bounds(spark):
+    df = run(spark, "window_distinct_count")
+    bad = df.filter(
+        (F.col("dtypes_last10") > F.col("dtypes_running"))
+        | (F.col("dtypes_last10") > 10)
+        | (F.col("dtypes_last10") < 1)
+    )
+    assert bad.count() == 0
+
+
+def test_bfs_landmark_distances(spark):
+    from hive_apache_ci_spark.pipeline.dedup import _BFS_HOPS, _BFS_LANDMARKS
+
+    rows = run(spark, "graph_bfs_landmarks").collect()
+    assert rows
+    zero = [r for r in rows if r.dist == 0]
+    # each landmark is at distance 0 of exactly itself
+    assert len(zero) == len({r.lmk for r in rows}) <= _BFS_LANDMARKS
+    assert all(r.lmk == r.v for r in zero)
+    assert all(0 <= r.dist <= _BFS_HOPS for r in rows)
+    # (lmk, v) settles exactly once
+    assert len({(r.lmk, r.v) for r in rows}) == len(rows)
+
+
+def test_mad_outliers_all_beyond_threshold(spark):
+    df = run(spark, "events_mad_outliers")
+    n = df.count()
+    assert n > 0
+    assert df.filter(F.col("robust_z") <= 3.0).count() == 0
+
+
+def test_spatial_grid_pairs_within_radius_no_cartesian(spark):
+    from hive_apache_ci_spark.operators.joins import _SPATIAL_R2
+
+    df = run(spark, "join_spatial_grid")
+    rows = df.collect()
+    assert rows
+    assert all(r.d2 <= _SPATIAL_R2 and r.ka < r.kb for r in rows)
+    assert len({(r.ka, r.kb) for r in rows}) == len(rows)
+    p = plan(spark, "join_spatial_grid")
+    assert "CartesianProduct" not in p
+    # the 1-row domain-size broadcast is a legitimate BNLJ; the PAIR join
+    # must be an equi (hash/sort-merge) join keyed on the grid cell
+    assert "BroadcastHashJoin [cx" in p or "SortMergeJoin [cx" in p or (
+        "HashJoin" in p and "cx" in p
+    )
+
+
+def test_rake_phrases_stopword_free_topk_plan(spark):
+    from hive_apache_ci_spark.pipeline.text_analysis import _RAKE_K, _RAKE_STOP
+
+    rows = run(spark, "text_keyword_rake").collect()
+    assert len(rows) == _RAKE_K
+    for r in rows:
+        toks = r.phrase.split(" ")
+        assert len(toks) == r.n_words
+        assert not any(t in _RAKE_STOP for t in toks)
+    p = plan(spark, "text_keyword_rake")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_greedy_generation_walk_shape(spark):
+    from hive_apache_ci_spark.pipeline.lm import _GEN_STEPS
+
+    rows = sorted(run(spark, "lm_greedy_generation").collect(),
+                  key=lambda r: r.step)
+    assert [r.step for r in rows] == list(range(_GEN_STEPS + 1))
+    assert rows[0].cnt is None
+    assert all(r.cnt is not None and r.cnt >= 1 for r in rows[1:])
