@@ -143,6 +143,12 @@ def quality_lm_perplexity(spark, sf_dir):
     - global stats collapse to TWO doubles (broadcast scalar row); the
       vocab join shuffles on the token key when a web-scale vocab exceeds
       broadcast (AQE converts whenever it fits)."""
+    return _doc_ppl(spark, sf_dir)
+
+
+def _doc_ppl(spark, sf_dir):
+    """Shared per-doc (doc_id, n_tokens, ppl) dataflow — consumed by
+    quality_lm_perplexity and the threshold-survival sweep."""
     from ..helpers import spread
 
     d = spread(T(spark, sf_dir, "documents"), "doc_id")
@@ -1027,3 +1033,108 @@ def lm_greedy_generation(spark, sf_dir):
 lm_greedy_generation.__doc__ = lm_greedy_generation.__doc__.replace(
     "{S}", str(_GEN_STEPS)
 )
+
+
+# ---- perplexity-filter threshold sweep -------------------------------------
+
+_SWEEP_FACTORS = (0.9, 0.95, 1.0, 1.05, 1.1, 1.25, 1.5)
+
+_SWEEP_SQL = f"""
+WITH p AS (SELECT * FROM ({_PPL_SQL})),
+med AS (
+  SELECT floor((quantile_cont(ppl, 0.5) + 1e-9) * 1000000 + 0.5) / 1000000
+           AS m
+  FROM p
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_toks
+  FROM p
+),
+th AS (
+  SELECT f, round((SELECT m FROM med) * f + 1e-9, 6) AS th
+  FROM (VALUES {", ".join(f"(CAST({f} AS DOUBLE))" for f in _SWEEP_FACTORS)})
+       t(f)
+)
+SELECT th.f, th.th,
+       CAST(count(p.doc_id) AS BIGINT) AS n_kept,
+       round(count(p.doc_id) * 1.0 / (SELECT n_docs FROM tot) + 1e-9, 6)
+         AS doc_share,
+       CAST(coalesce(sum(p.n_tokens), 0) AS BIGINT) AS tok_kept,
+       round(CAST(coalesce(sum(p.n_tokens), 0) AS DOUBLE)
+             / (SELECT n_toks FROM tot) + 1e-9, 6) AS tok_share,
+       round(avg(p.ppl) + 1e-9, 4) AS mean_ppl_kept
+FROM th LEFT JOIN p ON p.ppl <= th.th
+GROUP BY th.f, th.th
+"""
+
+
+@query("quality_ppl_filter_sweep", oracle=_SWEEP_SQL)
+def quality_ppl_filter_sweep(spark, sf_dir):
+    """Perplexity-filter threshold sweep: survival curve of the corpus
+    under a keep-if-ppl<=threshold gate, at multiplicative factors of the
+    median per-doc perplexity — the tuning report an operator reads
+    BEFORE fixing the filter cutoff (dedup_threshold_sweep's counterpart
+    on the quality axis). Per threshold: docs kept, doc share, token mass
+    kept, token share, and the mean perplexity of the survivors.
+
+    Determinism: per-doc ppl is the shared 6dp dataflow; the median is
+    6dp-floor-quantized; thresholds are products of that quantized median
+    with identical literals (bit-identical); the membership cut compares
+    quantized values only. Survivor mean cut at 4dp.
+
+    100 TB: the per-doc table is computed ONCE (the shared _doc_ppl
+    dataflow — one token shuffle); the sweep itself fans |docs| x 7
+    threshold rows map-side against a broadcast 7-row ladder and
+    re-aggregates — cost is one extra pass over doc-level rows, never
+    token-level."""
+    ppl = _doc_ppl(spark, sf_dir)
+    med = ppl.agg(
+        (
+            F.floor((F.percentile("ppl", 0.5) + F.lit(1e-9)) * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("m")
+    )
+    tot = ppl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_toks"),
+    )
+    fs = spark.createDataFrame(
+        [(f,) for f in _SWEEP_FACTORS], "f double"
+    )
+    th = fs.crossJoin(F.broadcast(med)).select(
+        "f", F.round(F.col("m") * F.col("f") + F.lit(1e-9), 6).alias("th")
+    )
+    kept = (
+        ppl.crossJoin(F.broadcast(th))
+        .filter(F.col("ppl") <= F.col("th"))
+        .groupBy("f", "th")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tok_kept"),
+            F.round(F.avg("ppl") + F.lit(1e-9), 4).alias("mean_ppl_kept"),
+        )
+    )
+    # empty-survivor thresholds stay in the curve as zero rows
+    kept = th.join(kept, ["f", "th"], "left").select(
+        "f",
+        "th",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce(F.col("tok_kept"), F.lit(0).cast("bigint")).alias(
+            "tok_kept"
+        ),
+        "mean_ppl_kept",
+    )
+    return kept.crossJoin(F.broadcast(tot)).select(
+        "f",
+        "th",
+        "n_kept",
+        F.round(F.col("n_kept") / F.col("n_docs") + F.lit(1e-9), 6).alias(
+            "doc_share"
+        ),
+        "tok_kept",
+        F.round(
+            F.col("tok_kept").cast("double") / F.col("n_toks") + F.lit(1e-9), 6
+        ).alias("tok_share"),
+        "mean_ppl_kept",
+    )
