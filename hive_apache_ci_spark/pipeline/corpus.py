@@ -1452,3 +1452,139 @@ def corpus_temperature_resample(spark, sf_dir):
         F.round(w / F.col("p_raw") + F.lit(1e-9), 4).alias("upsample_factor"),
         (w / F.col("p_raw") > 3.0).alias("capped"),
     )
+
+
+# ---- multi-epoch upsampling: equalize languages by repetition --------------
+
+_EPOCH_DIGEST_MOD = 10007  # keep the certify digest well inside 32 bits
+
+_EPOCHS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS ntok
+  FROM documents
+),
+tot AS (
+  SELECT lang, CAST(sum(ntok) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM d GROUP BY lang
+),
+b AS (SELECT max(tot) AS budget FROM tot),
+plan AS (
+  SELECT t.lang, t.tot, t.n_docs, b.budget,
+         b.budget // t.tot AS base_epochs,
+         b.budget % t.tot  AS x_extra
+  FROM tot t CROSS JOIN b
+),
+pref AS (
+  SELECT d.doc_id, d.lang, d.ntok,
+         coalesce(sum(d.ntok) OVER (
+           PARTITION BY d.lang ORDER BY d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM d
+),
+rep AS (
+  SELECT p.lang, p.doc_id, p.ntok, pl.base_epochs,
+         CASE WHEN p.before < pl.x_extra THEN 1 ELSE 0 END AS extra
+  FROM pref p JOIN plan pl ON pl.lang = p.lang
+)
+SELECT r.lang,
+       pl.n_docs, pl.tot AS total_tokens, pl.budget,
+       CAST(pl.base_epochs AS BIGINT) AS base_epochs,
+       CAST(sum(r.extra) AS BIGINT) AS n_docs_extra,
+       CAST(pl.base_epochs * pl.tot + sum(r.ntok * r.extra) AS BIGINT)
+         AS tokens_emitted,
+       CAST(pl.base_epochs * pl.tot + sum(r.ntok * r.extra) - pl.budget
+            AS BIGINT) AS overshoot,
+       CAST(sum((r.doc_id % {_EPOCH_DIGEST_MOD})
+                * (r.base_epochs + r.extra)) AS BIGINT) AS repeat_digest
+FROM rep r JOIN plan pl ON pl.lang = r.lang
+GROUP BY r.lang, pl.n_docs, pl.tot, pl.budget, pl.base_epochs
+"""
+
+
+@query("corpus_upsample_epochs", oracle=_EPOCHS_SQL)
+def corpus_upsample_epochs(spark, sf_dir):
+    """Multi-epoch upsampling plan: equalize every language's token mass to
+    the largest language's by document repetition — each doc repeats
+    base_epochs = budget DIV lang_total times, and the remainder
+    budget MOD lang_total is topped up by giving +1 repeat to docs in
+    doc_id order until their exclusive prefix token sum reaches the
+    remainder (the boundary doc is included whole, so the overshoot is
+    < that doc's length — reported). The epochs/repetition step every
+    under-represented-language pretraining mix materializes via
+    explode(sequence(1, repeats)); the report certifies the assignment
+    with an exact integer digest Σ (doc_id mod {_EPOCH_DIGEST_MOD}) ·
+    repeats, so the oracle grades the per-doc repeat vector itself, not
+    just the totals.
+
+    Pure BIGINT div/mod/prefix arithmetic — bit-exact by construction.
+
+    100 TB: one token-count scan, a |langs|-row plan table broadcast, one
+    per-lang prefix-sum window (shuffles on lang; at real scale the
+    partition key is (lang, shard) with per-shard remainders apportioned
+    first — same largest-remainder discipline as corpus_token_budget_
+    alloc). The materialization itself is map-side explode, never
+    shuffled."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("ntok"),
+    )
+    tot = d.groupBy("lang").agg(
+        F.sum("ntok").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    b = tot.agg(F.max("tot").alias("budget"))
+    plan = tot.crossJoin(F.broadcast(b)).select(
+        "lang", "tot", "n_docs", "budget",
+        F.expr("budget DIV tot").alias("base_epochs"),
+        (F.col("budget") % F.col("tot")).alias("x_extra"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = d.withColumn(
+        "before", F.coalesce(F.sum("ntok").over(w), F.lit(0))
+    )
+    rep = pref.join(F.broadcast(plan), "lang").select(
+        "lang", "doc_id", "ntok", "base_epochs", "n_docs", "tot", "budget",
+        F.when(F.col("before") < F.col("x_extra"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("extra"),
+    )
+    return rep.groupBy("lang", "n_docs", "tot", "budget", "base_epochs").agg(
+        F.sum("extra").cast("bigint").alias("n_docs_extra"),
+        (
+            F.first("base_epochs") * F.first("tot")
+            + F.sum(F.col("ntok") * F.col("extra"))
+        )
+        .cast("bigint")
+        .alias("tokens_emitted"),
+        (
+            F.first("base_epochs") * F.first("tot")
+            + F.sum(F.col("ntok") * F.col("extra"))
+            - F.first("budget")
+        )
+        .cast("bigint")
+        .alias("overshoot"),
+        F.sum(
+            (F.col("doc_id") % _EPOCH_DIGEST_MOD)
+            * (F.col("base_epochs") + F.col("extra"))
+        )
+        .cast("bigint")
+        .alias("repeat_digest"),
+    ).select(
+        "lang", "n_docs",
+        F.col("tot").alias("total_tokens"),
+        "budget",
+        F.col("base_epochs").cast("bigint").alias("base_epochs"),
+        "n_docs_extra", "tokens_emitted", "overshoot", "repeat_digest",
+    )

@@ -165,3 +165,17 @@ def test_greedy_generation_walk_shape(spark):
     assert [r.step for r in rows] == list(range(_GEN_STEPS + 1))
     assert rows[0].cnt is None
     assert all(r.cnt is not None and r.cnt >= 1 for r in rows[1:])
+
+def test_upsample_epochs_budget_arithmetic(spark):
+    rows = run(spark, "corpus_upsample_epochs").collect()
+    assert rows
+    budget = rows[0].budget
+    assert all(r.budget == budget for r in rows)
+    for r in rows:
+        assert r.base_epochs >= 1
+        assert r.tokens_emitted >= budget  # never under-fills
+        assert 0 <= r.overshoot  # boundary doc included whole
+        assert r.tokens_emitted - r.overshoot == budget
+    # the largest language IS the budget: exactly 1 epoch, no top-up
+    top = [r for r in rows if r.total_tokens == budget]
+    assert len(top) == 1 and top[0].base_epochs == 1 and top[0].overshoot == 0
