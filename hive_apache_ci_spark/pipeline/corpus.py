@@ -1588,3 +1588,120 @@ def corpus_upsample_epochs(spark, sf_dir):
         F.col("base_epochs").cast("bigint").alias("base_epochs"),
         "n_docs_extra", "tokens_emitted", "overshoot", "repeat_digest",
     )
+
+
+# ---- embedding-level benchmark contamination ------------------------------
+
+_CEMB_TH = 0.25     # cosine contamination threshold (matches the loose
+                    # near-dup graph band; the ngram variant screens exact
+                    # overlap, this one paraphrase-level similarity)
+_CEMB_MOD = 47      # vec_id % 47 == 0 is the held-out "benchmark" set
+
+
+def _cemb_oracle() -> str:
+    from .similarity import _cos_sql, lsh_tb_cte_sql
+
+    cos = f"round({_cos_sql('x.embedding', 'y.embedding')} + 1e-9, 6)"
+    return f"""
+    WITH {lsh_tb_cte_sql()},
+    cand AS (
+      SELECT DISTINCT d.vec_id AS d_id, b.vec_id AS b_id
+      FROM tb d JOIN tb b ON b.tbl = d.tbl AND b.bucket = d.bucket
+      WHERE b.vec_id % {_CEMB_MOD} = 0 AND d.vec_id % {_CEMB_MOD} <> 0
+    ),
+    hits AS (
+      SELECT c.d_id, c.b_id, {cos} AS sim
+      FROM cand c
+      JOIN embeddings x ON x.vec_id = c.d_id
+      JOIN embeddings y ON y.vec_id = c.b_id
+      WHERE {cos} > {_CEMB_TH}
+    ),
+    r AS (
+      SELECT d_id, b_id, sim,
+             row_number() OVER (PARTITION BY d_id
+                                ORDER BY sim DESC, b_id) AS rk
+      FROM hits
+    ),
+    g AS (
+      SELECT d_id, CAST(count(*) AS BIGINT) AS n_hits, max(sim) AS best_sim
+      FROM hits GROUP BY d_id
+    )
+    SELECT g.d_id AS vec_id, g.n_hits AS n_bench_hits, g.best_sim,
+           r.b_id AS best_bench_id
+    FROM g JOIN r ON r.d_id = g.d_id AND r.rk = 1
+    """
+
+
+@query("contamination_embedding", oracle=_cemb_oracle())
+def contamination_embedding(spark, sf_dir):
+    """Embedding-level benchmark decontamination: flag corpus vectors whose
+    cosine against any held-out benchmark vector (vec_id % {M} == 0)
+    exceeds {T} — the paraphrase-level contamination screen that
+    complements contamination_ngram's surface-overlap check (SemDeDup-
+    style eval-set leakage detection). Per contaminated vector: hit
+    count, best similarity, best-matching benchmark id (ties to the
+    smaller id).
+
+    100 TB topology: the SHARED multi-table LSH index generates candidates
+    as a (table, bucket)-keyed bench x corpus join — the benchmark side is
+    tiny so the join is broadcast-shaped in practice, and the exact-cosine
+    confirm touches only candidate pairs (never corpus x bench). Norms
+    computed once per vector before the pair join (the
+    _confirmed_cosine_pairs discipline); 6dp-quantized sim before both the
+    threshold cut and the argmax tie-break."""
+    from .similarity import dot_fold, lsh_table_buckets
+
+    e = T(spark, sf_dir, "embeddings")
+    tb = lsh_table_buckets(e.select("vec_id", "embedding"))
+    bench_tb = tb.filter(F.col("vec_id") % _CEMB_MOD == 0).select(
+        F.col("vec_id").alias("b_id"), "table", "bucket"
+    )
+    corp_tb = tb.filter(F.col("vec_id") % _CEMB_MOD != 0).select(
+        F.col("vec_id").alias("d_id"), "table", "bucket"
+    )
+    cand = (
+        corp_tb.join(F.broadcast(bench_tb), ["table", "bucket"])
+        .select("d_id", "b_id")
+        .distinct()
+    )
+    withnorm = e.withColumn(
+        "nrm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+    )
+    dx = withnorm.select(
+        F.col("vec_id").alias("d_id"),
+        F.col("embedding").alias("ed"),
+        F.col("nrm").alias("nd"),
+    )
+    bx = withnorm.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = F.round(
+        dot_fold(F.col("ed"), F.col("eb")) / (F.col("nd") * F.col("nb"))
+        + F.lit(1e-9),
+        6,
+    )
+    hits = (
+        cand.join(dx, "d_id")
+        .join(F.broadcast(bx), "b_id")
+        .select("d_id", "b_id", sim.alias("sim"))
+        .filter(F.col("sim") > _CEMB_TH)
+    )
+    best = F.max(
+        F.struct(
+            F.col("sim").alias("s"),
+            (-F.col("b_id")).alias("nb"),
+            F.col("b_id").alias("bid"),
+        )
+    )
+    return hits.groupBy(F.col("d_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bench_hits"),
+        F.max("sim").alias("best_sim"),
+        best.getField("bid").alias("best_bench_id"),
+    )
+
+
+contamination_embedding.__doc__ = contamination_embedding.__doc__.replace(
+    "{M}", str(_CEMB_MOD)
+).replace("{T}", str(_CEMB_TH))
