@@ -749,3 +749,103 @@ def search_hybrid_rrf_indexed(spark, sf_dir):
 search_hybrid_rrf_indexed.__doc__ = search_hybrid_rrf_indexed.__doc__.replace(
     "{A}", str(_RRF_ARM_K)
 )
+
+
+# ---- positional phrase / proximity search ----------------------------------
+
+_PHRASE = ("hash", "join")
+_NEAR_W = 3
+
+
+_PHRASE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(a)+1),
+                                 i -> {{'pos': i-1, 'tok': a[i]}})) AS u
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents)
+  )
+),
+p1 AS (SELECT doc_id, pos FROM toks WHERE tok = '{_PHRASE[0]}'),
+p2 AS (SELECT doc_id, pos FROM toks WHERE tok = '{_PHRASE[1]}'),
+phrase AS (
+  SELECT a.doc_id, a.pos
+  FROM p1 a JOIN p2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+near AS (
+  SELECT a.doc_id, a.pos
+  FROM p1 a JOIN p2 b ON b.doc_id = a.doc_id
+        AND b.pos > a.pos AND b.pos <= a.pos + {_NEAR_W}
+)
+SELECT n.doc_id,
+       CAST(coalesce(ph.n_phrase, 0) AS BIGINT) AS n_phrase,
+       ph.first_pos,
+       CAST(n.n_near AS BIGINT) AS n_near
+FROM (SELECT doc_id, count(*) AS n_near FROM near GROUP BY doc_id) n
+LEFT JOIN (SELECT doc_id, count(*) AS n_phrase,
+                  CAST(min(pos) AS BIGINT) AS first_pos
+           FROM phrase GROUP BY doc_id) ph
+       ON ph.doc_id = n.doc_id
+"""
+
+
+@query("search_phrase_positions", oracle=_PHRASE_SQL)
+def search_phrase_positions(spark, sf_dir):
+    """Positional phrase + proximity search over a positional inverted
+    index: exact-phrase matches ('{P0} {P1}' = the terms at adjacent
+    positions) and NEAR/{W} proximity matches ('{P1}' within {W} tokens
+    after '{P0}') — the postings-adjacency operator Boolean/phrase IR
+    engines run, next to BM25's ranked family. Emits per matching doc the
+    phrase count, first phrase position, and the proximity count (every
+    near doc appears; phrase columns null/0 when only NEAR matches).
+
+    Pure integer position arithmetic — bit-exact by construction.
+
+    100 TB: the index explode is map-side and each term's postings list
+    is a FILTER on the token column (at real scale: the pre-built
+    search_inverted_postings table, partitioned by term — the join then
+    shuffles two term-shards by doc_id, never the corpus); adjacency and
+    proximity are doc_id-keyed equi-joins with a position range predicate
+    pushed into the join. Work ∝ postings(t1) + postings(t2)."""
+    from ..helpers import spread
+
+    d = spread(T(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
+    )
+    p1 = toks.filter(F.col("tok") == _PHRASE[0]).select("doc_id", "pos")
+    p2 = toks.filter(F.col("tok") == _PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pos2")
+    )
+    phrase = p1.join(
+        p2,
+        (p1["doc_id"] == p2["doc_id"]) & (F.col("pos2") == F.col("pos") + 1),
+    ).select(p1["doc_id"].alias("doc_id"), "pos")
+    near = p1.join(
+        p2,
+        (p1["doc_id"] == p2["doc_id"])
+        & (F.col("pos2") > F.col("pos"))
+        & (F.col("pos2") <= F.col("pos") + _NEAR_W),
+    ).select(p1["doc_id"].alias("doc_id"), "pos")
+    ph = phrase.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_phrase"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )
+    nr = near.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_near")
+    )
+    return nr.join(ph, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_phrase", F.lit(0).cast("bigint")).alias("n_phrase"),
+        "first_pos",
+        "n_near",
+    )
+
+
+search_phrase_positions.__doc__ = (
+    search_phrase_positions.__doc__.replace("{P0}", _PHRASE[0])
+    .replace("{P1}", _PHRASE[1])
+    .replace("{W}", str(_NEAR_W))
+)

@@ -403,3 +403,162 @@ def quality_feature_importance(spark, sf_dir):
         .alias("abs_share"),
         F.row_number().over(wr).cast("int").alias("rank"),
     )
+
+
+# ---- decision-stump learning (histogram split search) ----------------------
+
+_STUMP_QS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _stump_oracle() -> str:
+    qlist = "[" + ", ".join(str(q) for q in _STUMP_QS) + "]"
+    return f"""
+    WITH {_feat_sql()},
+    long AS (
+      SELECT y, 'x1' AS feature, x1 AS x FROM feat
+      UNION ALL SELECT y, 'x2', x2 FROM feat
+      UNION ALL SELECT y, 'x3', x3 FROM feat
+    ),
+    cand AS (
+      SELECT DISTINCT feature,
+             unnest(list_transform(quantile_cont(x, {qlist}),
+                    v -> floor((v + 1e-9) * 1000000 + 0.5) / 1000000)) AS th
+      FROM long GROUP BY feature
+    ),
+    cells AS (
+      SELECT l.feature, c.th,
+             count(*) AS n, sum(l.y) AS s,
+             sum(CASE WHEN l.x <= c.th THEN 1 ELSE 0 END) AS nl,
+             sum(CASE WHEN l.x <= c.th THEN l.y ELSE 0 END) AS sl
+      FROM long l JOIN cand c ON c.feature = l.feature
+      GROUP BY l.feature, c.th
+    ),
+    scored AS (
+      SELECT feature, th,
+             CAST(nl AS BIGINT) AS n_left,
+             CAST(n - nl AS BIGINT) AS n_right,
+             round(CASE WHEN nl > 0 THEN sl / nl ELSE 0.0 END + 1e-9, 6)
+               AS p_left,
+             round(CASE WHEN n - nl > 0 THEN (s - sl) / (n - nl)
+                        ELSE 0.0 END + 1e-9, 6) AS p_right,
+             round((s / n) * (1.0 - s / n)
+                   - (nl * (CASE WHEN nl > 0 THEN (sl / nl)
+                                 * (1.0 - sl / nl) ELSE 0.0 END)
+                      + (n - nl) * (CASE WHEN n - nl > 0
+                                         THEN ((s - sl) / (n - nl))
+                                         * (1.0 - (s - sl) / (n - nl))
+                                         ELSE 0.0 END)) / n
+                   + 1e-9, 6) AS gain
+      FROM cells
+    )
+    SELECT feature, th, n_left, n_right, p_left, p_right, gain,
+           row_number() OVER (ORDER BY gain DESC, feature, th) = 1 AS is_best
+    FROM scored
+    """
+
+
+@query("train_decision_stump", oracle=_stump_oracle())
+def train_decision_stump(spark, sf_dir):
+    """Decision-stump learning over the shared quality features (y =
+    lang='en'; x1 capped length, x2 type-token ratio, x3 stopword
+    fraction): for every (feature, decile-threshold) candidate compute
+    the Gini/variance impurity reduction of the split in ONE aggregate
+    pass, and flag the argmax — the histogram-based split search at the
+    heart of distributed tree learners (XGBoost/LightGBM grow trees by
+    exactly this candidate-bin-aggregate-argmax loop; a stump is its
+    verifiable single round). Binary y makes variance = p(1-p), so the
+    whole criterion derives from four integer-ish sums (n, Σy, n_left,
+    Σy_left) per candidate.
+
+    Determinism: features are 6dp at construction; candidate thresholds
+    are exact interpolated deciles 6dp-floor-quantized (identical
+    interpolation both engines); every ratio is a deterministic double of
+    those quantized inputs; gain 6dp-shift-rounded before the argmax,
+    ties broken (feature, th).
+
+    100 TB: the long fan is 3x the doc count map-side; ONE shuffle
+    aggregates all |features|x|deciles| candidates' sums (each row updates
+    9 bins of its feature — the histogram trick: work ∝ data x bins,
+    never data x splits x passes); the argmax window runs over 27 rows.
+    Growing this into a depth-d tree is d repetitions of the same pass."""
+    d = T(spark, sf_dir, "documents")
+    a = F.split(F.lower("text"), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    feat = d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.round(F.least(F.size(a) / 100.0, F.lit(2.0)), 6).alias("x1"),
+        F.round(F.size(F.array_distinct(a)) * 1.0 / F.size(a), 6).alias("x2"),
+        F.round(
+            F.size(F.filter(a, lambda t: F.array_contains(stop_arr, t)))
+            * 1.0
+            / F.size(a),
+            6,
+        ).alias("x3"),
+    )
+    long = feat.select(
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("feature"), F.col(f).alias("x")
+                    )
+                    for f in ("x1", "x2", "x3")
+                ]
+            )
+        ).alias("fx"),
+    ).select("y", F.col("fx.feature").alias("feature"), F.col("fx.x").alias("x"))
+    qarr = F.array(*[F.lit(q) for q in _STUMP_QS])
+    cand = (
+        long.groupBy("feature")
+        .agg(F.percentile("x", qarr).alias("qs"))
+        .select(
+            "feature",
+            F.explode(
+                F.transform(
+                    F.col("qs"),
+                    lambda v: F.floor((v + F.lit(1e-9)) * 1e6 + F.lit(0.5))
+                    / 1e6,
+                )
+            ).alias("th"),
+        )
+        .distinct()
+    )
+    cells = (
+        long.join(F.broadcast(cand), "feature")
+        .groupBy("feature", "th")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("s"),
+            F.sum(F.when(F.col("x") <= F.col("th"), 1).otherwise(0)).alias(
+                "nl"
+            ),
+            F.sum(
+                F.when(F.col("x") <= F.col("th"), F.col("y")).otherwise(0.0)
+            ).alias("sl"),
+        )
+    )
+    pl = F.when(F.col("nl") > 0, F.col("sl") / F.col("nl")).otherwise(0.0)
+    nr = F.col("n") - F.col("nl")
+    pr = F.when(nr > 0, (F.col("s") - F.col("sl")) / nr).otherwise(0.0)
+    p = F.col("s") / F.col("n")
+    gain = F.round(
+        p * (1.0 - p)
+        - (F.col("nl") * (pl * (1.0 - pl)) + nr * (pr * (1.0 - pr)))
+        / F.col("n")
+        + F.lit(1e-9),
+        6,
+    )
+    from pyspark.sql import Window
+
+    scored = cells.select(
+        "feature",
+        "th",
+        F.col("nl").cast("bigint").alias("n_left"),
+        nr.cast("bigint").alias("n_right"),
+        F.round(pl + F.lit(1e-9), 6).alias("p_left"),
+        F.round(pr + F.lit(1e-9), 6).alias("p_right"),
+        gain.alias("gain"),
+    )
+    w = Window.orderBy(F.desc("gain"), "feature", "th")
+    return scored.withColumn("is_best", F.row_number().over(w) == 1)
