@@ -1658,3 +1658,132 @@ def dq_benford_audit(spark, sf_dir):
         F.col("chi2").alias("chi2_total"),
         (F.col("chi2") > F.lit(_BENFORD_CRIT)).alias("benford_reject"),
     )
+
+
+# ---- Poisson-bootstrap confidence intervals --------------------------------
+
+_BOOT_B = 32
+# Poisson(1) inverse-CDF thresholds, 6dp literals (identical both engines);
+# k capped at 4 (P(k>4) ~ 0.4%)
+_BOOT_CDF = (0.367879, 0.735759, 0.919699, 0.981012)
+
+_BOOT_CASE = (
+    f"CASE WHEN u < {_BOOT_CDF[0]} THEN 0 "
+    f"WHEN u < {_BOOT_CDF[1]} THEN 1 "
+    f"WHEN u < {_BOOT_CDF[2]} THEN 2 "
+    f"WHEN u < {_BOOT_CDF[3]} THEN 3 ELSE 4 END"
+)
+
+_BOOT_SQL = f"""
+WITH fan AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS x, b,
+         (CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                || CAST(l_linenumber AS VARCHAR) || '-'
+                || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000)
+           / CAST(1000000 AS DOUBLE) AS u
+  FROM lineitem, unnest(range(0, {_BOOT_B})) AS t(b)
+),
+wtd AS (SELECT flag, b, x, {_BOOT_CASE} AS w FROM fan),
+rep AS (
+  SELECT flag, CAST(b AS INT) AS replica,
+         CAST(sum(w) AS BIGINT) AS n_eff,
+         round(sum(w * x) / sum(w) + 1e-9, 4) AS boot_mean
+  FROM wtd GROUP BY flag, b
+),
+summ AS (
+  SELECT flag,
+         round(quantile_cont(boot_mean, 0.025) + 1e-9, 4) AS ci_lo,
+         round(quantile_cont(boot_mean, 0.975) + 1e-9, 4) AS ci_hi,
+         round(stddev_samp(boot_mean) + 1e-9, 4) AS boot_se
+  FROM rep GROUP BY flag
+)
+SELECT r.flag AS l_returnflag, r.replica, r.n_eff, r.boot_mean,
+       s.ci_lo, s.ci_hi, s.boot_se
+FROM rep r JOIN summ s ON s.flag = r.flag
+"""
+
+
+@query("agg_bootstrap_ci", oracle=_BOOT_SQL)
+def agg_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap (Chamandy et al., Google): {B} resampling
+    replicas of mean(l_extendedprice) per returnflag in ONE pass — each
+    row contributes w ~ Poisson(1) copies to each replica, with w drawn
+    deterministically from md5(rowkey, replica) through fixed 6dp
+    inverse-CDF thresholds. Emits every replica mean plus the empirical
+    95% CI and bootstrap SE — the scalable alternative to resample-and-
+    recompute (which would rescan the corpus {B} times and need a global
+    row index to sample).
+
+    Determinism: the weight is integer and hash-derived (bit-replayable);
+    the only float sums are the per-replica weighted means, 4dp-shift-cut;
+    the CI quantiles interpolate over {B} deterministic values.
+
+    100 TB: the x{B} fan is map-side (no shuffle amplification — partial
+    aggregation collapses it to |groups| x {B} cells before the
+    exchange); everything downstream runs over 96 rows. This is why
+    Poisson bootstrap IS the web-scale bootstrap: one scan, B counters
+    per group, no sampling coordination."""
+    li = T(spark, sf_dir, "lineitem")
+    fan = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        "l_orderkey",
+        "l_linenumber",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).withColumn(
+        "u",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"),
+                            F.lit("-"),
+                            F.col("l_linenumber").cast("string"),
+                            F.lit("-"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        )
+        / F.lit(1000000.0),
+    )
+    w = (
+        F.when(F.col("u") < _BOOT_CDF[0], 0)
+        .when(F.col("u") < _BOOT_CDF[1], 1)
+        .when(F.col("u") < _BOOT_CDF[2], 2)
+        .when(F.col("u") < _BOOT_CDF[3], 3)
+        .otherwise(4)
+    )
+    rep = (
+        fan.withColumn("w", w)
+        .groupBy("flag", F.col("b").cast("int").alias("replica"))
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.round(
+                F.sum(F.col("w") * F.col("x")) / F.sum("w") + F.lit(1e-9), 4
+            ).alias("boot_mean"),
+        )
+    )
+    summ = rep.groupBy("flag").agg(
+        F.round(F.percentile("boot_mean", 0.025) + F.lit(1e-9), 4).alias(
+            "ci_lo"
+        ),
+        F.round(F.percentile("boot_mean", 0.975) + F.lit(1e-9), 4).alias(
+            "ci_hi"
+        ),
+        F.round(F.stddev_samp("boot_mean") + F.lit(1e-9), 4).alias("boot_se"),
+    )
+    return rep.join(F.broadcast(summ), "flag").select(
+        F.col("flag").alias("l_returnflag"),
+        "replica", "n_eff", "boot_mean", "ci_lo", "ci_hi", "boot_se",
+    )
+
+
+agg_bootstrap_ci.__doc__ = agg_bootstrap_ci.__doc__.replace("{B}", str(_BOOT_B))

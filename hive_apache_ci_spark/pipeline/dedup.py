@@ -2302,3 +2302,108 @@ def graph_bfs_landmarks(spark, sf_dir):
 graph_bfs_landmarks.__doc__ = graph_bfs_landmarks.__doc__.replace(
     "{H}", str(_BFS_HOPS)
 ).replace("{L}", str(_BFS_LANDMARKS))
+
+
+# ---- survivorship: keep the best-quality doc per near-dup cluster ----------
+
+
+def _survivorship_oracle() -> str:
+    from .text_analysis import _STOP_SQL
+
+    quality_sql = f"""
+      SELECT doc_id,
+             round(0.4 * least(n_tokens / 60.0, 1.0)
+                   + 0.3 * least(stop_ratio * 5.0, 1.0)
+                   + 0.3 * ttr + 1e-9, 6) AS quality
+      FROM (
+        SELECT doc_id,
+               len(a) AS n_tokens,
+               len(list_filter(a, t -> t IN {_STOP_SQL})) * 1.0 / len(a)
+                 AS stop_ratio,
+               len(list_distinct(a)) * 1.0 / len(a) AS ttr
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+              FROM documents)
+      )"""
+    return f"""
+    WITH pr AS (SELECT * FROM ({_MINHASH_ORACLE})),
+    q AS ({quality_sql}),
+    e AS (
+      SELECT doc_a AS d, doc_b AS p FROM pr
+      UNION ALL SELECT doc_b, doc_a FROM pr
+    ),
+    canon AS (SELECT d, least(min(p), d) AS c FROM e GROUP BY d),
+    m AS (
+      SELECT c.c AS cluster_id, c.d AS doc_id, q.quality
+      FROM canon c JOIN q ON q.doc_id = c.d
+    ),
+    r AS (
+      SELECT cluster_id, doc_id, quality,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY cluster_id) AS n,
+             min(quality) OVER (PARTITION BY cluster_id) AS minq
+      FROM m
+    )
+    SELECT cluster_id,
+           CAST(n AS BIGINT) AS n_members,
+           doc_id AS survivor_doc,
+           quality AS survivor_q,
+           minq AS min_q,
+           round(quality - minq + 1e-9, 6) AS q_spread
+    FROM r WHERE rk = 1 AND n >= 2
+    """
+
+
+@query("dedup_survivorship", oracle=_survivorship_oracle())
+def dedup_survivorship(spark, sf_dir):
+    """Survivorship resolution: within each MinHash-LSH near-dup cluster
+    keep the HIGHEST-QUALITY member (text_quality_score; ties to the
+    smaller doc_id) instead of the conventional min-id canonical — the
+    step that turns dedup from "drop arbitrary copies" into "keep the
+    best copy", which is what a training pipeline actually wants (the
+    copies differ by boilerplate/truncation, and min-id picks one blind).
+    Cluster = one-hop min-neighbor collapse over the band-join pair
+    table (the dedup_embedding_cosine convention). Emits per multi-member
+    cluster: size, survivor, survivor quality, worst quality, spread —
+    the spread column IS the value-of-survivorship audit.
+
+    100 TB: reuses the two existing dataflows unchanged (LSH band pairs:
+    banded, never pairwise; quality: one codegen map) plus one
+    symmetrize-groupBy for the collapse and one cluster-keyed window over
+    members — every shuffle keyed on doc/cluster id.
+
+    Composition note: calls the registered dedup_minhash_lsh and
+    text_quality_score query callables directly — operators as reusable
+    dataflow builders, not just test endpoints."""
+    from .text_analysis import text_quality_score
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    quality = text_quality_score(spark, sf_dir)
+    e = pairs.select(
+        F.col("doc_a").alias("d"), F.col("doc_b").alias("p")
+    ).union(pairs.select(F.col("doc_b").alias("d"), F.col("doc_a").alias("p")))
+    canon = e.groupBy("d").agg(
+        F.least(F.min("p"), F.col("d")).alias("c")
+    )
+    m = canon.join(quality, canon["d"] == quality["doc_id"]).select(
+        F.col("c").alias("cluster_id"), F.col("doc_id"), F.col("quality")
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("cluster_id")
+    wr = wc.orderBy(F.desc("quality"), "doc_id")
+    r = (
+        m.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .withColumn("minq", F.min("quality").over(wc))
+    )
+    return r.filter((F.col("rk") == 1) & (F.col("n") >= 2)).select(
+        "cluster_id",
+        F.col("n").cast("bigint").alias("n_members"),
+        F.col("doc_id").alias("survivor_doc"),
+        F.col("quality").alias("survivor_q"),
+        F.col("minq").alias("min_q"),
+        F.round(F.col("quality") - F.col("minq") + F.lit(1e-9), 6).alias(
+            "q_spread"
+        ),
+    )
