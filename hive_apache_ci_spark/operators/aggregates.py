@@ -1787,3 +1787,80 @@ def agg_bootstrap_ci(spark, sf_dir):
 
 
 agg_bootstrap_ci.__doc__ = agg_bootstrap_ci.__doc__.replace("{B}", str(_BOOT_B))
+
+
+# ---- weighted median / percentile ------------------------------------------
+
+_WMED_SQL = """
+WITH w AS (
+  SELECT l_returnflag AS flag,
+         l_extendedprice AS x,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS wt,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+c AS (
+  SELECT flag, x, wt,
+         sum(wt) OVER (PARTITION BY flag
+                       ORDER BY x, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumw,
+         sum(wt) OVER (PARTITION BY flag) AS tot
+  FROM w
+)
+SELECT flag AS l_returnflag,
+       CAST(count(*) AS BIGINT)  AS n_rows,
+       CAST(max(tot) AS BIGINT)  AS total_weight,
+       min(CASE WHEN 2 * cumw >= tot THEN x END)       AS w_p50,
+       min(CASE WHEN 10 * cumw >= 9 * tot THEN x END)  AS w_p90
+FROM c GROUP BY flag
+"""
+
+
+@query("agg_weighted_median", oracle=_WMED_SQL)
+def agg_weighted_median(spark, sf_dir):
+    """Weighted median / p90 (weight = quantity): the smallest price whose
+    cumulative weight reaches q of the total — the aggregation Spark and
+    Hive both lack natively (percentile() weighs rows equally; pricing,
+    inventory, and token-budget questions weigh by units). Lower weighted
+    quantile, no interpolation.
+
+    Exactness: weights are floor(+0.5)-integerized (quantities are
+    integral; CAST double->long truncates in Spark and rounds in DuckDB,
+    so neither bare cast is portable), making the cumulative sum, the
+    total, and the threshold test (2*cumw >= tot; 10*cumw >= 9*tot) pure
+    BIGINT — bit-exact, no float-boundary discipline needed at all. The
+    frame order carries the unique rowkey tiebreak.
+
+    100 TB: one shuffle on the group key; the running sum is WindowExec's
+    O(1)-memory streaming prefix frame; the conditional-min collapse
+    reuses the same exchange. Contrast with the naive 'sort all, pick
+    middle' — no global sort, no second pass."""
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wrun = (
+        Window.partitionBy("flag")
+        .orderBy("x", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("flag")
+    c = li.withColumn("cumw", F.sum("wt").over(wrun)).withColumn(
+        "tot", F.sum("wt").over(wall)
+    )
+    return c.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max("tot").cast("bigint").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cumw") >= F.col("tot"), F.col("x"))
+        ).alias("w_p50"),
+        F.min(
+            F.when(10 * F.col("cumw") >= 9 * F.col("tot"), F.col("x"))
+        ).alias("w_p90"),
+    )

@@ -578,9 +578,9 @@ def ivf_assign(spark, sf_dir):
 _IVF_PROBE = 2  # nprobe: centroids searched per query
 
 
-def _ivf_search_sql(nprobe: int) -> str:
-    """The IVF search CTE chain parametrized by nprobe (round 6: shared by
-    ivf_probe_topk / ann_recall_report / ann_nprobe_sweep)."""
+def _ivf_ranked_ctes(nprobe: int) -> str:
+    """The IVF candidate+rank CTE chain (through ``ranked``), shared by the
+    top-k search oracles AND the round-7 radius search."""
     return (
         _CENTROID_SQL
         + f"""
@@ -627,6 +627,16 @@ def _ivf_search_sql(nprobe: int) -> str:
       JOIN embeddings q ON q.vec_id = c.query_id
       JOIN embeddings n ON n.vec_id = c.neighbor_id
     )
+    """
+    )
+
+
+def _ivf_search_sql(nprobe: int) -> str:
+    """Top-k IVF search oracle (shared by ivf_probe_topk /
+    ann_recall_report / ann_nprobe_sweep)."""
+    return (
+        _ivf_ranked_ctes(nprobe)
+        + f"""
     SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
     FROM ranked WHERE rank <= {TOP_K}
     """
@@ -654,8 +664,27 @@ def ivf_probe_topk(spark, sf_dir):
 
 
 def _ivf_search(spark, sf_dir, nprobe: int):
-    """IVF search dataflow parametrized by nprobe (shared with
-    ann_nprobe_sweep)."""
+    """Top-k IVF search (shared with ann_nprobe_sweep): rank the shared
+    candidate sims and keep TOP_K."""
+    from pyspark.sql import Window
+
+    sims = _ivf_candidate_sims(spark, sf_dir, nprobe)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
+
+
+def _ivf_candidate_sims(spark, sf_dir, nprobe: int):
+    """IVF candidate generation + exact cosine, parametrized by nprobe —
+    the shared pre-ranking dataflow for top-k AND radius search."""
     from pyspark.sql import Window
 
     e = T(spark, sf_dir, "embeddings")
@@ -728,7 +757,7 @@ def _ivf_search(spark, sf_dir, nprobe: int):
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cn"),
     )
-    sims = (
+    return (
         cands.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
         .select(
@@ -738,14 +767,6 @@ def _ivf_search(spark, sf_dir, nprobe: int):
                 "sim_raw"
             ),
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim_raw").desc(), F.col("neighbor_id")
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("sim_raw", 6).alias("sim"))
     )
 
 
@@ -3105,3 +3126,53 @@ def ann_filtered_topk(spark, sf_dir):
 ann_filtered_topk.__doc__ = ann_filtered_topk.__doc__.replace(
     "{K}", str(_FILT_TOPK)
 )
+
+
+# ---- radius (range) search over the IVF index ------------------------------
+
+_RANGE_R = 0.15
+
+_RANGE_ORACLE = (
+    _ivf_ranked_ctes(_IVF_PROBE)
+    + f"""
+    SELECT query_id, neighbor_id, rank,
+           round(sim + 1e-9, 6) AS sim
+    FROM ranked WHERE round(sim + 1e-9, 6) >= {_RANGE_R}
+    """
+)
+
+
+@query("ann_range_search", oracle=_RANGE_ORACLE)
+def ann_range_search(spark, sf_dir):
+    """Radius (range) search over the IVF index: ALL neighbors with cosine
+    >= {R} within the probed inverted lists, per query — the
+     'everything this similar' operator (dedup sweeps, recommendation
+    fan-outs, contamination screens) next to top-k's 'the k most
+    similar'. Shares the exact candidate-generation dataflow with
+    ivf_probe_topk (broadcast centroids, map-side argmin routing,
+    list-keyed candidate join); only the final cut differs — a quantized
+    radius filter instead of a rank window, plus the within-results rank
+    for stable presentation.
+
+    Determinism: 6dp-shift-rounded sim on BOTH the cut and the output;
+    rank tie-broken by neighbor_id.
+
+    100 TB: identical cost profile to the top-k search (candidates ∝
+    probed lists, never corpus); the radius variant returns an unbounded-
+    per-query result by SEMANTICS, so downstream consumers paginate on
+    (query_id, rank) — which this emits — rather than collecting."""
+    from pyspark.sql import Window
+
+    sims = _ivf_candidate_sims(spark, sf_dir, _IVF_PROBE)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .withColumn("sim", F.round(F.col("sim_raw") + F.lit(1e-9), 6))
+        .filter(F.col("sim") >= _RANGE_R)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+ann_range_search.__doc__ = ann_range_search.__doc__.replace("{R}", str(_RANGE_R))

@@ -684,3 +684,88 @@ def text_keyword_rake(spark, sf_dir):
 
 
 text_keyword_rake.__doc__ = text_keyword_rake.__doc__.replace("{K}", str(_RAKE_K))
+
+
+# ---- label-noise audit: lang label vs lang-ID prediction --------------------
+
+_CONF_SQL = f"""
+WITH pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t IN {_STOP_SQL})) >= 2
+              THEN 'en' ELSE 'unknown' END AS pred_lang
+  FROM documents
+),
+cells AS (
+  SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang
+),
+per_lang AS (SELECT lang, sum(n) AS lang_n FROM cells GROUP BY lang),
+tot AS (
+  SELECT sum(n) AS total,
+         sum(CASE WHEN (lang = 'en') = (pred_lang = 'en') THEN n ELSE 0 END)
+           AS agree
+  FROM cells
+)
+SELECT c.lang, c.pred_lang,
+       CAST(c.n AS BIGINT) AS n,
+       round(c.n * 1.0 / p.lang_n + 1e-9, 6) AS lang_share,
+       round((SELECT agree * 1.0 / total FROM tot) + 1e-9, 6)
+         AS overall_agreement
+FROM cells c JOIN per_lang p ON p.lang = c.lang
+"""
+
+
+@query("quality_label_confusion", oracle=_CONF_SQL)
+def quality_label_confusion(spark, sf_dir):
+    """Label-noise audit: confusion matrix between the stored ``lang``
+    label and the stopword lang-ID prediction (text_lang_id's heuristic),
+    with per-label shares and the overall en/non-en agreement rate — the
+    'do my labels and my classifier disagree, and where' report that
+    precedes trusting either for filtering or mix allocation.
+
+    100 TB: one codegen map + a |labels x predictions| cell aggregate; the
+    share join is over the tiny cell table. Scan-bound."""
+    d = T(spark, sf_dir, "documents")
+    pred = d.select(
+        "lang",
+        F.when(
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"),
+                    lambda t: t.isin(*STOPWORDS),
+                )
+            )
+            >= 2,
+            "en",
+        )
+        .otherwise("unknown")
+        .alias("pred_lang"),
+    )
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_lang = cells.groupBy("lang").agg(F.sum("n").alias("lang_n"))
+    tot = cells.agg(
+        F.sum("n").alias("total"),
+        F.sum(
+            F.when(
+                (F.col("lang") == "en") == (F.col("pred_lang") == "en"),
+                F.col("n"),
+            ).otherwise(0)
+        ).alias("agree"),
+    )
+    return (
+        cells.join(per_lang, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "pred_lang",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("lang_n") + F.lit(1e-9), 6).alias(
+                "lang_share"
+            ),
+            F.round(
+                F.col("agree") / F.col("total") + F.lit(1e-9), 6
+            ).alias("overall_agreement"),
+        )
+    )
