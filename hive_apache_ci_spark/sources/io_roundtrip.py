@@ -918,3 +918,180 @@ def io_csv_malformed_quarantine(spark, sf_dir):
             F.sum("h").cast("bigint").alias("line_digest"),
         )
     )
+
+
+# ---- consistent-hashing shard assignment / reshard audit --------------------
+
+_CH_V = 16          # virtual nodes per shard
+_CH_S0, _CH_S1 = 8, 9
+_CH_RING = 4294967296  # 2^32 ring positions
+
+
+def _ch_ring_sql(n_shards: int) -> str:
+    return f"""(
+      SELECT list(struct_pack(pos := pos, shard := shard)
+                  ORDER BY pos, shard) AS ring
+      FROM (
+        SELECT s.shard,
+               CAST(('0x' || substr(md5(CAST(s.shard AS VARCHAR) || ':'
+                      || CAST(r.r AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % {_CH_RING} AS pos
+        FROM unnest(range(0, {n_shards})) AS s(shard),
+             unnest(range(0, {_CH_V})) AS r(r)
+      )
+    )"""
+
+
+_CH_PICK = (
+    "CASE WHEN len(list_filter({ring}, n -> n.pos >= dp)) > 0 "
+    "THEN list_filter({ring}, n -> n.pos >= dp)[1].shard "
+    "ELSE {ring}[1].shard END"
+)
+
+_CH_SQL = f"""
+WITH r0 AS {_ch_ring_sql(_CH_S0)},
+r1 AS {_ch_ring_sql(_CH_S1)},
+docs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {_CH_RING} AS dp
+  FROM documents
+),
+assigned AS (
+  SELECT d.doc_id,
+         {_CH_PICK.format(ring="r0.ring")} AS s_before,
+         {_CH_PICK.format(ring="r1.ring")} AS s_after
+  FROM docs d CROSS JOIN r0 CROSS JOIN r1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN s_before <> s_after THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved
+  FROM assigned
+)
+SELECT CAST(a.s_after AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_after,
+       CAST(sum(CASE WHEN a.s_before = a.s_after THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stayed,
+       CAST(sum(CASE WHEN a.s_before <> a.s_after THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_arrived,
+       round((SELECT n_moved * 1.0 / n_total FROM tot) + 1e-9, 6)
+         AS moved_share
+FROM assigned a GROUP BY a.s_after
+"""
+
+
+@query("io_consistent_hash_shards", oracle=_CH_SQL)
+def io_consistent_hash_shards(spark, sf_dir):
+    """Consistent-hashing shard assignment + reshard audit: documents land
+    on a {V}-virtual-node md5 ring of {S0} shards, then the ring grows to
+    {S1} shards and the report shows, per new shard, how many docs stayed
+    vs arrived and the global moved share — which consistent hashing
+    bounds near 1/{S1} (~11%), where naive mod-sharding moves ~8/9 of the
+    corpus. The layout op behind any incremental reshard / cache ring /
+    partition-evolution story.
+
+    Pure integer md5 arithmetic; the ring is an array literal-equivalent
+    (collected once, broadcast); successor lookup = first ring node with
+    pos >= doc pos, wrapping to the ring head — ties impossible to
+    diverge because the ring array is sorted (pos, shard) identically in
+    both engines.
+
+    100 TB: the rings are O(shards x vnodes) rows collected into ONE
+    broadcast array row; assignment is a pure map over the scan (no
+    shuffle at all until the 9-row report aggregate)."""
+    d = T(spark, sf_dir, "documents")
+
+    def ring_df(n_shards: int):
+        nodes = spark.createDataFrame(
+            [(s, r) for s in range(n_shards) for r in range(_CH_V)],
+            "shard int, r int",
+        )
+        pos = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("shard").cast("string"),
+                            F.lit(":"),
+                            F.col("r").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CH_RING
+        )
+        return nodes.select(pos.alias("pos"), "shard").agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "shard"))
+            ).alias("ring")
+        )
+
+    def pick(ring_col):
+        nxt = F.filter(ring_col, lambda n: n["pos"] >= F.col("dp"))
+        return F.when(
+            F.size(nxt) > 0, F.element_at(nxt, 1)["shard"]
+        ).otherwise(F.element_at(ring_col, 1)["shard"])
+
+    docs = d.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % _CH_RING
+        ).alias("dp"),
+    )
+    assigned = (
+        docs.crossJoin(F.broadcast(ring_df(_CH_S0).select(F.col("ring").alias("r0"))))
+        .crossJoin(F.broadcast(ring_df(_CH_S1).select(F.col("ring").alias("r1"))))
+        .select(
+            "doc_id",
+            pick(F.col("r0")).alias("s_before"),
+            pick(F.col("r1")).alias("s_after"),
+        )
+    )
+    tot = assigned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(
+            F.when(F.col("s_before") != F.col("s_after"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_moved"),
+    )
+    return (
+        assigned.groupBy(F.col("s_after").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after"),
+            F.sum(
+                F.when(F.col("s_before") == F.col("s_after"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_stayed"),
+            F.sum(
+                F.when(F.col("s_before") != F.col("s_after"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_arrived"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard", "n_after", "n_stayed", "n_arrived",
+            F.round(
+                F.col("n_moved") / F.col("n_total") + F.lit(1e-9), 6
+            ).alias("moved_share"),
+        )
+    )
+
+
+io_consistent_hash_shards.__doc__ = (
+    io_consistent_hash_shards.__doc__.replace("{V}", str(_CH_V))
+    .replace("{S0}", str(_CH_S0))
+    .replace("{S1}", str(_CH_S1))
+)
