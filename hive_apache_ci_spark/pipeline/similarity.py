@@ -3151,8 +3151,9 @@ def ann_range_search(spark, sf_dir):
     similar'. Shares the exact candidate-generation dataflow with
     ivf_probe_topk (broadcast centroids, map-side argmin routing,
     list-keyed candidate join); only the final cut differs — a quantized
-    radius filter instead of a rank window, plus the within-results rank
-    for stable presentation.
+    radius filter instead of a rank window. The emitted rank is the
+    candidate rank (position among all probed candidates by sim desc), so
+    boundary rounding can leave small gaps — identically in both engines.
 
     Determinism: 6dp-shift-rounded sim on BOTH the cut and the output;
     rank tie-broken by neighbor_id.
@@ -3160,7 +3161,7 @@ def ann_range_search(spark, sf_dir):
     100 TB: identical cost profile to the top-k search (candidates ∝
     probed lists, never corpus); the radius variant returns an unbounded-
     per-query result by SEMANTICS, so downstream consumers paginate on
-    (query_id, rank) — which this emits — rather than collecting."""
+    (query_id, rank) rather than collecting."""
     from pyspark.sql import Window
 
     sims = _ivf_candidate_sims(spark, sf_dir, _IVF_PROBE)
