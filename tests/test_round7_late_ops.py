@@ -179,3 +179,116 @@ def test_upsample_epochs_budget_arithmetic(spark):
     # the largest language IS the budget: exactly 1 epoch, no top-up
     top = [r for r in rows if r.total_tokens == budget]
     assert len(top) == 1 and top[0].base_epochs == 1 and top[0].overshoot == 0
+
+def test_ppl_sweep_survival_monotone(spark):
+    rows = sorted(run(spark, "quality_ppl_filter_sweep").collect(),
+                  key=lambda r: r.f)
+    assert len(rows) == 7
+    kept = [r.n_kept for r in rows]
+    assert kept == sorted(kept)  # higher cutoff can only keep more
+    assert all(0.0 <= r.doc_share <= 1.0 for r in rows)
+    assert rows[-1].n_kept > 0
+
+
+def test_contamination_embedding_constraints(spark):
+    from hive_apache_ci_spark.pipeline.corpus import _CEMB_MOD, _CEMB_TH
+
+    rows = run(spark, "contamination_embedding").collect()
+    assert rows
+    for r in rows:
+        assert r.vec_id % _CEMB_MOD != 0          # corpus side only
+        assert r.best_bench_id % _CEMB_MOD == 0   # matched a benchmark vec
+        assert r.best_sim > _CEMB_TH
+        assert r.n_bench_hits >= 1
+
+
+def test_stump_single_best_nonneg_gain(spark):
+    rows = run(spark, "train_decision_stump").collect()
+    best = [r for r in rows if r.is_best]
+    assert len(best) == 1
+    # weighted child impurity never exceeds parent impurity (concavity)
+    assert best[0].gain >= 0
+    for r in rows:
+        assert 0.0 <= r.p_left <= 1.0 + 1e-9
+        assert 0.0 <= r.p_right <= 1.0 + 1e-9
+        assert r.n_left + r.n_right == rows[0].n_left + rows[0].n_right
+
+
+def test_phrase_positions_phrase_subset_of_near(spark):
+    df = run(spark, "search_phrase_positions")
+    assert df.filter(F.col("n_phrase") > F.col("n_near")).count() == 0
+    assert (
+        df.filter(
+            (F.col("n_phrase") == 0) != F.col("first_pos").isNull()
+        ).count()
+        == 0
+    )
+
+
+def test_bootstrap_ci_brackets_replicas(spark):
+    rows = run(spark, "agg_bootstrap_ci").collect()
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(r)
+    for flag, rs in by_flag.items():
+        assert len(rs) == 32
+        lo, hi = rs[0].ci_lo, rs[0].ci_hi
+        assert lo <= hi
+        means = sorted(x.boot_mean for x in rs)
+        # the interpolated 2.5/97.5 quantiles bracket the middle replicas
+        assert lo <= means[len(means) // 2] <= hi
+        assert all(x.n_eff > 0 for x in rs)
+
+
+def test_survivorship_quality_ordering(spark):
+    rows = run(spark, "dedup_survivorship").collect()
+    assert rows
+    for r in rows:
+        assert r.n_members >= 2
+        assert r.survivor_q >= r.min_q
+        assert abs((r.survivor_q - r.min_q) - r.q_spread) < 2e-6
+
+
+def test_weighted_median_ordering(spark):
+    rows = run(spark, "agg_weighted_median").collect()
+    assert rows
+    for r in rows:
+        assert r.w_p50 <= r.w_p90
+        assert r.total_weight > 0
+
+
+def test_label_confusion_shares_sum(spark):
+    df = run(spark, "quality_label_confusion")
+    g = df.groupBy("lang").agg(F.sum("lang_share").alias("s")).collect()
+    assert g and all(abs(r.s - 1.0) < 1e-3 for r in g)
+    a = df.select("overall_agreement").first()[0]
+    assert 0.0 <= a <= 1.0
+
+
+def test_range_search_contains_qualifying_topk(spark):
+    from hive_apache_ci_spark.pipeline.similarity import _RANGE_R
+
+    rng = run(spark, "ann_range_search")
+    assert rng.filter(F.col("sim") < _RANGE_R).count() == 0
+    topk = run(spark, "ivf_probe_topk")
+    # every top-k hit above the radius must appear in the range results
+    qual = topk.filter(F.col("sim") >= _RANGE_R + 1e-6).select(
+        "query_id", "neighbor_id"
+    )
+    missing = qual.join(
+        rng.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    )
+    assert missing.count() == 0
+
+
+def test_consistent_hash_conservation_and_bound(spark):
+    from hive_apache_ci_spark.catalog import load_table
+
+    rows = run(spark, "io_consistent_hash_shards").collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_after for r in rows) == n_docs
+    assert sum(r.n_arrived for r in rows) + sum(r.n_stayed for r in rows) == n_docs
+    # consistent hashing moves ~1/9; assert well under mod-sharding's ~8/9
+    assert rows[0].moved_share < 0.3
