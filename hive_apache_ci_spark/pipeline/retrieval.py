@@ -817,18 +817,19 @@ def search_phrase_positions(spark, sf_dir):
     )
     p1 = toks.filter(F.col("tok") == _PHRASE[0]).select("doc_id", "pos")
     p2 = toks.filter(F.col("tok") == _PHRASE[1]).select(
-        "doc_id", F.col("pos").alias("pos2")
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2")
     )
     phrase = p1.join(
         p2,
-        (p1["doc_id"] == p2["doc_id"]) & (F.col("pos2") == F.col("pos") + 1),
-    ).select(p1["doc_id"].alias("doc_id"), "pos")
+        (F.col("doc_id2") == F.col("doc_id"))
+        & (F.col("pos2") == F.col("pos") + 1),
+    ).select("doc_id", "pos")
     near = p1.join(
         p2,
-        (p1["doc_id"] == p2["doc_id"])
+        (F.col("doc_id2") == F.col("doc_id"))
         & (F.col("pos2") > F.col("pos"))
         & (F.col("pos2") <= F.col("pos") + _NEAR_W),
-    ).select(p1["doc_id"].alias("doc_id"), "pos")
+    ).select("doc_id", "pos")
     ph = phrase.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_phrase"),
         F.min("pos").cast("bigint").alias("first_pos"),
