@@ -2029,3 +2029,153 @@ def events_mad_outliers(spark, sf_dir):
         "mad",
         "robust_z",
     )
+
+
+# ---- rolling-origin forecast backtest --------------------------------------
+
+_BT_FRACS = (0.6, 0.8)
+_BT_H = 3
+
+_BT_LNEW = _q6("0.5 * s.v + 0.5 * (r.l + r.b)")
+
+_BT_SQL = f"""
+WITH RECURSIVE hb AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+         floor((avg(CAST(value AS DOUBLE)) + 1e-9) * 1000000 + 0.5) / 1000000 AS v
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+  FROM hb
+),
+sz AS (SELECT event_type, max(rn) AS n FROM seq GROUP BY event_type),
+cuts AS (
+  SELECT z.event_type, t.f,
+         CAST(floor(z.n * t.f) AS BIGINT) AS cut, z.n
+  FROM sz z, (VALUES {", ".join(f"(CAST({f} AS DOUBLE))" for f in _BT_FRACS)})
+       t(f)
+  WHERE CAST(floor(z.n * t.f) AS BIGINT) >= 2
+    AND CAST(floor(z.n * t.f) AS BIGINT) + {_BT_H} <= z.n
+),
+rec AS (
+  SELECT c.event_type, c.f, c.cut,
+         CAST(1 AS BIGINT) AS rn,
+         s1.v AS l,
+         {_q6("s2.v - s1.v")} AS b
+  FROM cuts c
+  JOIN seq s1 ON s1.event_type = c.event_type AND s1.rn = 1
+  JOIN seq s2 ON s2.event_type = c.event_type AND s2.rn = 2
+  UNION ALL
+  SELECT r.event_type, r.f, r.cut, r.rn + 1,
+         {_BT_LNEW},
+         {_q6(f"0.25 * ({_BT_LNEW} - r.l) + 0.75 * r.b")}
+  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+  WHERE r.rn + 1 <= r.cut
+),
+fin AS (SELECT event_type, f, cut, l, b FROM rec WHERE rn = cut),
+hs AS (SELECT unnest(range(1, {_BT_H} + 1)) AS h),
+ev AS (
+  SELECT fin.event_type, fin.f, fin.cut, hs.h,
+         floor((fin.l + hs.h * fin.b) * 10000 + 0.5) / 10000 AS forecast,
+         floor(a.v * 10000 + 0.5) / 10000 AS actual
+  FROM fin CROSS JOIN hs
+  JOIN seq a ON a.event_type = fin.event_type AND a.rn = fin.cut + hs.h
+)
+SELECT event_type, f AS cutoff_frac, cut AS cutoff_rn, CAST(h AS INT) AS h,
+       forecast, actual,
+       round(abs(forecast - actual) / greatest(abs(actual), 1e-6) + 1e-9, 6)
+         AS ape
+FROM ev
+"""
+
+
+@query("events_forecast_backtest", oracle=_BT_SQL)
+def events_forecast_backtest(spark, sf_dir):
+    """Rolling-origin forecast backtest of the Holt linear smoother: for
+    each series, train on the first 60% / 80% of hourly buckets, forecast
+    h=1..{H} ahead, and score absolute percentage error against the
+    held-out actuals — the evaluation loop that decides whether
+    events_holt_linear's model is trustworthy before anyone alarms on it
+    (training-set fit like SSE cannot say that; only out-of-sample error
+    can).
+
+    Same bit-exact recurrence as events_holt_linear (6dp half-up floor
+    quantization per step; the DuckDB oracle replays it with a recursive
+    CTE whose state rows carry a (series, cutoff) key and stop at each
+    cutoff). Forecast/actual cut at 4dp before the APE ratio; APE guards
+    a near-zero actual with greatest(|a|, 1e-6).
+
+    100 TB: identical shape to the smoother — map-side collapse to
+    (type, hour), then per-(series x cutoff) sequential recursion over
+    calendar-bounded state, keyed-parallel in one applyInPandas (each
+    group replays its prefix once per cutoff; cutoffs are a constant)."""
+    import math
+
+    import pandas as pd
+
+    e = T(spark, sf_dir, "events")
+    hb = e.groupBy(
+        "event_type",
+        (F.floor(F.col("ts").cast("double") / 3600) * 3600)
+        .cast("bigint")
+        .alias("bucket"),
+    ).agg(
+        (
+            F.floor(
+                (F.avg(F.col("value").cast("double")) + F.lit(1e-9)) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("v")
+    )
+
+    def backtest(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        v = pdf["v"].to_numpy()
+        n = len(v)
+        out = []
+        for frac in _BT_FRACS:
+            cut = math.floor(n * frac)
+            if cut < 2 or cut + _BT_H > n:
+                continue
+            l = v[0]
+            b = math.floor((v[1] - v[0]) * 1000000 + 0.5) / 1000000
+            for t in range(1, cut):
+                pred = l + b
+                l_new = math.floor(
+                    (0.5 * v[t] + 0.5 * pred) * 1000000 + 0.5
+                ) / 1000000
+                b = math.floor(
+                    (0.25 * (l_new - l) + 0.75 * b) * 1000000 + 0.5
+                ) / 1000000
+                l = l_new
+            for h in range(1, _BT_H + 1):
+                fc = math.floor((l + h * b) * 10000 + 0.5) / 10000
+                ac = math.floor(v[cut + h - 1] * 10000 + 0.5) / 10000
+                ape = math.floor(
+                    (abs(fc - ac) / max(abs(ac), 1e-6) + 1e-9) * 1000000 + 0.5
+                )
+                out.append(
+                    {
+                        "event_type": pdf["event_type"].iloc[0],
+                        "cutoff_frac": frac,
+                        "cutoff_rn": cut,
+                        "h": h,
+                        "forecast": fc,
+                        "actual": ac,
+                        "ape": ape / 1000000,
+                    }
+                )
+        cols = [
+            "event_type", "cutoff_frac", "cutoff_rn", "h",
+            "forecast", "actual", "ape",
+        ]
+        return pd.DataFrame(out, columns=cols)
+
+    return hb.groupBy("event_type").applyInPandas(
+        backtest,
+        "event_type string, cutoff_frac double, cutoff_rn bigint, h int, "
+        "forecast double, actual double, ape double",
+    )

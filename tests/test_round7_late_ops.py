@@ -292,3 +292,15 @@ def test_consistent_hash_conservation_and_bound(spark):
     assert sum(r.n_arrived for r in rows) + sum(r.n_stayed for r in rows) == n_docs
     # consistent hashing moves ~1/9; assert well under mod-sharding's ~8/9
     assert rows[0].moved_share < 0.3
+
+def test_forecast_backtest_shape_and_ape(spark):
+    rows = run(spark, "events_forecast_backtest").collect()
+    assert rows
+    # every (type, cutoff) emits exactly h=1..3
+    from collections import defaultdict
+    g = defaultdict(list)
+    for r in rows:
+        g[(r.event_type, r.cutoff_rn)].append(r.h)
+        assert r.ape >= 0
+        assert r.cutoff_rn >= 2
+    assert all(sorted(v) == [1, 2, 3] for v in g.values())
