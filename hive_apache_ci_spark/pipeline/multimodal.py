@@ -359,3 +359,138 @@ def multimodal_resize_stub(spark, sf_dir):
     return d.select("doc_id", "payload").mapInPandas(
         _resize_batch, schema=_RESIZE_SCHEMA
     )
+
+
+# ---- cross-modal retrieval (stub encoders) ---------------------------------
+
+_XM_DOCS = 40    # "image" side: first docs
+_XM_CAPS = 50    # "caption" side: first embedding vectors
+_XM_DIM = 8      # stub image-embedding dims (first 8 dims of the text side)
+
+
+def _xm_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stub image encoder: 8 pseudo-embedding dims from the
+    payload's md5 digest bytes, centered to [-1, 1]."""
+    for pdf in batches:
+        embs = []
+        for payload in pdf["payload"]:
+            dg = hashlib.md5(bytes(payload)).digest()
+            embs.append([(dg[k] - 127.5) / 127.5 for k in range(_XM_DIM)])
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "iemb": embs})
+
+
+_XM_COS = (
+    "list_sum(list_transform(list_zip(iemb, temb), p -> p[1] * p[2]))"
+    " / (sqrt(list_sum(list_transform(iemb, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(temb, x -> x * x))))"
+)
+
+_XM_SQL = f"""
+WITH img AS (
+  SELECT doc_id,
+         list_transform(range(0, {_XM_DIM}), k ->
+           (((strpos('0123456789abcdef', substring(md5(text), 2*k + 1, 1)) - 1)
+              * 16
+             + (strpos('0123456789abcdef', substring(md5(text), 2*k + 2, 1))
+                - 1)) - 127.5) / 127.5
+         ) AS iemb
+  FROM documents WHERE doc_id < {_XM_DOCS}
+),
+cap AS (
+  SELECT vec_id, label,
+         list_transform(embedding[1:{_XM_DIM}], x -> CAST(x AS DOUBLE))
+           AS temb
+  FROM embeddings WHERE vec_id < {_XM_CAPS}
+),
+scored AS (
+  SELECT i.doc_id, c.vec_id, c.label,
+         round({_XM_COS} + 1e-9, 6) AS sim
+  FROM img i CROSS JOIN cap c
+)
+SELECT doc_id, vec_id AS best_caption, label AS best_label, sim
+FROM (
+  SELECT doc_id, vec_id, label, sim,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sim DESC, vec_id) AS rk
+  FROM scored
+)
+WHERE rk = 1
+"""
+
+
+@query("multimodal_crossmodal_match", oracle=_XM_SQL)
+def multimodal_crossmodal_match(spark, sf_dir):
+    """Cross-modal retrieval (CLIP-style topology, stub encoders): a
+    mapInPandas image encoder derives an {D}-dim pseudo-embedding from
+    each binary payload's md5 digest bytes; the caption side is the first
+    {D} dims of the embeddings table; every image matches its best
+    caption by cosine. The stub bodies are swappable for real CLIP
+    towers — what the oracle certifies is the TOPOLOGY: Arrow-batched
+    encode, broadcast caption tower, pairwise cosine over the candidate
+    block, per-image argmax with id tie-break.
+
+    Determinism: digest-byte image embeddings are exact integers scaled
+    by exact constants; cosine folds run in identical sequential order;
+    sim 6dp-shift-rounded before the cut.
+
+    100 TB: the caption tower broadcasts (or LSH-buckets, as in
+    contamination_embedding, when it outgrows a broadcast); the encode is
+    columnar Arrow batches; the match block is map-side. The deliberate
+    {I}x{C} dense block here stands in for the per-bucket block of the
+    bucketed form."""
+    d = with_binary_payload(
+        T(spark, sf_dir, "documents").filter(F.col("doc_id") < _XM_DOCS)
+    )
+    img = d.select("doc_id", "payload").mapInPandas(
+        _xm_encode_batch, schema="doc_id bigint, iemb array<double>"
+    )
+    cap = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _XM_CAPS)
+        .select(
+            "vec_id",
+            "label",
+            F.transform(
+                F.slice(F.col("embedding"), 1, _XM_DIM),
+                lambda x: x.cast("double"),
+            ).alias("temb"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("iemb"), F.col("temb"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    scored = img.crossJoin(F.broadcast(cap)).select(
+        "doc_id",
+        "vec_id",
+        "label",
+        F.round(
+            dot / (nrm(F.col("iemb")) * nrm(F.col("temb"))) + F.lit(1e-9), 6
+        ).alias("sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("vec_id").alias("best_caption"),
+            F.col("label").alias("best_label"),
+            "sim",
+        )
+    )
+
+
+multimodal_crossmodal_match.__doc__ = (
+    multimodal_crossmodal_match.__doc__.replace("{D}", str(_XM_DIM))
+    .replace("{I}", str(_XM_DOCS))
+    .replace("{C}", str(_XM_CAPS))
+)
