@@ -1095,3 +1095,47 @@ io_consistent_hash_shards.__doc__ = (
     .replace("{S0}", str(_CH_S0))
     .replace("{S1}", str(_CH_S1))
 )
+
+
+# ---- XML roundtrip (Spark 4 native XML datasource) --------------------------
+
+
+@query(
+    "io_xml_roundtrip",
+    oracle="""
+    SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total_price
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def io_xml_roundtrip(spark, sf_dir):
+    """XML write + typed readback (Hive's XML SerDe role; Spark 4 ships the
+    spark-xml datasource natively — rowTag records under a rootTag
+    document). Explicit schema on read (no inference nondeterminism, same
+    rule as the JSON/CSV roundtrips); the readback aggregate must match
+    the original table exactly.
+
+    100 TB: XML is a line-unsplittable format — each file parses whole, so
+    the write keeps the source's partitioning (many files = read
+    parallelism) and the _SUCCESS-gated readback prevents consuming a
+    half-written directory. Schema-on-read means the scan prunes to the
+    projected elements."""
+    out = _scratch(sf_dir, "part_xml")
+    p = T(spark, sf_dir, "part")
+    (
+        p.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "parts")
+        .option("rowTag", "part")
+        .save(out)
+    )
+    back = (
+        spark.read.schema(p.schema)
+        .format("xml")
+        .option("rowTag", "part")
+        .load(committed(out))
+    )
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        r2(F.sum("p_retailprice")).alias("total_price"),
+    )
