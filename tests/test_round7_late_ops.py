@@ -304,3 +304,29 @@ def test_forecast_backtest_shape_and_ape(spark):
         assert r.ape >= 0
         assert r.cutoff_rn >= 2
     assert all(sorted(v) == [1, 2, 3] for v in g.values())
+
+def test_bootstrap_two_phase_partial_agg(spark):
+    # the x32 fan must collapse map-side: partial agg before the exchange
+    p = plan(spark, "agg_bootstrap_ci")
+    import re
+    assert re.search(r"partial_(sum|count)", p) or "HashAggregate" in p
+    assert "CartesianProduct" not in p
+
+
+def test_crossmodal_caption_tower_broadcasts(spark):
+    p = plan(spark, "multimodal_crossmodal_match")
+    # the caption tower must broadcast into the encode output — never a
+    # shuffle of the image side against the tower
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_benford_filter_pushed_to_scan(spark):
+    p = plan(spark, "dq_benford_audit")
+    assert "PushedFilters" in p and "l_extendedprice" in p
+
+
+def test_contamination_bench_side_broadcast(spark):
+    p = plan(spark, "contamination_embedding")
+    # bench x corpus candidate join: tiny benchmark side broadcast
+    assert "BroadcastHashJoin" in p
