@@ -660,3 +660,92 @@ def window_distinct_count(spark, sf_dir):
         .cast("bigint")
         .alias("dtypes_last10"),
     )
+
+
+# ---- consecutive-run streaks (gaps-and-islands on a condition) --------------
+
+_STREAK_SQL = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+err AS (
+  SELECT user_id, event_id, ts_s, rn,
+         rn - row_number() OVER (PARTITION BY user_id
+                                 ORDER BY rn) AS isl
+  FROM e WHERE is_err = 1
+),
+streaks AS (
+  SELECT user_id, isl,
+         CAST(count(*) AS BIGINT) AS len,
+         CAST(min(ts_s) AS BIGINT) AS start_s
+  FROM err GROUP BY user_id, isl
+),
+best AS (
+  SELECT user_id, len, start_s,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_s) AS rk
+  FROM streaks
+)
+SELECT s.user_id,
+       CAST(sum(s.len) AS BIGINT)  AS n_errors,
+       CAST(count(*) AS BIGINT)    AS n_streaks,
+       max(b.len)                  AS max_streak,
+       max(b.start_s)              AS max_streak_start
+FROM streaks s
+JOIN best b ON b.user_id = s.user_id AND b.rk = 1
+GROUP BY s.user_id
+"""
+
+
+@query("window_streaks", oracle=_STREAK_SQL)
+def window_streaks(spark, sf_dir):
+    """Longest consecutive-error streak per user (gaps-and-islands on a
+    row condition): among each user's time-ordered events, maximal runs
+    of event_type='error' — the reliability/abuse signal ('N failures IN
+    A ROW') that a bare count can't express because it ignores
+    interruption. Emits per affected user the total errors, streak
+    count, the longest streak, and when it began (ties to the earliest).
+
+    The island id is the classic rn - conditional_rn difference — two
+    row_numbers over the SAME user-keyed exchange, so the whole operator
+    is one shuffle plus tiny per-streak aggregates. Pure integers.
+
+    100 TB: one shuffle on user_id; both windows and the streak
+    aggregation reuse that exchange; per-user state is bounded by the
+    user's row count (the window-partition skew rule applies — user_id is
+    high-cardinality here by design)."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("double").cast("bigint").alias("ts_s"),
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+        "ts",
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = e.withColumn("rn", F.row_number().over(w_all)).filter(
+        F.col("is_err") == 1
+    )
+    w_err = Window.partitionBy("user_id").orderBy("rn")
+    err = rn.withColumn("isl", F.col("rn") - F.row_number().over(w_err))
+    streaks = err.groupBy("user_id", "isl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("ts_s").cast("bigint").alias("start_s"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("len").alias("l"),
+            (-F.col("start_s")).alias("ns"),
+            F.col("start_s").alias("s"),
+        )
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_errors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        best.getField("l").alias("max_streak"),
+        best.getField("s").alias("max_streak_start"),
+    )
