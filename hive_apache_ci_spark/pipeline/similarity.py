@@ -685,6 +685,21 @@ def _ivf_search(spark, sf_dir, nprobe: int):
 def _ivf_candidate_sims(spark, sf_dir, nprobe: int):
     """IVF candidate generation + exact cosine, parametrized by nprobe —
     the shared pre-ranking dataflow for top-k AND radius search."""
+    e = T(spark, sf_dir, "embeddings")
+    assigned, probes = _ivf_routing(spark, sf_dir, nprobe)
+    cands = (
+        F.broadcast(probes)
+        .join(assigned, "c_label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return _ivf_score_cands(e, cands)
+
+
+def _ivf_routing(spark, sf_dir, nprobe: int):
+    """(assigned, probes) — the IVF routing tables: every corpus vector's
+    inverted-list assignment and every query's nprobe probed lists.
+    Shared by search (candidate generation) and the traffic report."""
     from pyspark.sql import Window
 
     e = T(spark, sf_dir, "embeddings")
@@ -738,12 +753,12 @@ def _ivf_candidate_sims(spark, sf_dir, nprobe: int):
         .filter(F.col("rk") <= nprobe)
         .select("query_id", "c_label")
     )
-    cands = (
-        F.broadcast(probes)
-        .join(assigned, "c_label")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
+    return assigned, probes
+
+
+def _ivf_score_cands(e, cands):
+    """Exact cosine over (query_id, neighbor_id) candidate pairs, norms
+    computed once per vector."""
     withnorm = e.withColumn(
         "nrm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
     )
@@ -3177,3 +3192,87 @@ def ann_range_search(spark, sf_dir):
 
 
 ann_range_search.__doc__ = ann_range_search.__doc__.replace("{R}", str(_RANGE_R))
+
+
+# ---- probe-traffic / hot-list report over the IVF index ---------------------
+
+_TRAFFIC_ORACLE = (
+    _ivf_ranked_ctes(_IVF_PROBE)
+    + f"""
+    , occ AS (
+      SELECT c_label, CAST(count(*) AS BIGINT) AS occupancy
+      FROM assigned GROUP BY c_label
+    ),
+    traffic AS (
+      SELECT c_label, CAST(count(*) AS BIGINT) AS n_probes
+      FROM probes GROUP BY c_label
+    ),
+    tot AS (SELECT CAST(sum(n_probes) AS BIGINT) AS t FROM traffic)
+    SELECT o.c_label AS list_id, o.occupancy,
+           CAST(coalesce(tr.n_probes, 0) AS BIGINT) AS n_probes,
+           round(coalesce(tr.n_probes, 0) * 1.0 / (SELECT t FROM tot)
+                 + 1e-9, 6) AS traffic_share,
+           CAST(o.occupancy * coalesce(tr.n_probes, 0) AS BIGINT)
+             AS scan_cost,
+           coalesce(tr.n_probes, 0) * (SELECT count(*) FROM occ)
+             > 2 * (SELECT t FROM tot) AS hot
+    FROM occ o LEFT JOIN traffic tr ON tr.c_label = o.c_label
+    """
+)
+
+
+@query("ivf_probe_traffic_report", oracle=_TRAFFIC_ORACLE)
+def ivf_probe_traffic_report(spark, sf_dir):
+    """Probe-traffic / hot-list report over the IVF index: per inverted
+    list, its occupancy (vectors assigned), the probe traffic it receives
+    from the query workload, its traffic share, the scan cost it induces
+    (occupancy x probes — the actual work a skewed list costs), and a hot
+    flag (share > 2x uniform) — the monitoring surface that tells an
+    operator when routing skew calls for list splitting, caching, or a
+    retrain (complementing ivf_pq_retrain_decision's drift view with a
+    WORKLOAD view). Zero-traffic lists stay in the report (left join).
+
+    Reuses the shared _ivf_routing tables — the report adds only two
+    k-row aggregates on top of the search's own dataflow. Pure integers
+    plus one 6dp share; the hot test is integer cross-multiplication
+    (probes * k > 2 * total), no float boundary at all.
+
+    100 TB: occupancy and traffic are map-side count partials over the
+    routing tables; the report is |lists| rows. Cost is dominated by the
+    routing computation the search already performs."""
+    assigned, probes = _ivf_routing(spark, sf_dir, _IVF_PROBE)
+    occ = assigned.groupBy("c_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occupancy")
+    )
+    traffic = probes.groupBy("c_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes")
+    )
+    tot = traffic.agg(F.sum("n_probes").cast("bigint").alias("t"))
+    k = occ.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    return (
+        occ.join(traffic, "c_label", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(k))
+        .select(
+            F.col("c_label").alias("list_id"),
+            "occupancy",
+            F.coalesce(F.col("n_probes"), F.lit(0).cast("bigint")).alias(
+                "n_probes"
+            ),
+            F.round(
+                F.coalesce(F.col("n_probes"), F.lit(0)) / F.col("t")
+                + F.lit(1e-9),
+                6,
+            ).alias("traffic_share"),
+            (
+                F.col("occupancy")
+                * F.coalesce(F.col("n_probes"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("scan_cost"),
+            (
+                F.coalesce(F.col("n_probes"), F.lit(0)) * F.col("k")
+                > 2 * F.col("t")
+            ).alias("hot"),
+        )
+    )
