@@ -76,6 +76,19 @@ EXTRA_HEADLINERS = (
     "ivf_pq_ingest_delta",
     "search_hybrid_rrf_indexed",
     "quality_kn_bigram_perplexity",
+    # round-8 (r7 verdict #2): the TPC-DS-shaped corpus — the reference's
+    # dominant perf suite is plan-golden TPC-DS (SURVEY §5.1.4); these
+    # widen the perf gate beyond TPC-H/pipeline shapes (rollup-over-union,
+    # EXISTS-chain, CTE-reuse YoY, intersect, window-over-agg, ranked
+    # rollup, scalar fan, full-outer overlap)
+    "tpcds_q5_channel_rollup",
+    "tpcds_q10_exists_chain",
+    "tpcds_q11_yoy_channels",
+    "tpcds_q14_cross_channel_items",
+    "tpcds_q47_sales_deviation",
+    "tpcds_q67_rollup_topk",
+    "tpcds_q88_time_bands",
+    "tpcds_q97_channel_overlap",
 )
 
 # BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond

@@ -1,0 +1,316 @@
+"""TPC-DS-shaped perf corpus (reference parity: SURVEY.md §5.1.4 — the
+reference's dominant perf suite is the plan-golden TPC-DS set under
+``ql/src/test/queries/clientpositive/perf/query*.q``).
+
+The testdata schema is TPC-H-ish, so each query adapts a TPC-DS *plan
+signature* — the shapes that stress an optimizer differently from TPC-H —
+to the tables at hand, mapping TPC-DS's three sales channels onto the
+three independent fact tables here (lineitem+orders = "store",
+orders = "catalog", events = "web"):
+
+- q5  : multi-channel UNION ALL -> ROLLUP          (tpcds_q5_channel_rollup)
+- q10 : EXISTS chain incl. OR-of-EXISTS            (tpcds_q10_exists_chain)
+- q11 : CTE reused 4x, cross-channel YoY ratio     (tpcds_q11_yoy_channels)
+- q14 : 3-way INTERSECT feeding an IN filter       (tpcds_q14_cross_channel_items)
+- q47 : window-over-agg deviation + lag/lead       (tpcds_q47_sales_deviation)
+- q67 : ROLLUP -> rank() top-k per partition       (tpcds_q67_rollup_topk)
+- q88 : scalar-count fan, 8 one-row cross joins    (tpcds_q88_time_bands)
+- q97 : FULL OUTER overlap of two DISTINCT sets    (tpcds_q97_channel_overlap)
+
+Expressed as shared SQL (one text, both engines — the subqueries-module
+pattern): the *syntax* (ROLLUP, EXISTS-OR, INTERSECT, FULL OUTER) is what
+exercises Catalyst's rewrites (RewritePredicateSubquery / ExistenceJoin,
+ReplaceIntersectWithSemiJoin, ExpandExec for rollup), rather than
+hand-rewritten joins. ``/*+ BROADCAST(...) */`` hints are Spark-effective
+and comment-inert in DuckDB.
+
+Determinism discipline: every money TERM is quantized to 2dp with the
++1e-9 shift BEFORE summing (4dp-decimal products sit exactly on x.xx5
+half-boundaries where Spark's BigDecimal-exact HALF_UP and DuckDB's
+multiply-path round diverge; the shift moves them decisively off, and
+pre-quantized sums are .01-multiples that can never straddle the outer
+2dp round). Then: money sums rounded 2dp,
+window averages 4dp, every float membership/rank cut goes through a 6dp
+round on BOTH sides, rollup NULL keys coalesced to sentinels so no
+NULLS FIRST/LAST divergence exists, rank() cast to INT (DuckDB emits
+BIGINT), and every rank ORDER BY carries a full unique tie-break.
+
+Scale notes (100 TB): rollup = one Expand + two-phase hash agg, no extra
+shuffle per grouping set; the q88 scalar fan is 8 scans that AQE folds to
+1-row broadcasts (the allowed scalar-attach BNLJ shape); q97's FULL OUTER
+shuffles both DISTINCT sets on the same (cust, item) key so the join
+reuses the dedup exchange; q14's INTERSECT lowers to semi joins on the
+item key — all shapes whose shuffles are keyed by their natural join keys
+and survive a 1000-executor scale-up unchanged.
+"""
+
+from __future__ import annotations
+
+from ..catalog import load_tables
+from ..registry import query
+
+
+def _sql(spark, sf_dir, text):
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(text)
+
+
+# --- q5: multi-channel UNION ALL -> ROLLUP ---------------------------------
+
+_Q5_SQL = """
+WITH salesreturns AS (
+  SELECT 'store' AS channel, l_partkey % 20 AS bucket,
+         CASE WHEN l_returnflag = 'R' THEN 0.0
+              ELSE round(l_extendedprice * (1 - l_discount) + 1e-9, 2) END AS sales,
+         CASE WHEN l_returnflag = 'R' THEN round(l_extendedprice + 1e-9, 2) ELSE 0.0 END AS refunds,
+         round(l_extendedprice * (1 - l_discount) - l_quantity * 10.0 + 1e-9, 2) AS profit
+  FROM lineitem
+  UNION ALL
+  SELECT 'catalog' AS channel, o_custkey % 20 AS bucket,
+         CASE WHEN o_orderstatus <> 'F' THEN round(o_totalprice + 1e-9, 2) ELSE 0.0 END AS sales,
+         CASE WHEN o_orderstatus = 'F' THEN round(o_totalprice * 0.5 + 1e-9, 2) ELSE 0.0 END AS refunds,
+         round(o_totalprice * 0.1 + 1e-9, 2) AS profit
+  FROM orders
+  UNION ALL
+  SELECT 'web' AS channel, user_id % 20 AS bucket,
+         CASE WHEN event_type <> 'error' THEN round(value + 1e-9, 2) ELSE 0.0 END AS sales,
+         CASE WHEN event_type = 'error' THEN round(value + 1e-9, 2) ELSE 0.0 END AS refunds,
+         round(value * 0.2 + 1e-9, 2) AS profit
+  FROM events
+)
+SELECT coalesce(channel, 'ALL') AS channel,
+       coalesce(CAST(bucket AS BIGINT), -1) AS bucket,
+       round(sum(sales), 2)   AS sales,
+       round(sum(refunds), 2) AS refunds,
+       round(sum(profit), 2)  AS profit,
+       CAST(count(*) AS BIGINT) AS n
+FROM salesreturns
+GROUP BY ROLLUP(channel, bucket)
+"""
+
+
+@query("tpcds_q5_channel_rollup", oracle=_Q5_SQL)
+def tpcds_q5_channel_rollup(spark, sf_dir):
+    """TPC-DS q5 shape: per-channel sales/returns/profit union rolled up
+    across (channel, bucket) -> channel subtotals -> grand total. One
+    Expand node + two-phase agg; no per-grouping-set re-shuffle."""
+    return _sql(spark, sf_dir, _Q5_SQL)
+
+
+# --- q10: EXISTS chain with OR-of-EXISTS -----------------------------------
+
+_Q10_SQL = """
+SELECT c.c_mktsegment, n.n_name,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(round(c.c_acctbal + 1e-9, 2)), 2) AS bal_sum
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+  AND (EXISTS (SELECT 1 FROM orders o2 JOIN lineitem l ON l.l_orderkey = o2.o_orderkey
+               WHERE o2.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+       OR EXISTS (SELECT 1 FROM orders o3
+                  WHERE o3.o_custkey = c.c_custkey
+                    AND o3.o_orderpriority = '1-URGENT'))
+GROUP BY c.c_mktsegment, n.n_name
+"""
+
+
+@query("tpcds_q10_exists_chain", oracle=_Q10_SQL)
+def tpcds_q10_exists_chain(spark, sf_dir):
+    """TPC-DS q10 shape: demographic counts behind an AND of EXISTS plus a
+    disjunctive (OR) EXISTS pair — the pattern Catalyst lowers to a left
+    semi join plus ExistenceJoins feeding a boolean filter (plain semi
+    joins can't express the OR)."""
+    return _sql(spark, sf_dir, _Q10_SQL)
+
+
+# --- q11: CTE reused 4x, cross-channel year-over-year growth ---------------
+
+_Q11_SQL = """
+WITH store_total AS (
+  SELECT o_custkey AS cust, CAST(year(o_orderdate) AS INT) AS yr,
+         round(sum(round(o_totalprice + 1e-9, 2)), 2) AS total
+  FROM orders GROUP BY o_custkey, CAST(year(o_orderdate) AS INT)
+),
+ship_total AS (
+  SELECT o.o_custkey AS cust, CAST(year(l.l_shipdate) AS INT) AS yr,
+         round(sum(round(l.l_extendedprice * (1 - l.l_discount) + 1e-9, 2)), 2) AS total
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, CAST(year(l.l_shipdate) AS INT)
+)
+SELECT s1.cust AS c_custkey,
+       s1.total AS store_1996, s2.total AS store_1997,
+       w1.total AS ship_1996,  w2.total AS ship_1997,
+       round(w2.total / w1.total, 6) AS ship_growth,
+       round(s2.total / s1.total, 6) AS store_growth
+FROM store_total s1
+JOIN store_total s2 ON s1.cust = s2.cust
+JOIN ship_total  w1 ON s1.cust = w1.cust
+JOIN ship_total  w2 ON s1.cust = w2.cust
+WHERE s1.yr = 1996 AND s2.yr = 1997 AND w1.yr = 1996 AND w2.yr = 1997
+  AND s1.total > 0 AND w1.total > 0
+  AND round(w2.total / w1.total, 6) > round(s2.total / s1.total, 6)
+"""
+
+
+@query("tpcds_q11_yoy_channels", oracle=_Q11_SQL)
+def tpcds_q11_yoy_channels(spark, sf_dir):
+    """TPC-DS q11 shape: one per-(customer, year) total CTE per channel,
+    each self-joined across two years; keep customers whose ship-channel
+    growth beats the store channel. Growth cut is a 6dp-rounded ratio of
+    2dp-quantized sums on both engines."""
+    return _sql(spark, sf_dir, _Q11_SQL)
+
+
+# --- q14: cross-channel INTERSECT feeding a filter -------------------------
+
+_Q14_SQL = """
+WITH cross_items AS (
+  SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'N'
+  INTERSECT
+  SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'A'
+  INTERSECT
+  SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT /*+ BROADCAST(p) */ p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_sales,
+       round(sum(round(l.l_extendedprice + 1e-9, 2)), 2) AS sales
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_partkey IN (SELECT item FROM cross_items)
+GROUP BY p.p_brand
+"""
+
+
+@query("tpcds_q14_cross_channel_items", oracle=_Q14_SQL)
+def tpcds_q14_cross_channel_items(spark, sf_dir):
+    """TPC-DS q14 shape: items present in ALL channels (3-way INTERSECT ->
+    chained semi joins after ReplaceIntersectWithSemiJoin) used as an IN
+    filter on the fact scan, then brand-level aggregation behind a
+    broadcast dimension join."""
+    return _sql(spark, sf_dir, _Q14_SQL)
+
+
+# --- q47: window over aggregate, deviation from period average -------------
+
+_Q47_SQL = """
+WITH v1 AS (
+  SELECT p.p_brand,
+         CAST(year(o.o_orderdate) AS INT)  AS yr,
+         CAST(month(o.o_orderdate) AS INT) AS mon,
+         round(sum(round(l.l_extendedprice * (1 - l.l_discount) + 1e-9, 2)), 2) AS sum_sales
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p   ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, CAST(year(o.o_orderdate) AS INT),
+           CAST(month(o.o_orderdate) AS INT)
+),
+v2 AS (
+  SELECT p_brand, yr, mon, sum_sales,
+         round(avg(sum_sales) OVER (PARTITION BY p_brand, yr), 4) AS avg_monthly,
+         lag(sum_sales)  OVER (PARTITION BY p_brand ORDER BY yr, mon) AS prev_sales,
+         lead(sum_sales) OVER (PARTITION BY p_brand ORDER BY yr, mon) AS next_sales
+  FROM v1
+)
+SELECT p_brand, yr, mon, sum_sales, avg_monthly, prev_sales, next_sales,
+       round(sum_sales - avg_monthly, 2) AS dev
+FROM v2
+WHERE yr BETWEEN 1996 AND 1999
+  AND avg_monthly > 0
+  AND round(abs(sum_sales - avg_monthly) / avg_monthly, 6) > 0.1
+"""
+
+
+@query("tpcds_q47_sales_deviation", oracle=_Q47_SQL)
+def tpcds_q47_sales_deviation(spark, sf_dir):
+    """TPC-DS q47/q57 shape: monthly brand sales vs the brand-year average
+    (window over an aggregate) with lag/lead context rows, keeping months
+    that deviate >10%. Both windows share one (p_brand)-keyed exchange;
+    the deviation cut is 6dp-rounded on both engines."""
+    return _sql(spark, sf_dir, _Q47_SQL)
+
+
+# --- q67: ROLLUP hierarchy -> rank() top-k per partition -------------------
+
+_Q67_SQL = """
+WITH results AS (
+  SELECT coalesce(p.p_brand, 'ALL') AS brand,
+         coalesce(p.p_type, 'ALL')  AS ptype,
+         coalesce(CAST(p.p_size AS INT), -1) AS psize,
+         round(sum(round(l.l_extendedprice * (1 - l.l_discount) + 1e-9, 2)), 2) AS sumsales
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY ROLLUP(p.p_brand, p.p_type, p.p_size)
+)
+SELECT brand, ptype, psize, sumsales, rk
+FROM (
+  SELECT brand, ptype, psize, sumsales,
+         CAST(rank() OVER (PARTITION BY brand
+                           ORDER BY sumsales DESC, ptype, psize) AS INT) AS rk
+  FROM results
+) ranked
+WHERE rk <= 5
+"""
+
+
+@query("tpcds_q67_rollup_topk", oracle=_Q67_SQL)
+def tpcds_q67_rollup_topk(spark, sf_dir):
+    """TPC-DS q67 shape: a (brand, type, size) ROLLUP hierarchy ranked
+    within brand, top-5 kept. Rank order carries the full unique
+    (ptype, psize) tie-break so rank == row_number deterministically;
+    rollup NULLs are coalesced to sentinels before partitioning."""
+    return _sql(spark, sf_dir, _Q67_SQL)
+
+
+# --- q88: scalar-count fan over time bands ---------------------------------
+
+_Q88_SQL = """
+SELECT h0.n AS h0_2, h1.n AS h3_5, h2.n AS h6_8, h3.n AS h9_11,
+       h4.n AS h12_14, h5.n AS h15_17, h6.n AS h18_20, h7.n AS h21_23
+FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM events WHERE hour(ts) BETWEEN 0  AND 2)  h0,
+     (SELECT CAST(count(*) AS BIGINT) AS n FROM events WHERE hour(ts) BETWEEN 3  AND 5)  h1,
+     (SELECT CAST(count(*) AS BIGINT) AS n FROM events WHERE hour(ts) BETWEEN 6  AND 8)  h2,
+     (SELECT CAST(count(*) AS BIGINT) AS n FROM events WHERE hour(ts) BETWEEN 9  AND 11) h3,
+     (SELECT CAST(count(*) AS BIGINT) AS n FROM events WHERE hour(ts) BETWEEN 12 AND 14) h4,
+     (SELECT CAST(count(*) AS BIGINT) AS n FROM events WHERE hour(ts) BETWEEN 15 AND 17) h5,
+     (SELECT CAST(count(*) AS BIGINT) AS n FROM events WHERE hour(ts) BETWEEN 18 AND 20) h6,
+     (SELECT CAST(count(*) AS BIGINT) AS n FROM events WHERE hour(ts) BETWEEN 21 AND 23) h7
+"""
+
+
+@query("tpcds_q88_time_bands", oracle=_Q88_SQL)
+def tpcds_q88_time_bands(spark, sf_dir):
+    """TPC-DS q88 shape: eight independent filtered counts cross-joined
+    into one row — each side is a 1-row aggregate, so every join is the
+    allowed scalar-attach broadcast-BNLJ shape."""
+    return _sql(spark, sf_dir, _Q88_SQL)
+
+
+# --- q97: FULL OUTER overlap of two DISTINCT channel sets ------------------
+
+_Q97_SQL = """
+WITH first_half AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+),
+second_half AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+)
+SELECT CAST(sum(CASE WHEN f.cust IS NOT NULL AND s.cust IS NULL     THEN 1 ELSE 0 END) AS BIGINT) AS early_only,
+       CAST(sum(CASE WHEN f.cust IS NULL     AND s.cust IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS late_only,
+       CAST(sum(CASE WHEN f.cust IS NOT NULL AND s.cust IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_halves
+FROM first_half f
+FULL OUTER JOIN second_half s ON f.cust = s.cust AND f.item = s.item
+"""
+
+
+@query("tpcds_q97_channel_overlap", oracle=_Q97_SQL)
+def tpcds_q97_channel_overlap(spark, sf_dir):
+    """TPC-DS q97 shape: (customer, item) DISTINCT sets from two periods
+    FULL OUTER joined to count exclusive/shared pairs. Both sides hash to
+    the same (cust, item) key, so the join reuses the dedup exchanges."""
+    return _sql(spark, sf_dir, _Q97_SQL)

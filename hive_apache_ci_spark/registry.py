@@ -103,6 +103,7 @@ def _ensure_loaded() -> None:
         setops,
         subqueries,
         temporal,
+        tpcds_shapes,
         windows,
     )
     from .functions import expressions, hive_compat_queries  # noqa: F401
