@@ -1,0 +1,90 @@
+"""Golden-EXPLAIN plan snapshots (reference parity: SURVEY.md §5.1.1 —
+the reference's qtest ``.q.out`` artifacts include EXPLAIN output, so a
+silent plan change fails the suite even when results stay correct).
+
+tests/test_plans.py asserts ~40 plan *properties* (pushdown reached the
+scan, join became broadcast, no cartesian, ...) — semantically stronger
+per-property, but blind to regressions nobody wrote a property for.
+These snapshots close that hole for the headline queries: the FULL
+normalized physical plan is pinned to ``docs/plan_snapshots/*.txt`` and
+any drift (a new exchange, a lost pushed filter, a codegen split, a join
+strategy flip) fails tests/test_plan_snapshots.py with a line diff.
+
+Normalization strips everything run-varying — expression ids, plan ids,
+filesystem locations, in-memory index path counts, scratch run-ids —
+and keeps everything structural: the operator tree, output columns,
+PushedFilters, ReadSchema, join strategies, WholeStageCodegen spans.
+
+Regenerate deliberately with ``python scripts/regen_plan_snapshots.py``
+after an intentional plan change, and commit the diff so the review
+shows exactly what moved (the qtest workflow).
+"""
+
+from __future__ import annotations
+
+import re
+
+# Headline queries pinned by snapshot. Only PURE queries belong here (plan
+# construction must not run side-effect writes, which io_*/merge_into/ivf
+# builds do when called); coverage spans §2.1 relational, joins, windows,
+# aggregation, set ops, subqueries, lateral, the TPC-H trio-adjacent set,
+# the TPC-DS corpus, and the two pipeline serving headliners.
+SNAPSHOT_QUERIES = (
+    "q1_pricing_summary",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "join_inner",
+    "join_broadcast_star",
+    "join_asof_backward",
+    "window_rank",
+    "window_moving_rows",
+    "agg_basic",
+    "agg_rollup",
+    "set_union_all",
+    "subquery_in",
+    "explode_tokens",
+    "sort_topk",
+    "dedup_minhash_lsh",
+    "knn_topk_cosine",
+    "search_bm25_topk",
+    "text_quality_score",
+    "tpcds_q5_channel_rollup",
+    "tpcds_q10_exists_chain",
+    "tpcds_q11_yoy_channels",
+    "tpcds_q14_cross_channel_items",
+    "tpcds_q47_sales_deviation",
+    "tpcds_q67_rollup_topk",
+    "tpcds_q88_time_bands",
+    "tpcds_q97_channel_overlap",
+)
+
+_RULES: tuple[tuple[re.Pattern[str], str], ...] = (
+    # expression ids:  l_quantity#123, sum#45L  ->  l_quantity#N
+    (re.compile(r"#\d+"), "#N"),
+    # exchange/subquery/plan ids:  [plan_id=123], [id=#N] already covered
+    (re.compile(r"plan_id=\d+"), "plan_id=N"),
+    # filesystem locations (testdata, scratch run dirs, warehouse)
+    (re.compile(r"(file|hdfs|s3a?):/[^\s\],)]*"), "<path>"),
+    (re.compile(r"InMemoryFileIndex\([^)]*\)"), "InMemoryFileIndex(<n> paths)"),
+    # partition/file counts inside scan summaries vary with SF
+    (re.compile(r"\d+ paths"), "<n> paths"),
+    # cached-plan object addresses (defensive; pure queries shouldn't hit)
+    (re.compile(r"@[0-9a-f]{6,}"), "@ADDR"),
+    # run-scratch ids that leak into view names if a query registers temps
+    (re.compile(r"run-[0-9a-f]{12}"), "run-ID"),
+)
+
+
+def normalized_plan(df) -> str:
+    """Formatted physical explain with run-varying tokens normalized."""
+    raw = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    out = raw
+    for pat, repl in _RULES:
+        out = pat.sub(repl, out)
+    # strip trailing whitespace per line; drop trailing blank lines
+    lines = [ln.rstrip() for ln in out.splitlines()]
+    while lines and not lines[-1]:
+        lines.pop()
+    return "\n".join(lines) + "\n"
