@@ -1368,6 +1368,16 @@ def analyze_join_cardinality(spark, sf_dir):
 
 @query(
     "agg_hll_sketch_setops",
+    # ORACLE FAILURE-MODE NOTE (r7 ADVICE): union_within_bound /
+    # inter_within_bound are hardcoded TRUE here — the oracle asserts the
+    # DataSketches 3-rsd guarantee rather than replaying the HLL estimate
+    # (DuckDB has no DataSketches-compatible HLL). If a future SF or data
+    # refresh pushes an estimate outside the bound, the Spark side will
+    # correctly emit false and THIS sweep entry will hash-mismatch: that
+    # signature (bounds columns flipping, exact_* columns still matching)
+    # means "sketch accuracy bound violated on this data", NOT an
+    # engine-parity bug — widen lgK or the asserted rsd, don't debug the
+    # join. The exact_* columns ARE independently checked.
     oracle="""
     WITH u AS (
       SELECT DISTINCT event_type, user_id FROM events

@@ -401,5 +401,16 @@ def script_while_threshold(spark, sf_dir):
     data size, and each probe is a scan-level count Spark can answer
     from partial aggregates — the script never materializes anything
     driver-side beyond 4 scalars."""
+    # scripting is needed only to PARSE/EXECUTE the block below; restore the
+    # prior value so the conf never leaks into later queries of a shared
+    # verify/bench/test session (r7 ADVICE). The returned DataFrame is
+    # already materialized by EXECUTE IMMEDIATE semantics inside _sql.
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return _sql(spark, sf_dir, _SCRIPT_SQL)
+    try:
+        return _sql(spark, sf_dir, _SCRIPT_SQL)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)

@@ -892,9 +892,14 @@ def io_csv_malformed_quarantine(spark, sf_dir):
         .csv(committed(out))
     )
     # PERMISSIVE keeps parseable fields and stores the raw line alongside;
-    # cache() per Spark docs: a corrupt-record column query needs the raw
-    # row available in the same pass
-    back = back.cache()
+    # a corrupt-record column query needs the raw row available in the same
+    # pass (Spark docs prescribe cache()) — but a cache() held by a returned
+    # plan leaks storage blocks across a 353-query sweep (r7 ADVICE), so
+    # materialize via an EAGER bounded localCheckpoint instead: same
+    # same-pass guarantee (all columns materialized once), and the blocks
+    # are released with the RDD by the ContextCleaner when the returned
+    # DataFrame is dropped, not pinned in the cache registry.
+    back = back.localCheckpoint(eager=True)
     raw_line = F.when(
         F.col("_corrupt_record").isNotNull(), F.col("_corrupt_record")
     ).otherwise(F.concat_ws(",", F.col("k"), F.col("name"), F.col("nk")))
