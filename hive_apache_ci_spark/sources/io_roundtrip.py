@@ -1209,3 +1209,65 @@ def io_avro_roundtrip(spark, sf_dir):
         r2(F.sum("l_extendedprice")).alias("sum_price"),
         ravg(F.avg("l_quantity")).alias("avg_qty"),
     )
+
+
+@query(
+    "io_stats_only_minmax",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)      AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_okey,
+           CAST(max(l_orderkey) AS BIGINT) AS max_okey,
+           CAST(min(l_suppkey) AS BIGINT)  AS min_supp,
+           CAST(max(l_suppkey) AS BIGINT)  AS max_supp,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+)
+def io_stats_only_minmax(spark, sf_dir):
+    """StatsOptimizer parity (SURVEY.md §4.1: Hive answers bare
+    count/min/max from metastore statistics without scanning data —
+    the one optimizer row previously marked 'no Catalyst equivalent').
+    Spark's equivalent is parquet AGGREGATE PUSHDOWN: with the DSv2
+    reader, COUNT/MIN/MAX are answered from parquet footer statistics
+    (row-group counts + column min/max), never decoding data pages —
+    plan-gated in tests/test_round8_ops.py via the scan's
+    ``PushedAggregation: [COUNT(*), MIN(...), ...]`` marker.
+
+    The DSv2 reader is selected per-query: useV1SourceList is cleared
+    only while the plan is BUILT AND OPTIMIZED (pushdown runs in
+    V2ScanRelationPushDown at optimization, so ``optimizedPlan()`` is
+    forced under the conf), then restored so the rest of a shared
+    session keeps the default reader — QueryExecution caches the
+    optimized plan, so the later collect() reuses the pushed form.
+
+    100 TB: this is THE metadata-only fast path — cost scales with
+    footer count, not data bytes; min/max/count over a petabyte of
+    parquet is a listing plus footer reads. No shuffle beyond the
+    single-partition merge of per-file stats rows.
+
+    Determinism: count/min/max are exact (no floats are aggregated,
+    only selected), so both engines emit identical values; min/max of
+    the double column is an actual stored value, bit-identical."""
+    prev = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        agg = li.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("l_orderkey").cast("bigint").alias("min_okey"),
+            F.max("l_orderkey").cast("bigint").alias("max_okey"),
+            F.min("l_suppkey").cast("bigint").alias("min_supp"),
+            F.max("l_suppkey").cast("bigint").alias("max_supp"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        # force analysis + optimization (where pushdown decides) while the
+        # DSv2 conf is active; the cached optimized plan survives restore
+        agg._jdf.queryExecution().optimizedPlan()
+        return agg
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev)
