@@ -1112,12 +1112,20 @@ def _kmeans_train(spark, sf_dir):
     cvec), final assignment (vec_id, cid, d2)) after the fixed rounds —
     consumed by kmeans_lloyd and dedup_semdedup_clusters."""
     e = T(spark, sf_dir, "embeddings")
+    # r8 perf (r7 verdict #7): the base scan (+float->double transform) and
+    # its posexploded narrow form are re-read by EVERY Lloyd round (assign
+    # reads vv, update joins dd) — persist both for the loop's duration and
+    # release them as soon as the final assignment is materialized. At
+    # 100 TB this is the difference between I Lloyd rounds costing I corpus
+    # scans and costing one scan + I cache reads.
     vv = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
-    )
-    dd = vv.select("vec_id", F.posexplode("emb").alias("pos0", "val")).select(
-        "vec_id", (F.col("pos0") + 1).alias("pos"), "val"
+    ).persist()
+    dd = (
+        vv.select("vec_id", F.posexplode("emb").alias("pos0", "val"))
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+        .persist()
     )
     cent = (
         vv.orderBy("vec_id")
@@ -1147,6 +1155,13 @@ def _kmeans_train(spark, sf_dir):
             .agg(F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("m"))
             .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
         )
+        # centroid update stays the posexplode -> (cid,pos) avg ->
+        # collect_list two-shuffle shape HERE: the one-pass 64-wide avg
+        # aggregate used by _pq_train was A/B-measured SLOWER at full dim
+        # (128 agg buffer fields blow the whole-stage-codegen field limit,
+        # and raising the limit produces methods past the JIT size cap —
+        # interpreted either way). dd is persisted, so the explosion is
+        # paid once per build, not once per round.
         upd = (
             assign.join(dd, "vec_id")
             .groupBy("cid", "pos")
@@ -1164,7 +1179,10 @@ def _kmeans_train(spark, sf_dir):
             .select("cid", F.coalesce("new_cvec", "cvec").alias("cvec"))
             .localCheckpoint()
         )
-    return cent, assign.localCheckpoint()
+    assign = assign.localCheckpoint()  # eager: materializes off the cache
+    vv.unpersist(False)
+    dd.unpersist(False)
+    return cent, assign
 
 
 kmeans_lloyd.__doc__ = kmeans_lloyd.__doc__.replace("{K}", str(_KM_K)).replace(
@@ -1312,10 +1330,12 @@ def _pq_train(spark, sf_dir, src=None):
     delta-ingest op freezes codebooks trained this way."""
 
     e = src if src is not None else T(spark, sf_dir, "embeddings")
-    vv = _pq_subvectors(spark, e)
-    dd = vv.select(
-        "vec_id", "s", F.posexplode("emb").alias("pos0", "val")
-    ).select("vec_id", "s", (F.col("pos0") + 1).alias("pos"), "val")
+    # r8 perf (r7 verdict #7): same loop-scoped caching as _kmeans_train —
+    # the sub-vector split and its narrow posexplode feed every Lloyd
+    # round; persist for the loop, release once the final assignment is
+    # materialized (the returned vv recomputes lazily for the one consumer
+    # that uses it post-training, exactly as before).
+    vv = _pq_subvectors(spark, e).persist()
     seeds = e.orderBy("vec_id").limit(_PQ_K).select("vec_id")
     cent = vv.join(F.broadcast(seeds), "vec_id").select(
         "s", F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
@@ -1343,15 +1363,19 @@ def _pq_train(spark, sf_dir, src=None):
             .agg(F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("m"))
             .select("vec_id", "s", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
         )
+        # one-pass centroid update (see _kmeans_train r8 note): _PQ_SUB
+        # per-dimension avg expressions in a single (s, cid) aggregation —
+        # one shuffle, no x{sub} posexplode; 6dp(+1e-12) per dimension
+        # keeps the trajectory bit-identical.
         upd = (
-            assign.join(dd, ["vec_id", "s"])
-            .groupBy("s", "cid", "pos")
-            .agg(F.round(F.avg("val") + F.lit(1e-12), 6).alias("c"))
+            assign.join(vv, ["vec_id", "s"])
             .groupBy("s", "cid")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda st: st.getField("c"),
+                F.array(
+                    *[
+                        F.round(F.avg(F.col("emb")[d]) + F.lit(1e-12), 6)
+                        for d in range(_PQ_SUB)
+                    ]
                 ).alias("new_cvec")
             )
         )
@@ -1361,7 +1385,9 @@ def _pq_train(spark, sf_dir, src=None):
             .localCheckpoint()
         )
     # final assignment IS consumed repeatedly downstream — checkpoint once
-    return vv, cent, assign.localCheckpoint()
+    assign = assign.localCheckpoint()
+    vv.unpersist(False)
+    return vv, cent, assign
 
 
 embedding_pq_codes.__doc__ = (
