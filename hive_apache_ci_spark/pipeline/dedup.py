@@ -576,37 +576,30 @@ def _cc_oracle() -> str:
     """
 
 
-@query("dedup_connected_components", oracle=_cc_oracle())
-def dedup_connected_components(spark, sf_dir):
-    """Transitive-closure dedup: connected components over the confirmed
-    cosine-similarity graph, each vector labeled with the SMALLEST id
-    reachable through any chain of near-dups (A~B, B~C ⇒ {A,B,C} collapse
-    even when A≁C — what single-pass min-neighbor misses).
+def cc_fixpoint(labels, edges, max_rounds: int = 30):
+    """Min-label propagation + path-halving to the fixed point; returns
+    ``(labels, rounds)`` where ``rounds`` counts executed rounds INCLUDING
+    the final no-change round that proves convergence.
 
-    Spark side: iterative min-label propagation (the Pregel/GraphX
-    ``connectedComponents`` algorithm as DataFrame joins) to a fixed point —
-    per round ONE shuffle keyed by vertex; the driver only reads the
-    converged-yet? count. Each round's labels are ``localCheckpoint``ed:
-    persist() alone leaves the *logical plan* growing (every round nests
-    the previous round's joins), and by ~10 rounds plan
-    compilation/rendering itself OOMs — checkpointing truncates lineage to
-    the materialized result, the standard fix for iterative DataFrame
-    algorithms (on a cluster use ``checkpoint()`` to HDFS for fault
-    tolerance). Oracle: DuckDB recursive CTE computing min reachable id —
-    an independent transitive-closure implementation."""
-    e = T(spark, sf_dir, "embeddings")
-    pairs = _confirmed_cosine_pairs(spark, sf_dir)
-    edges = pairs.select(
-        F.col("va").alias("s"), F.col("vb").alias("d")
-    ).unionByName(pairs.select(F.col("vb").alias("s"), F.col("va").alias("d")))
-    edges = edges.localCheckpoint()
-    labels = e.select("vec_id", F.col("vec_id").alias("label")).localCheckpoint()
-    # Convergence detector: labels only ever DECREASE elementwise, so the
-    # label sum is strictly monotone until the fixed point — one scalar agg
-    # per round replaces the join+filter+count change detector (half the
-    # per-round driver actions; ids are < 2^31 so the bigint sum is safe).
+    Round-count contract (pinned by tests/test_round8_ops.py on a
+    worst-case single long chain): each round combines one neighbor hop
+    with one pointer jump (label <- label[label]), so the propagated
+    min-label's reach at least doubles per round — convergence in
+    ceil(log2(diameter)) + 2 rounds (the +2: the reach-1 seeding round
+    and the no-change detection round), NOT O(diameter). This is the bound
+    that keeps the sf1 canary ratio ~linear in data, independent of
+    component shape.
+
+    Convergence detector: labels only ever DECREASE elementwise, so the
+    label sum is strictly monotone until the fixed point — one scalar agg
+    per round replaces a join+filter+count change detector (half the
+    per-round driver actions; ids < 2^31 keep the bigint sum safe).
+    Both inputs must arrive localCheckpoint'ed; each round's labels are
+    re-checkpointed (persist alone leaves the logical plan nesting every
+    prior round's joins — by ~10 rounds plan compilation itself OOMs)."""
     prev_sum = None
-    for _ in range(30):  # ≥ log2(diameter) with pointer jumping; see below
+    rounds = 0
+    for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels, edges["d"] == labels["vec_id"])
             .groupBy(F.col("s").alias("vec_id"))
@@ -633,9 +626,39 @@ def dedup_connected_components(spark, sf_dir):
         )
         cur_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
+        rounds += 1
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    return labels, rounds
+
+
+@query("dedup_connected_components", oracle=_cc_oracle())
+def dedup_connected_components(spark, sf_dir):
+    """Transitive-closure dedup: connected components over the confirmed
+    cosine-similarity graph, each vector labeled with the SMALLEST id
+    reachable through any chain of near-dups (A~B, B~C ⇒ {A,B,C} collapse
+    even when A≁C — what single-pass min-neighbor misses).
+
+    Spark side: iterative min-label propagation (the Pregel/GraphX
+    ``connectedComponents`` algorithm as DataFrame joins) to a fixed point —
+    per round ONE shuffle keyed by vertex; the driver only reads the
+    converged-yet? count. Each round's labels are ``localCheckpoint``ed:
+    persist() alone leaves the *logical plan* growing (every round nests
+    the previous round's joins), and by ~10 rounds plan
+    compilation/rendering itself OOMs — checkpointing truncates lineage to
+    the materialized result, the standard fix for iterative DataFrame
+    algorithms (on a cluster use ``checkpoint()`` to HDFS for fault
+    tolerance). Oracle: DuckDB recursive CTE computing min reachable id —
+    an independent transitive-closure implementation."""
+    e = T(spark, sf_dir, "embeddings")
+    pairs = _confirmed_cosine_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("va").alias("s"), F.col("vb").alias("d")
+    ).unionByName(pairs.select(F.col("vb").alias("s"), F.col("va").alias("d")))
+    edges = edges.localCheckpoint()
+    labels = e.select("vec_id", F.col("vec_id").alias("label")).localCheckpoint()
+    labels, _rounds = cc_fixpoint(labels, edges)
     return labels.select(
         "vec_id",
         F.col("label").alias("component_id"),

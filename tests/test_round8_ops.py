@@ -42,3 +42,36 @@ def test_stats_only_minmax_survives_conf_restore(spark):
     assert row["n_rows"] > 0
     assert row["min_okey"] <= row["max_okey"]
     assert row["min_price"] <= row["max_price"]
+
+
+def test_cc_long_chain_rounds_logarithmic(spark):
+    """Worst-case CC canary (r7 verdict #4: pin the sf1 ratio creep): a
+    single path graph of diameter 255 — the shape where naive min-label
+    propagation needs 255 rounds — must converge in O(log2(diameter)):
+    the hop+pointer-jump round at least doubles the min-label's reach, so
+    ceil(log2(255)) + 2 rounds (reach-1 seed + no-change proof) bounds
+    the loop. This is the invariant that keeps the sf1 canary ~linear in
+    DATA, independent of component shape."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.pipeline.dedup import cc_fixpoint
+
+    n = 256  # vertices 0..255 in a single chain, diameter 255
+    v = spark.range(n).select(F.col("id").alias("vec_id"))
+    fwd = spark.range(n - 1).select(
+        F.col("id").alias("s"), (F.col("id") + 1).alias("d")
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint()
+    labels = v.select(
+        "vec_id", F.col("vec_id").alias("label")
+    ).localCheckpoint()
+    labels, rounds = cc_fixpoint(labels, edges)
+    assert labels.filter(F.col("label") != 0).count() == 0, (
+        "chain did not collapse to component 0"
+    )
+    bound = math.ceil(math.log2(n - 1)) + 2
+    assert rounds <= bound, (rounds, bound)
