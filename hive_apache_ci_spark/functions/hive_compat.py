@@ -284,3 +284,81 @@ def matchpath(
         return pd.DataFrame(rows, columns=["part", "start_idx", "match_len"])
 
     return df.groupBy(partition_col).applyInPandas(find, schema=out_schema)
+
+
+def compile_matchpath_pattern(pattern: str, name_to_char: dict[str, str]) -> str:
+    """Compile Hive's MatchPath path language to the single-char regex
+    ``matchpath`` consumes. Hive patterns (MatchPath.java role, SURVEY
+    §2.5) are symbol NAMES joined by ``.`` (concatenation) with ``* + ?``
+    quantifiers and ``( ) |`` grouping — e.g. ``LATE.LATE+`` or
+    ``FLAT.(UP|DOWN)*.FLAT``."""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c.isalpha() or c == "_":
+            j = i
+            while j < len(pattern) and (pattern[j].isalnum() or pattern[j] == "_"):
+                j += 1
+            name = pattern[i:j]
+            if name not in name_to_char:
+                raise ValueError(
+                    f"matchpath: undeclared symbol {name!r} in pattern {pattern!r}"
+                )
+            out.append(name_to_char[name])
+            i = j
+        elif c == ".":
+            i += 1  # Hive's concatenation separator — no regex counterpart
+        elif c in "()|*+?":
+            out.append(c)
+            i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            raise ValueError(f"matchpath: bad pattern char {c!r} in {pattern!r}")
+    return "".join(out)
+
+
+def matchpath_hive(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: list[str],
+    pattern: str,
+    symbols: list[tuple[str, Column]],
+    out_schema: str = "part bigint, start_idx int, match_len int",
+):
+    """Hive's MatchPath ARGUMENT convention (upstream invocation:
+    ``matchpath(ON t PARTITION BY p ORDER BY o, 'LATE.LATE+',
+    'LATE', arr_delay > 15, ...)`` — a path pattern over NAMED symbols,
+    each symbol bound to a boolean row predicate).
+
+    Semantics mirrored from MatchPath.java: rows are labeled with the
+    FIRST declared symbol whose predicate holds (declaration order wins
+    when predicates overlap; unlabeled rows can never participate in a
+    match), and quantified symbols match GREEDILY — ``LATE.LATE+`` takes
+    the whole maximal run, not the shortest two-row prefix. The pattern
+    is compiled onto a single-char alphabet and delegated to
+    ``matchpath`` (same applyInPandas engine, one shuffle on the
+    partition key)."""
+    if len(symbols) > 26:
+        raise ValueError("matchpath: >26 symbols unsupported")
+    name_to_char = {
+        name: chr(ord("a") + i) for i, (name, _) in enumerate(symbols)
+    }
+    label = None
+    for name, pred in symbols:
+        label = (
+            F.when(pred, F.lit(name_to_char[name]))
+            if label is None
+            else label.when(pred, F.lit(name_to_char[name]))
+        )
+    label = label.otherwise(F.lit("0"))  # '0' never matches a symbol char
+    rx = compile_matchpath_pattern(pattern, name_to_char)
+    return matchpath(
+        df.withColumn("__mp_sym", label),
+        partition_col,
+        order_cols,
+        "__mp_sym",
+        rx,
+        out_schema,
+    )

@@ -262,3 +262,54 @@ def secured_view_policy(spark, sf_dir):
     )
     secured.createOrReplaceTempView("customer_secured")
     return spark.table("customer_secured")
+
+
+@query(
+    "matchpath_hive_error_bursts",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    marks AS (
+      SELECT user_id, rn,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+             rn - row_number() OVER (
+               PARTITION BY user_id,
+                            CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+               ORDER BY rn) AS grp
+      FROM seq
+    )
+    SELECT user_id AS part,
+           CAST(min(rn) - 1 AS INT) AS start_idx,
+           CAST(count(*) AS INT)    AS match_len
+    FROM marks
+    WHERE is_err = 1
+    GROUP BY user_id, grp
+    HAVING count(*) >= 2
+    """,
+)
+def matchpath_hive_error_bursts(spark, sf_dir):
+    """MatchPath under Hive's ARGUMENT convention (r8, SURVEY §2.5 —
+    upstream ``matchpath(ON ... 'LATE.LATE+', 'LATE', <predicate>, ...)``):
+    per-user error bursts, i.e. maximal runs of >=2 consecutive 'error'
+    events in (ts, event_id) order. The named-symbol pattern ``ERR.ERR+``
+    is compiled onto the single-char alphabet and matched GREEDILY — one
+    row per maximal burst, exactly what the gaps-and-islands oracle
+    computes independently. The OK symbol is declared but unreferenced by
+    the pattern (legal in Hive; such rows simply break bursts)."""
+    from . import hive_compat as hc
+
+    e = T(spark, sf_dir, "events")
+    return hc.matchpath_hive(
+        e,
+        "user_id",
+        ["ts", "event_id"],
+        "ERR.ERR+",
+        [
+            ("ERR", F.col("event_type") == "error"),
+            ("OK", F.col("event_type") != "error"),
+        ],
+    )

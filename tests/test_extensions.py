@@ -113,3 +113,92 @@ def test_percentile_approx_tolerance(spark):
 # metadata-only optimization is not worth the behavior surface change.
 # SURVEY.md §4.1 already records StatsOptimizer as having no Catalyst
 # equivalent.
+
+
+# ---- r8: Hive MatchPath argument convention ------------------------------
+
+
+def test_matchpath_pattern_compiler():
+    from hive_apache_ci_spark.functions.hive_compat import (
+        compile_matchpath_pattern,
+    )
+
+    m = {"LATE": "a", "ONTIME": "b", "UP": "c", "DOWN": "d", "FLAT": "e"}
+    assert compile_matchpath_pattern("LATE.LATE+", m) == "aa+"
+    assert compile_matchpath_pattern("FLAT.(UP|DOWN)*.FLAT", m) == "e(c|d)*e"
+    assert compile_matchpath_pattern("LATE.ONTIME?.LATE", m) == "ab?a"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="undeclared symbol"):
+        compile_matchpath_pattern("EARLY.LATE", m)
+    with _pytest.raises(ValueError, match="bad pattern char"):
+        compile_matchpath_pattern("LATE,LATE", m)
+
+
+def _mp_rows(spark, seq):
+    """One partition whose ordered symbol sequence is `seq` ('A'/'B'/'x')."""
+    from pyspark.sql import functions as F
+
+    data = [(1, i, ch) for i, ch in enumerate(seq)]
+    return spark.createDataFrame(data, "part bigint, ord int, sym string")
+
+
+def _run_mp(spark, seq, pattern, symbols=None):
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.functions.hive_compat import matchpath_hive
+
+    df = _mp_rows(spark, seq)
+    symbols = symbols or [
+        ("A", F.col("sym") == "A"),
+        ("B", F.col("sym") == "B"),
+    ]
+    out = matchpath_hive(df, "part", ["ord"], pattern, symbols)
+    return sorted(
+        (r.start_idx, r.match_len) for r in out.toLocalIterator()
+    )
+
+
+def test_matchpath_variable_length_greedy(spark):
+    """`A.A+` is greedy per MatchPath semantics: AAAA is ONE maximal
+    4-row match, not two 2-row matches."""
+    assert _run_mp(spark, "AAAA", "A.A+") == [(0, 4)]
+
+
+def test_matchpath_star_matches_empty(spark):
+    """`A.B*.A` with zero Bs: the quantified symbol is optional."""
+    assert _run_mp(spark, "AA", "A.B*.A") == [(0, 2)]
+    assert _run_mp(spark, "ABBA", "A.B*.A") == [(0, 4)]
+
+
+def test_matchpath_unlabeled_rows_break_matches(spark):
+    """Rows matching no declared symbol get the reserved '0' label and can
+    never be absorbed by a quantifier: AxA has no A.B*.A match."""
+    assert _run_mp(spark, "AxA", "A.B*.A") == []
+
+
+def test_matchpath_first_symbol_wins_on_overlap(spark):
+    """Overlapping predicates resolve by declaration order (MatchPath
+    evaluates symbols in argument order): a row satisfying both A and B
+    is labeled A, so `B.B+` finds nothing in a both-both-both sequence."""
+    from pyspark.sql import functions as F
+
+    both = [
+        ("A", F.col("sym").isin("A", "B")),
+        ("B", F.col("sym").isin("A", "B")),
+    ]
+    assert _run_mp(spark, "BBB", "B.B+", symbols=both) == []
+    assert _run_mp(spark, "BBB", "A.A+", symbols=both) == [(0, 3)]
+
+
+def test_matchpath_alternation_groups(spark):
+    """Grouped alternation with a star quantifier: FLAT.(UP|DOWN)*.FLAT
+    over A=(FLAT) B=(UP) C=(DOWN) shaped input."""
+    from pyspark.sql import functions as F
+
+    symbols = [
+        ("FLAT", F.col("sym") == "A"),
+        ("UP", F.col("sym") == "B"),
+        ("DOWN", F.col("sym") == "x"),
+    ]
+    assert _run_mp(spark, "ABxBA", "FLAT.(UP|DOWN)*.FLAT", symbols) == [(0, 5)]
