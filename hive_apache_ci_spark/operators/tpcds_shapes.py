@@ -143,15 +143,15 @@ ship_total AS (
 SELECT s1.cust AS c_custkey,
        s1.total AS store_1996, s2.total AS store_1997,
        w1.total AS ship_1996,  w2.total AS ship_1997,
-       round(w2.total / w1.total, 6) AS ship_growth,
-       round(s2.total / s1.total, 6) AS store_growth
+       round(w2.total / w1.total + 1e-9, 6) AS ship_growth,
+       round(s2.total / s1.total + 1e-9, 6) AS store_growth
 FROM store_total s1
 JOIN store_total s2 ON s1.cust = s2.cust
 JOIN ship_total  w1 ON s1.cust = w1.cust
 JOIN ship_total  w2 ON s1.cust = w2.cust
 WHERE s1.yr = 1996 AND s2.yr = 1997 AND w1.yr = 1996 AND w2.yr = 1997
   AND s1.total > 0 AND w1.total > 0
-  AND round(w2.total / w1.total, 6) > round(s2.total / s1.total, 6)
+  AND round(w2.total / w1.total + 1e-9, 6) > round(s2.total / s1.total + 1e-9, 6)
 """
 
 
@@ -209,17 +209,17 @@ WITH v1 AS (
 ),
 v2 AS (
   SELECT p_brand, yr, mon, sum_sales,
-         round(avg(sum_sales) OVER (PARTITION BY p_brand, yr), 4) AS avg_monthly,
+         round(avg(sum_sales) OVER (PARTITION BY p_brand, yr) + 1e-6, 4) AS avg_monthly,
          lag(sum_sales)  OVER (PARTITION BY p_brand ORDER BY yr, mon) AS prev_sales,
          lead(sum_sales) OVER (PARTITION BY p_brand ORDER BY yr, mon) AS next_sales
   FROM v1
 )
 SELECT p_brand, yr, mon, sum_sales, avg_monthly, prev_sales, next_sales,
-       round(sum_sales - avg_monthly, 2) AS dev
+       round(sum_sales - avg_monthly + 1e-6, 2) AS dev
 FROM v2
 WHERE yr BETWEEN 1996 AND 1999
   AND avg_monthly > 0
-  AND round(abs(sum_sales - avg_monthly) / avg_monthly, 6) > 0.1
+  AND round(abs(sum_sales - avg_monthly) / avg_monthly + 1e-9, 6) > 0.1
 """
 
 
