@@ -61,6 +61,11 @@ SNAPSHOT_QUERIES = (
 _RULES: tuple[tuple[re.Pattern[str], str], ...] = (
     # expression ids:  l_quantity#123, sum#45L  ->  l_quantity#N
     (re.compile(r"#\d+"), "#N"),
+    # higher-order-function lambda variables carry a JVM-global counter
+    # (lambda x_10 / y_11 in a fresh session, x_214 / y_215 mid-suite) —
+    # normalize the counter; the `lambda ` lookbehind keeps real column
+    # names like h0_2 untouched
+    (re.compile(r"(?<=lambda )(\w+?)_\d+#"), r"\1_N#"),
     # exchange/subquery/plan ids:  [plan_id=123], [id=#N] already covered
     (re.compile(r"plan_id=\d+"), "plan_id=N"),
     # filesystem locations (testdata, scratch run dirs, warehouse)
