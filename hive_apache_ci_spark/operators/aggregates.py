@@ -206,16 +206,28 @@ def agg_collect_set(spark, sf_dir):
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
            o_orderstatus,
            count(*)                      AS n,
-           round(sum(o_totalprice), 2)   AS total
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
     FROM orders
     GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderstatus)
     """,
 )
 def agg_rollup(spark, sf_dir):
-    """WITH ROLLUP (expanded inside Hive's GroupByOperator; Catalyst Expand)."""
+    """WITH ROLLUP (expanded inside Hive's GroupByOperator; Catalyst Expand).
+
+    The grand-total row sums EVERY order: at sf1 the double accumulator
+    runs at ~4e11 where one ulp is 6e-5, so double summation noise
+    exceeds a cent and no 2dp round can be engine-stable (first seen in
+    the r8 full-sf1 sweep). Money is exact cents, so both engines sum in
+    DECIMAL(18,2) — exact integer-cents arithmetic at any scale — and
+    cast the identical exact total back to double. Hive itself sums
+    DECIMAL exactly (HiveDecimal), so this is also the more faithful
+    semantics."""
     o = T(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
     return o.rollup("order_year", "o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"), r2(F.sum("o_totalprice")).alias("total")
+        F.count(F.lit(1)).alias("n"),
+        r2(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")).alias(
+            "total"
+        ),
     )
 
 
@@ -353,24 +365,42 @@ def agg_percentile_approx(spark, sf_dir):
 @query(
     "agg_minmax_by",
     oracle="""
+    WITH w AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rmin,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax
+      FROM orders
+    )
     SELECT o_orderstatus,
-           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           max(CASE WHEN rmin = 1 THEN o_orderkey END) AS cheapest_order,
+           max(CASE WHEN rmax = 1 THEN o_orderkey END) AS priciest_order,
            bool_and(o_totalprice > 0)        AS all_positive,
            bool_or(o_totalprice > 500000)    AS any_huge
-    FROM orders
+    FROM w
     GROUP BY o_orderstatus
     """,
 )
 def agg_minmax_by(spark, sf_dir):
     """min_by/max_by + bool_and/bool_or (Spark-native additions covering
-    Hive's max-struct idiom). o_totalprice is continuous → ties absent."""
+    Hive's max-struct idiom). Tie-break is EXPLICIT — min_by/max_by order
+    on (price, orderkey) structs: organic data has near-unique prices,
+    but the replicated sf1 corpus duplicates every price across copies
+    and unordered arg_min/arg_max picked different winners per engine
+    (first seen in the r8 full-sf1 sweep). The oracle mirrors the struct
+    ordering with deterministic row_number windows (DuckDB's arg_min has
+    no composite-key form)."""
     return (
         T(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min_by(
+                "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+            ).alias("cheapest_order"),
+            F.max_by(
+                "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+            ).alias("priciest_order"),
             F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
             F.bool_or(F.col("o_totalprice") > 500000).alias("any_huge"),
         )
