@@ -89,6 +89,27 @@ def ravg(c: Column, nd: int = 4) -> Column:
     return F.round(c + F.lit(1e-9), nd)
 
 
+def money_sum(c: Column, scale: int = 4) -> Column:
+    """Exact money SUM for sf1+-magnitude totals: DECIMAL-accumulated,
+    rounded to cents IN DECIMAL, cast back to double.
+
+    Why (r8 full-sf1 sweep findings): (a) once a double accumulator runs
+    at >=1e10, one ulp exceeds 1e-5 and summation-order noise across
+    engines exceeds a cent — no 2dp round of a double sum is stable;
+    (b) revenue terms like price*(1-discount) are EXACT 4dp decimals, so
+    group totals land exactly ON x.xx5 half-cent boundaries, where each
+    engine's noisy double sum rounds in a random direction. DECIMAL
+    accumulation is exact at any scale (and matches Hive's own
+    HiveDecimal summation semantics); rounding while still DECIMAL keeps
+    the half-cent decision exact, and the final 2dp value casts to an
+    identical double on both engines. Oracle mirror:
+    ``CAST(round(sum(CAST(expr AS DECIMAL(18,s))), 2) AS DOUBLE)``.
+
+    ``scale``: 2 for exact-cents columns (o_totalprice, l_extendedprice),
+    4 for price*(1-disc) products, 6 for price*(1-disc)*(1+tax)."""
+    return F.round(F.sum(c.cast(f"decimal(18,{scale})")), 2).cast("double")
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Hash-repartition on `cols` with an EXPLICIT partition count
     (spark.sql.shuffle.partitions). The explicit count matters: a

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..helpers import T, r2, ts_lit
+from ..helpers import T, money_sum, r2, ts_lit
 from ..registry import query
 
 
@@ -234,7 +234,7 @@ def join_nullsafe(spark, sf_dir):
     "join_broadcast_star",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -262,7 +262,7 @@ def join_broadcast_star(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lines"),
@@ -274,7 +274,7 @@ def join_broadcast_star(spark, sf_dir):
     "tpch_q3_shipping",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o  ON c.c_custkey = o.o_custkey
@@ -297,7 +297,7 @@ def tpch_q3_shipping(spark, sf_dir):
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -311,7 +311,7 @@ def tpch_q3_shipping(spark, sf_dir):
     "tpch_q5_local_supplier",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -344,7 +344,7 @@ def tpch_q5_local_supplier(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -357,7 +357,7 @@ def tpch_q5_local_supplier(spark, sf_dir):
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS volume
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -394,7 +394,7 @@ def tpch_q7_nation_volume(spark, sf_dir):
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
         .agg(
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "volume"
             )
         )
@@ -405,7 +405,7 @@ def tpch_q7_nation_volume(spark, sf_dir):
     "tpch_q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -435,7 +435,7 @@ def tpch_q10_returned_items(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -574,7 +574,7 @@ def tpch_q14_promo_share(spark, sf_dir):
 @query(
     "tpch_q19_or_chain",
     oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
@@ -613,7 +613,7 @@ def tpch_q19_or_chain(spark, sf_dir):
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n"),
@@ -783,8 +783,8 @@ def tpch_q17_small_qty_revenue(spark, sf_dir):
     oracle="""
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - 50.0 * l.l_quantity), 2) AS profit
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - 50.0 * l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -817,7 +817,7 @@ def tpch_q9_product_profit(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(r2(F.sum(profit)).alias("profit"))
+        .agg(money_sum(profit).alias("profit"))
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
 
@@ -827,7 +827,7 @@ def tpch_q9_product_profit(spark, sf_dir):
     oracle="""
     SELECT o.o_orderpriority,
            count(*)                        AS n,
-           round(sum(l.l_extendedprice), 2) AS total
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -844,7 +844,7 @@ def join_salted_skew(spark, sf_dir):
     j = salted_join(l, o, "l_orderkey", "o_orderkey", n_salt=8)
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        r2(F.sum("l_extendedprice")).alias("total"),
+        money_sum(F.col("l_extendedprice"), 2).alias("total"),
     )
 
 

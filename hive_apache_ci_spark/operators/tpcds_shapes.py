@@ -35,6 +35,10 @@ round on BOTH sides, rollup NULL keys coalesced to sentinels so no
 NULLS FIRST/LAST divergence exists, rank() cast to INT (DuckDB emits
 BIGINT), and every rank ORDER BY carries a full unique tie-break.
 
+Money totals are DECIMAL-accumulated (helpers.money_sum rationale: at
+grand-total magnitude one double ulp exceeds a cent — first seen when
+q67's ALL row failed the r8 sf1 sweep by exactly one cent).
+
 Scale notes (100 TB): rollup = one Expand + two-phase hash agg, no extra
 shuffle per grouping set; the q88 scalar fan is 8 scans that AQE folds to
 1-row broadcasts (the allowed scalar-attach BNLJ shape); q97's FULL OUTER
@@ -80,9 +84,9 @@ WITH salesreturns AS (
 )
 SELECT coalesce(channel, 'ALL') AS channel,
        coalesce(CAST(bucket AS BIGINT), -1) AS bucket,
-       round(sum(sales), 2)   AS sales,
-       round(sum(refunds), 2) AS refunds,
-       round(sum(profit), 2)  AS profit,
+       CAST(round(sum(CAST(sales AS DECIMAL(18,2))), 2) AS DOUBLE)   AS sales,
+       CAST(round(sum(CAST(refunds AS DECIMAL(18,2))), 2) AS DOUBLE) AS refunds,
+       CAST(round(sum(CAST(profit AS DECIMAL(18,2))), 2) AS DOUBLE)  AS profit,
        CAST(count(*) AS BIGINT) AS n
 FROM salesreturns
 GROUP BY ROLLUP(channel, bucket)
@@ -176,7 +180,7 @@ WITH cross_items AS (
 )
 SELECT /*+ BROADCAST(p) */ p.p_brand,
        CAST(count(*) AS BIGINT) AS n_sales,
-       round(sum(round(l.l_extendedprice + 1e-9, 2)), 2) AS sales
+       CAST(round(sum(CAST(round(l.l_extendedprice + 1e-9, 2) AS DECIMAL(18,2))), 2) AS DOUBLE) AS sales
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_partkey IN (SELECT item FROM cross_items)
@@ -239,7 +243,7 @@ WITH results AS (
   SELECT coalesce(p.p_brand, 'ALL') AS brand,
          coalesce(p.p_type, 'ALL')  AS ptype,
          coalesce(CAST(p.p_size AS INT), -1) AS psize,
-         round(sum(round(l.l_extendedprice * (1 - l.l_discount) + 1e-9, 2)), 2) AS sumsales
+         CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) + 1e-9, 2) AS DECIMAL(18,2))), 2) AS DOUBLE) AS sumsales
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   GROUP BY ROLLUP(p.p_brand, p.p_type, p.p_size)
 )

@@ -24,7 +24,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import functions as F
 
-from ..helpers import RUN_ID, T, committed, r2, ravg, run_scratch
+from ..helpers import RUN_ID, T, committed, money_sum, r2, ravg, run_scratch
 from ..registry import query
 
 
@@ -39,7 +39,7 @@ _ORDERS_AGG_ORACLE = """
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
            o_orderstatus,
            count(*)                    AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY 1, 2
 """
@@ -60,7 +60,7 @@ def io_parquet_partitioned(spark, sf_dir):
     back = spark.read.parquet(committed(out))
     return (
         back.groupBy("order_year", "o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("o_totalprice")).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), money_sum(F.col("o_totalprice"), 2).alias("total"))
         .select(
             F.col("order_year").cast("int").alias("order_year"),
             "o_orderstatus",
@@ -74,7 +74,7 @@ def io_parquet_partitioned(spark, sf_dir):
     "io_orc_roundtrip",
     oracle="""
     SELECT l_returnflag, count(*) AS n,
-           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
            round(avg(l_quantity) + 1e-9, 4) AS avg_qty
     FROM lineitem
     GROUP BY l_returnflag
@@ -88,7 +88,7 @@ def io_orc_roundtrip(spark, sf_dir):
     back = spark.read.orc(committed(out))
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        r2(F.sum("l_extendedprice")).alias("sum_price"),
+        money_sum(F.col("l_extendedprice"), 2).alias("sum_price"),
         ravg(F.avg("l_quantity")).alias("avg_qty"),
     )
 
@@ -293,7 +293,7 @@ def _gc_stale_smb_tables(wh: str) -> None:
 _SMB_ORACLE = """
     SELECT c_mktsegment,
            count(*)                    AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
 """
@@ -344,7 +344,7 @@ def io_bucketed_smb_join(spark, sf_dir):
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("o_totalprice")).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), money_sum(F.col("o_totalprice"), 2).alias("total"))
     )
 
 
@@ -400,7 +400,7 @@ def io_multi_insert(spark, sf_dir):
     SELECT 64                              AS n_files_fragmented,
            4                               AS n_files_compacted,
            count(*)                        AS n_rows,
-           round(sum(o_totalprice), 2)     AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM orders
     """,
 )
@@ -434,7 +434,7 @@ def io_compact_small_files(spark, sf_dir):
         .crossJoin(
             back.agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.round(F.sum("o_totalprice"), 2).alias("total"),
+                money_sum(F.col("o_totalprice"), 2).alias("total"),
             )
         )
         .select(
@@ -527,7 +527,7 @@ def io_sorted_layout(spark, sf_dir):
     SELECT CAST(f.order_year AS INTEGER) AS order_year,
            f.o_orderstatus,
            count(*)                      AS n,
-           round(sum(f.o_totalprice), 2) AS total
+           CAST(round(sum(CAST(f.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM (SELECT year(o_orderdate) AS order_year, o_orderstatus, o_totalprice
           FROM orders) f
     JOIN dim USING (order_year)
@@ -563,7 +563,7 @@ def io_dpp_partitioned_join(spark, sf_dir):
         .groupBy("order_year", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            r2(F.sum("o_totalprice")).alias("total"),
+            money_sum(F.col("o_totalprice"), 2).alias("total"),
         )
         .select(
             F.col("order_year").cast("int").alias("order_year"),
@@ -1151,7 +1151,7 @@ def io_xml_roundtrip(spark, sf_dir):
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n,
            CAST(sum(l_linenumber) AS BIGINT) AS line_sum,
-           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
            round(avg(l_quantity) + 1e-9, 4) AS avg_qty
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -1206,7 +1206,7 @@ def io_avro_roundtrip(spark, sf_dir):
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("l_linenumber").cast("bigint").alias("line_sum"),
-        r2(F.sum("l_extendedprice")).alias("sum_price"),
+        money_sum(F.col("l_extendedprice"), 2).alias("sum_price"),
         ravg(F.avg("l_quantity")).alias("avg_qty"),
     )
 
