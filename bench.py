@@ -89,6 +89,15 @@ EXTRA_HEADLINERS = (
     "tpcds_q67_rollup_topk",
     "tpcds_q88_time_bands",
     "tpcds_q97_channel_overlap",
+    # round-8 widening: the five remaining distinct TPC-DS plan signatures
+    # (scalar-max threshold CTEs, cumulative full-outer windows, aggregate
+    # CTE self-join, aggregate-grain left-join null branch, fact self-join
+    # EXISTS pair)
+    "tpcds_q23_frequent_buyers",
+    "tpcds_q51_cumulative_channels",
+    "tpcds_q64_item_year_resales",
+    "tpcds_q78_channel_ratio",
+    "tpcds_q95_multi_supplier",
 )
 
 # BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond

@@ -16,6 +16,12 @@ orders = "catalog", events = "web"):
 - q67 : ROLLUP -> rank() top-k per partition       (tpcds_q67_rollup_topk)
 - q88 : scalar-count fan, 8 one-row cross joins    (tpcds_q88_time_bands)
 - q97 : FULL OUTER overlap of two DISTINCT sets    (tpcds_q97_channel_overlap)
+- q23 : scalar-max threshold CTEs -> double IN     (tpcds_q23_frequent_buyers)
+- q51 : FULL OUTER of two cumulative-window streams,
+        window AFTER the join forward-fills        (tpcds_q51_cumulative_channels)
+- q64 : aggregate CTE self-joined on (item, yr+1)  (tpcds_q64_item_year_resales)
+- q78 : aggregate-grain LEFT JOIN + IS NULL branch (tpcds_q78_channel_ratio)
+- q95 : fact self-join EXISTS (ws1/ws2) + NOT EXISTS (tpcds_q95_multi_supplier)
 
 Expressed as shared SQL (one text, both engines — the subqueries-module
 pattern): the *syntax* (ROLLUP, EXISTS-OR, INTERSECT, FULL OUTER) is what
@@ -318,3 +324,231 @@ def tpcds_q97_channel_overlap(spark, sf_dir):
     FULL OUTER joined to count exclusive/shared pairs. Both sides hash to
     the same (cust, item) key, so the join reuses the dedup exchanges."""
     return _sql(spark, sf_dir, _Q97_SQL)
+
+
+# --- q23: scalar-max-threshold CTEs feeding a double IN filter -------------
+#
+# Thresholds are scale-RELATIVE (vs the average item frequency / the max
+# customer spend), in exact integer/decimal arithmetic, so the query keeps
+# firing at every SF instead of silently going vacuous as data grows.
+
+_Q23_SQL = """
+WITH item_counts AS (
+  SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+),
+corpus AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total_lines,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM item_counts
+),
+frequent_items AS (
+  SELECT i.item FROM item_counts i, corpus c
+  WHERE i.cnt * c.n_items * 5 > c.total_lines * 6
+),
+cust_spend AS (
+  SELECT o_custkey AS cust,
+         sum(CAST(round(o_totalprice + 1e-9, 2) AS DECIMAL(18,2))) AS total
+  FROM orders GROUP BY o_custkey
+),
+best_customers AS (
+  SELECT cust FROM cust_spend
+  WHERE 2 * total > (SELECT max(total) FROM cust_spend)
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_sales,
+       CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) + 1e-9, 2)
+                           AS DECIMAL(18,2))), 2) AS DOUBLE) AS sales
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+  AND l.l_partkey IN (SELECT item FROM frequent_items)
+  AND o.o_custkey IN (SELECT cust FROM best_customers)
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("tpcds_q23_frequent_buyers", oracle=_Q23_SQL)
+def tpcds_q23_frequent_buyers(spark, sf_dir):
+    """TPC-DS q23 shape: a frequent-items CTE (count above a corpus-relative
+    bar) and a best-customers CTE (spend above half the MAX spend — the
+    scalar-subquery-over-aggregate signature) jointly gate the fact scan
+    via two IN filters, then segment-level totals. Catalyst lowers the two
+    INs to semi joins and the scalar max to a one-row broadcast; all
+    thresholds are exact BIGINT/DECIMAL arithmetic so every SF fires."""
+    return _sql(spark, sf_dir, _Q23_SQL)
+
+
+# --- q51: FULL OUTER of two cumulative streams, window AFTER the join ------
+
+_Q51_SQL = """
+WITH ship_m AS (
+  SELECT o.o_custkey % 25 AS bkt,
+         CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS INT) AS ym,
+         CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) + 1e-9, 2)
+                             AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sales
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey % 25,
+           CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS INT)
+),
+order_m AS (
+  SELECT o_custkey % 25 AS bkt,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+         CAST(round(sum(CAST(round(o_totalprice + 1e-9, 2) AS DECIMAL(18,2))), 2)
+              AS DECIMAL(18,2)) AS sales
+  FROM orders
+  GROUP BY o_custkey % 25,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+),
+ship_cum AS (
+  SELECT bkt, ym, sum(sales) OVER (PARTITION BY bkt ORDER BY ym
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+  FROM ship_m
+),
+order_cum AS (
+  SELECT bkt, ym, sum(sales) OVER (PARTITION BY bkt ORDER BY ym
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+  FROM order_m
+),
+joined AS (
+  SELECT coalesce(s.bkt, o.bkt) AS bkt, coalesce(s.ym, o.ym) AS ym,
+         s.cum AS ship_cum_raw, o.cum AS order_cum_raw
+  FROM ship_cum s FULL OUTER JOIN order_cum o
+    ON s.bkt = o.bkt AND s.ym = o.ym
+),
+filled AS (
+  SELECT bkt, ym,
+         max(ship_cum_raw)  OVER (PARTITION BY bkt ORDER BY ym
+                                  ROWS UNBOUNDED PRECEDING) AS ship_cum,
+         max(order_cum_raw) OVER (PARTITION BY bkt ORDER BY ym
+                                  ROWS UNBOUNDED PRECEDING) AS order_cum
+  FROM joined
+)
+SELECT CAST(bkt AS BIGINT) AS bkt, ym,
+       CAST(ship_cum AS DOUBLE) AS ship_cum,
+       CAST(order_cum AS DOUBLE) AS order_cum
+FROM filled
+WHERE ship_cum IS NOT NULL AND order_cum IS NOT NULL
+  AND ship_cum > order_cum
+"""
+
+
+@query("tpcds_q51_cumulative_channels", oracle=_Q51_SQL)
+def tpcds_q51_cumulative_channels(spark, sf_dir):
+    """TPC-DS q51 shape: two per-(bucket, month) cumulative revenue streams
+    (windows BEFORE the join), FULL OUTER joined on the grain, then a
+    running-MAX window AFTER the join forward-fills each side's cumulative
+    through the other side's months; keep months where the ship channel's
+    cumulative leads. Cumulatives accumulate as DECIMAL(18,2) inside the
+    window so cross-engine float addition order can't matter; (bkt, ym) is
+    unique per stream so every window order is total."""
+    return _sql(spark, sf_dir, _Q51_SQL)
+
+
+# --- q64: aggregate CTE self-joined across adjacent years ------------------
+
+_Q64_SQL = """
+WITH sales_by_year AS (
+  SELECT l.l_partkey AS item, p.p_brand,
+         CAST(year(o.o_orderdate) AS INT) AS yr,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) + 1e-9, 2)
+                             AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sales
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p   ON l.l_partkey = p.p_partkey
+  GROUP BY l.l_partkey, p.p_brand, CAST(year(o.o_orderdate) AS INT)
+)
+SELECT s1.item, s1.p_brand,
+       s1.yr AS yr1, s2.yr AS yr2,
+       s1.cnt AS cnt1, s2.cnt AS cnt2,
+       CAST(s1.sales AS DOUBLE) AS sales1,
+       CAST(s2.sales AS DOUBLE) AS sales2
+FROM sales_by_year s1
+JOIN sales_by_year s2
+  ON s1.item = s2.item AND s2.yr = s1.yr + 1
+WHERE s1.cnt >= 2 AND s2.cnt >= 2
+  AND 2 * s2.sales > 3 * s1.sales
+"""
+
+
+@query("tpcds_q64_item_year_resales", oracle=_Q64_SQL)
+def tpcds_q64_item_year_resales(spark, sf_dir):
+    """TPC-DS q64 shape: one wide denormalized aggregate CTE (fact x 2 dims
+    at (item, year) grain) self-joined on the derived key (item, yr+1) to
+    pair adjacent years, keeping items whose sales grew >1.5x. The growth
+    cut is exact DECIMAL cross-multiplication (2*s2 > 3*s1) — no float
+    ratio anywhere. The self-join shuffles both CTE instances on the same
+    item key, so the exchange is computed once and reused."""
+    return _sql(spark, sf_dir, _Q64_SQL)
+
+
+# --- q78: aggregate-grain LEFT JOIN with IS NULL branch --------------------
+
+_Q78_SQL = """
+WITH store AS (
+  SELECT o_custkey AS cust, CAST(count(*) AS BIGINT) AS n_orders,
+         sum(CAST(round(o_totalprice + 1e-9, 2) AS DECIMAL(18,2))) AS store_total
+  FROM orders GROUP BY o_custkey
+),
+web AS (
+  SELECT user_id AS cust, CAST(count(*) AS BIGINT) AS n_events,
+         sum(CAST(round(value + 1e-9, 2) AS DECIMAL(18,2))) AS web_total
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT c.c_mktsegment,
+       CASE WHEN w.cust IS NULL THEN 'store_only' ELSE 'both' END AS channel_mix,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(s.n_orders) AS BIGINT) AS n_orders,
+       CAST(round(sum(s.store_total), 2) AS DOUBLE) AS store_sales,
+       CAST(round(sum(coalesce(w.web_total, 0)), 2) AS DOUBLE) AS web_sales,
+       round(CAST(sum(coalesce(w.web_total, 0)) AS DOUBLE)
+             / CAST(sum(s.store_total) AS DOUBLE) + 1e-9, 6) AS web_share
+FROM store s
+JOIN customer c ON s.cust = c.c_custkey
+LEFT JOIN web w ON s.cust = w.cust
+GROUP BY c.c_mktsegment,
+         CASE WHEN w.cust IS NULL THEN 'store_only' ELSE 'both' END
+"""
+
+
+@query("tpcds_q78_channel_ratio", oracle=_Q78_SQL)
+def tpcds_q78_channel_ratio(spark, sf_dir):
+    """TPC-DS q78 shape: per-customer channel totals LEFT JOINed at the
+    aggregate grain, with the unmatched (IS NULL) branch kept as its own
+    reporting segment — the ratio-of-channels report where one channel may
+    be absent. DECIMAL totals; the only float is the final 6dp share."""
+    return _sql(spark, sf_dir, _Q78_SQL)
+
+
+# --- q95: fact self-join EXISTS (ws1/ws2) + NOT EXISTS ---------------------
+
+_Q95_SQL = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(round(o.o_totalprice + 1e-9, 2) AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS total
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_suppkey <> l2.l_suppkey
+              WHERE l1.l_orderkey = o.o_orderkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = o.o_orderkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("tpcds_q95_multi_supplier", oracle=_Q95_SQL)
+def tpcds_q95_multi_supplier(spark, sf_dir):
+    """TPC-DS q95 shape: orders shipped by at least two DIFFERENT suppliers
+    (the ws1/ws2 fact self-join inside EXISTS) with no returned line
+    (NOT EXISTS on the same fact), counted per priority. The self-join is
+    keyed on l_orderkey — per-order fan is bounded by lines-per-order, and
+    Catalyst turns the EXISTS pair into a semi + anti join on the same
+    orderkey exchange."""
+    return _sql(spark, sf_dir, _Q95_SQL)

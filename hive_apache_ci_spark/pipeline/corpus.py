@@ -1705,3 +1705,167 @@ def contamination_embedding(spark, sf_dir):
 contamination_embedding.__doc__ = contamination_embedding.__doc__.replace(
     "{M}", str(_CEMB_MOD)
 ).replace("{T}", str(_CEMB_TH))
+
+
+# ---- blocklist filtering (C4/RefinedWeb-style word filters) -------------
+#
+# C4 dropped pages containing any "bad word"; RefinedWeb refined that into
+# per-category hit *rates* so a single incidental token doesn't nuke a
+# document. Categories here are built from the synthetic vocabulary: a
+# rare high-precision marker list (hard drop), a commoner style list
+# gated by rate, and a stopword list reported but never gating. All
+# arithmetic is integer (hits, per-mille rates), so verdicts are
+# bit-identical across engines.
+
+_BL_SPAM = ("dup",)  # rare marker (~5% of docs) — any hit drops
+_BL_STYLE = ("slow", "fast")  # rate-gated: review above 8% of tokens
+_BL_STOP = ("the", "a")  # reported only
+_BL_STYLE_PM = 80  # per-mille style-hit bar
+
+
+def _bl_in(words: tuple) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+_BLOCKLIST_SQL = f"""
+SELECT doc_id, lang, n_tokens, spam_hits, style_hits, stop_hits,
+       CASE WHEN spam_hits > 0 THEN 'drop'
+            WHEN style_hits * 1000 > {_BL_STYLE_PM} * n_tokens THEN 'review'
+            ELSE 'keep' END AS verdict
+FROM (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, t -> t IN {_bl_in(_BL_SPAM)})) AS BIGINT)  AS spam_hits,
+         CAST(len(list_filter(toks, t -> t IN {_bl_in(_BL_STYLE)})) AS BIGINT) AS style_hits,
+         CAST(len(list_filter(toks, t -> t IN {_bl_in(_BL_STOP)})) AS BIGINT)  AS stop_hits
+  FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents)
+)
+"""
+
+
+@query("corpus_blocklist_filter", oracle=_BLOCKLIST_SQL)
+def corpus_blocklist_filter(spark, sf_dir):
+    """Blocklist word filtering (C4 'bad word' drop, RefinedWeb rate
+    refinement): per document, category hit counts against a broadcast-
+    literal blocklist and a keep/review/drop verdict — any rare-marker
+    hit drops, style hits above 8 percent of tokens flag for review,
+    stopword hits are reported but never gate.
+
+    100 TB: the blocklist is a literal IN-list inside a higher-order
+    ``filter`` over the token array — whole-stage-codegen map work, zero
+    shuffles, no join against a blocklist table until the list outgrows
+    a literal (then: broadcast join per token). Integer per-mille rate
+    arithmetic keeps the verdict bit-identical across engines."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    base = d.select(
+        "doc_id",
+        "lang",
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.expr(f"cast(size(filter(toks, t -> t IN {_bl_in(_BL_SPAM)})) as bigint)").alias(
+            "spam_hits"
+        ),
+        F.expr(
+            f"cast(size(filter(toks, t -> t IN {_bl_in(_BL_STYLE)})) as bigint)"
+        ).alias("style_hits"),
+        F.expr(f"cast(size(filter(toks, t -> t IN {_bl_in(_BL_STOP)})) as bigint)").alias(
+            "stop_hits"
+        ),
+    )
+    verdict = (
+        F.when(F.col("spam_hits") > 0, F.lit("drop"))
+        .when(
+            F.col("style_hits") * 1000 > _BL_STYLE_PM * F.col("n_tokens"),
+            F.lit("review"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return base.withColumn("verdict", verdict)
+
+
+# ---- deterministic shard shuffle (training-data writing) ----------------
+
+_SHARD_SEED = "r8shuffle"
+_N_SHARDS = 16
+
+
+_SHARDS_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         md5('{_SHARD_SEED}:' || CAST(doc_id AS VARCHAR)) AS okey,
+         CAST(('0x' || substr(md5('{_SHARD_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_N_SHARDS} AS shard,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS d32
+  FROM documents
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS INT) AS rk
+  FROM keyed
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+       CAST(sum(d32) AS BIGINT) AS id_digest,
+       min(okey) AS min_key, max(okey) AS max_key,
+       list(doc_id ORDER BY rk) FILTER (WHERE rk <= 3) AS head_docs
+FROM ranked
+GROUP BY shard
+"""
+
+
+@query("corpus_shuffle_shards", oracle=_SHARDS_SQL)
+def corpus_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle into training shards: every document
+    gets a seeded md5 order key; shard = key mod {N}; within-shard order =
+    (key, doc_id). The audit report per shard: row/char mass (balance),
+    a commutative 32-bit id digest (content identity — two runs or two
+    engines producing the same shards sum to the same digest), the shard's
+    key range, and its first three documents in shard order (proves the
+    intra-shard ORDER itself is replayable, not just membership).
+
+    This is the last step before tokenized-shard writing: seeded-hash
+    sharding needs no global sort and no RNG state — reshuffling for a new
+    epoch is changing the seed string. 100 TB: pure map-side keying, ONE
+    shuffle to the shard aggregate; the write path is
+    ``repartition(shard).sortWithinPartitions(okey)`` with the same keys.
+    Balance is statistical (multinomial) — the n_docs spread IS the audit.
+    Ref: deterministic data-order reproducibility for LLM training runs
+    (public practice, e.g. Pile/RedPajama shard builds)."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    okey = F.md5(F.concat(F.lit(f"{_SHARD_SEED}:"), F.col("doc_id").cast("string")))
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        okey.alias("okey"),
+        (F.conv(F.substring(okey, 1, 15), 16, 10).cast("bigint") % _N_SHARDS)
+        .cast("int")
+        .alias("shard"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("d32"),
+    )
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    ranked = keyed.withColumn("rk", F.row_number().over(w).cast("int"))
+    return ranked.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        F.sum("d32").cast("bigint").alias("id_digest"),
+        F.min("okey").alias("min_key"),
+        F.max("okey").alias("max_key"),
+        F.expr(
+            "transform(array_sort(collect_list(case when rk <= 3 then"
+            " struct(rk, doc_id) end)), s -> s.doc_id)"
+        ).alias("head_docs"),
+    )
+
+
+corpus_shuffle_shards.__doc__ = corpus_shuffle_shards.__doc__.replace(
+    "{N}", str(_N_SHARDS)
+)

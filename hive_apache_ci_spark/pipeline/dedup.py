@@ -2430,3 +2430,128 @@ def dedup_survivorship(spark, sf_dir):
             "q_spread"
         ),
     )
+
+
+# ---- exact-substring run detection (Lee et al. 2021) --------------------
+#
+# "Deduplicating Training Data Makes Language Models Better" removes exact
+# substrings of >= 50 tokens shared between documents. The distributed
+# form: slide a k-token window with its position over every document, join
+# on the window text (never doc x doc), then merge hits that sit on the
+# same (pair, pos_a - pos_b) DIAGONAL into maximal runs with one
+# gaps-and-islands pass — a k-gram seed-and-extend, the suffix-array
+# result without a suffix array.
+
+_ESUB_K = 5  # seed window tokens
+_ESUB_MIN_RUN = 8  # report runs of >= this many tokens
+_ESUB_MAX_DF = 24  # windows in more docs than this are boilerplate — cut
+
+_ESUB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(a[i:i+{_ESUB_K - 1}], ' ') AS g
+  FROM toks, unnest(range(1, len(a) - {_ESUB_K} + 2)) t(i)
+),
+keep AS (
+  SELECT g FROM grams GROUP BY g
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_ESUB_MAX_DF}
+),
+hits AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  WHERE a.g IN (SELECT g FROM keep)
+),
+islands AS (
+  SELECT doc_a, doc_b, pos_a, pos_b,
+         pos_a - CAST(row_number() OVER (
+             PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+         ) AS INT) AS island
+  FROM hits
+)
+SELECT doc_a, doc_b,
+       CAST(min(pos_a) AS INT) AS start_a,
+       CAST(min(pos_b) AS INT) AS start_b,
+       CAST(max(pos_a) - min(pos_a) + {_ESUB_K} AS INT) AS run_tokens
+FROM islands
+GROUP BY doc_a, doc_b, pos_a - pos_b, island
+HAVING max(pos_a) - min(pos_a) + {_ESUB_K} >= {_ESUB_MIN_RUN}
+"""
+
+
+@query("dedup_exact_substring", oracle=_ESUB_SQL)
+def dedup_exact_substring(spark, sf_dir):
+    """Maximal cross-document exact-substring runs >= {R} tokens (Lee et
+    al. 2021 exact-substring dedup, seed-and-extend form): {K}-token
+    sliding windows with positions, document-frequency-bounded (windows in
+    >{D} docs are boilerplate and would fan the pair join quadratically —
+    cut BEFORE pairing, the dedup_ngram_jaccard discipline), equi-joined
+    on window text to seed hit coordinates, then consecutive seeds on the
+    same (pair, pos_a - pos_b) diagonal merge into maximal runs via ONE
+    row_number gaps-and-islands window.
+
+    100 TB: shuffle keys are the window hash (pair seeding) and
+    (doc_a, doc_b, diagonal) (run merge) — both fine-grained; no
+    all-pairs stage exists, and the suffix-array global sort the paper
+    uses is replaced by bounded joins. Window arithmetic is pure INT."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split(lower(text), '\\\\s+'))"
+                f" - {_ESUB_K} + 1),"
+                f" i -> struct(cast(i as int) as pos,"
+                f" concat_ws(' ', slice(split(lower(text), '\\\\s+'), i, {_ESUB_K}))"
+                " as g))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
+    keep = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _ESUB_MAX_DF))
+        .select("g")
+    )
+    seeded = grams.join(keep, "g")
+    a = seeded.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "g"
+    )
+    b = seeded.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "g"
+    )
+    hits = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", "pos_b")
+    )
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", F.col("pos_a") - F.col("pos_b")).orderBy(
+        "pos_a"
+    )
+    islands = hits.select(
+        "doc_a", "doc_b", "pos_a", "pos_b", diag
+    ).withColumn("island", F.col("pos_a") - F.row_number().over(w).cast("int"))
+    runs = (
+        islands.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").cast("int").alias("start_a"),
+            F.min("pos_b").cast("int").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + _ESUB_K).cast("int").alias(
+                "run_tokens"
+            ),
+        )
+        .filter(F.col("run_tokens") >= _ESUB_MIN_RUN)
+    )
+    return runs.select("doc_a", "doc_b", "start_a", "start_b", "run_tokens")
+
+
+dedup_exact_substring.__doc__ = (
+    dedup_exact_substring.__doc__.replace("{R}", str(_ESUB_MIN_RUN))
+    .replace("{K}", str(_ESUB_K))
+    .replace("{D}", str(_ESUB_MAX_DF))
+)

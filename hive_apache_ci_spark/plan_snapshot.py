@@ -56,6 +56,11 @@ SNAPSHOT_QUERIES = (
     "tpcds_q67_rollup_topk",
     "tpcds_q88_time_bands",
     "tpcds_q97_channel_overlap",
+    "tpcds_q23_frequent_buyers",
+    "tpcds_q51_cumulative_channels",
+    "tpcds_q64_item_year_resales",
+    "tpcds_q78_channel_ratio",
+    "tpcds_q95_multi_supplier",
 )
 
 _RULES: tuple[tuple[re.Pattern[str], str], ...] = (

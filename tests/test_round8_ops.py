@@ -75,3 +75,56 @@ def test_cc_long_chain_rounds_logarithmic(spark):
     )
     bound = math.ceil(math.log2(n - 1)) + 2
     assert rounds <= bound, (rounds, bound)
+
+
+def test_blocklist_all_verdicts_fire(spark):
+    """The three verdict branches must all be live at the test SF —
+    a threshold that silently stops firing is the vacuity failure class
+    the verify harness flags for whole results, applied per-branch."""
+    df = all_queries()["corpus_blocklist_filter"](spark, SF_DIR)
+    verdicts = {r["verdict"] for r in df.select("verdict").distinct().collect()}
+    assert verdicts == {"keep", "review", "drop"}, verdicts
+
+
+def test_shuffle_shards_partition_the_corpus(spark):
+    """Shards must exactly partition the corpus (no doc lost or double-
+    assigned) and every shard's head list must respect its n_docs."""
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.helpers import T
+
+    rows = all_queries()["corpus_shuffle_shards"](spark, SF_DIR).collect()
+    total = T(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    assert len(rows) == 16 and {r["shard"] for r in rows} == set(range(16))
+    for r in rows:
+        assert len(r["head_docs"]) == min(3, r["n_docs"])
+        assert r["min_key"] <= r["max_key"]
+
+
+def test_exact_substring_runs_verify_and_are_maximal(spark):
+    """Every reported run must be a REAL token-for-token match in the two
+    source documents, and maximal: extending one token left or right
+    either leaves a document or breaks the match. This checks the
+    diagonal gaps-and-islands merge against ground truth, not the oracle
+    (which shares the dataflow shape)."""
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.helpers import T
+
+    runs = all_queries()["dedup_exact_substring"](spark, SF_DIR).collect()
+    assert runs, "no runs at test SF — op is vacuous"
+    toks = {
+        r["doc_id"]: r["toks"]
+        for r in T(spark, SF_DIR, "documents")
+        .select("doc_id", F.split(F.lower("text"), r"\s+").alias("toks"))
+        .collect()
+    }
+    for r in runs[:50]:
+        a, b = toks[r["doc_a"]], toks[r["doc_b"]]
+        sa, sb, n = r["start_a"] - 1, r["start_b"] - 1, r["run_tokens"]
+        assert a[sa : sa + n] == b[sb : sb + n], (r, a[sa : sa + n], b[sb : sb + n])
+        if sa > 0 and sb > 0:
+            assert a[sa - 1] != b[sb - 1], ("left-extensible", r)
+        if sa + n < len(a) and sb + n < len(b):
+            assert a[sa + n] != b[sb + n], ("right-extensible", r)
