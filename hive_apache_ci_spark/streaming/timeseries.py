@@ -2179,3 +2179,114 @@ def events_forecast_backtest(spark, sf_dir):
         "event_type string, cutoff_frac double, cutoff_rn bigint, h int, "
         "forecast double, actual double, ape double",
     )
+
+
+# ---- multi-touch marketing attribution ----------------------------------
+
+_ATTR_SQL = """
+WITH p AS (
+  SELECT event_id AS pid, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_id AS tid, ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+touches AS (
+  SELECT p.pid, t.touch_type, t.ts, t.tid,
+         CAST(row_number() OVER (PARTITION BY p.pid ORDER BY t.ts, t.tid)
+              AS INT) AS rk_asc,
+         CAST(row_number() OVER (PARTITION BY p.pid ORDER BY t.ts DESC, t.tid DESC)
+              AS INT) AS rk_desc,
+         CAST(count(*) OVER (PARTITION BY p.pid) AS BIGINT) AS n
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND t.ts < p.pts AND t.ts >= p.pts - INTERVAL '24' HOUR
+),
+credited AS (
+  SELECT touch_type,
+         CASE WHEN rk_asc = 1 THEN 'first'
+              WHEN rk_desc = 1 THEN 'last'
+              ELSE 'middle' END AS role,
+         CASE WHEN rk_asc = 1 AND n = 1 THEN 1.0
+              WHEN rk_asc = 1 OR rk_desc = 1 THEN
+                   CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END
+              ELSE round(0.2 / (n - 2) + 1e-9, 6) END AS credit
+  FROM touches
+)
+SELECT touch_type, role,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(round(sum(CAST(credit AS DECIMAL(18,6))), 6) AS DOUBLE) AS total_credit
+FROM credited
+GROUP BY touch_type, role
+"""
+
+
+@query("events_attribution_multitouch", oracle=_ATTR_SQL)
+def events_attribution_multitouch(spark, sf_dir):
+    """Multi-touch conversion attribution (the U-shaped / position-based
+    model marketing warehouses run): every purchase credits the view/click
+    touches in its trailing 24 h — a lone touch gets full credit, a pair
+    splits 50/50, otherwise first and last get 40% each and the middles
+    share the remaining 20% equally. Output: credit mass and touch counts
+    per (touch type, position role).
+
+    Dataflow: purchases ⋈ touches is a user-keyed equi join with a
+    residual time-range predicate (the fan per purchase is bounded by a
+    user's 24 h activity); first/last/size come from two row_number
+    windows + one count over the purchase-keyed exchange the join already
+    produced. 100 TB: one user-keyed shuffle, one purchase-keyed shuffle,
+    map-side partial final agg. Credits are 6dp-quantized then
+    DECIMAL-accumulated, so the report is bit-identical across engines.
+    Hive parity: pure joins + PTF windowing (SURVEY §2.3/§2.5 composition);
+    the attribution model itself is public analytics practice."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        "ts",
+        F.col("event_type").alias("touch_type"),
+    )
+    touches = (
+        p.join(t, "user_id")
+        .filter(
+            (F.col("ts") < F.col("pts"))
+            & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+        )
+        .select("pid", "touch_type", "ts", "tid")
+    )
+    wp = Window.partitionBy("pid")
+    ranked = touches.select(
+        "touch_type",
+        F.row_number().over(wp.orderBy("ts", "tid")).cast("int").alias("rk_asc"),
+        F.row_number()
+        .over(wp.orderBy(F.desc("ts"), F.desc("tid")))
+        .cast("int")
+        .alias("rk_desc"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    role = (
+        F.when(F.col("rk_asc") == 1, F.lit("first"))
+        .when(F.col("rk_desc") == 1, F.lit("last"))
+        .otherwise(F.lit("middle"))
+    )
+    endpoint = F.when(F.col("n") == 2, F.lit(0.5)).otherwise(F.lit(0.4))
+    credit = (
+        F.when((F.col("rk_asc") == 1) & (F.col("n") == 1), F.lit(1.0))
+        .when((F.col("rk_asc") == 1) | (F.col("rk_desc") == 1), endpoint)
+        .otherwise(F.round(F.lit(0.2) / (F.col("n") - 2) + F.lit(1e-9), 6))
+    )
+    return (
+        ranked.select("touch_type", role.alias("role"), credit.alias("credit"))
+        .groupBy("touch_type", "role")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(F.sum(F.col("credit").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("total_credit"),
+        )
+    )

@@ -128,3 +128,38 @@ def test_exact_substring_runs_verify_and_are_maximal(spark):
             assert a[sa - 1] != b[sb - 1], ("left-extensible", r)
         if sa + n < len(a) and sb + n < len(b):
             assert a[sa + n] != b[sb + n], ("right-extensible", r)
+
+
+def test_attribution_credit_conserves_purchase_mass(spark):
+    """Each purchase with >=1 touch distributes ~exactly 1.0 credit (the
+    only slack is 6dp rounding of the middle share), so the report's
+    total credit must equal the attributed-purchase count to within
+    n_touches * 1e-6."""
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.helpers import T
+
+    rows = all_queries()["events_attribution_multitouch"](spark, SF_DIR).collect()
+    total_credit = sum(r["total_credit"] for r in rows)
+    n_touches = sum(r["n_touches"] for r in rows)
+    e = T(spark, SF_DIR, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts"
+    )
+    attributed = (
+        p.join(t, "user_id")
+        .filter(
+            (F.col("ts") < F.col("pts"))
+            & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+        )
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert abs(total_credit - attributed) <= n_touches * 1e-6, (
+        total_credit,
+        attributed,
+    )
