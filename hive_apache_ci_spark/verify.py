@@ -64,6 +64,15 @@ def _rows_to_multiset(cols, rows, ndigits: int | None = None) -> Counter:
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # Bound the oracle engine: DuckDB's default memory_limit is 80% of
+    # PHYSICAL RAM per process, so concurrent sweep shards (or one
+    # pathological oracle at a big SF) can take the whole box to 0-free
+    # before spilling — seen in the r8 sf1 sweep, where one quadratic
+    # oracle held ~100 GB then filled the disk with spill files. 24 GB
+    # keeps any one oracle inside a fair share of the 128 GB box and
+    # turns runaways into clean OUT_OF_MEMORY errors instead of freezes.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET max_temp_directory_size='40GB'")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
