@@ -98,6 +98,7 @@ EXTRA_HEADLINERS = (
     "tpcds_q64_item_year_resales",
     "tpcds_q78_channel_ratio",
     "tpcds_q95_multi_supplier",
+    "tpcds_q34_basket_bands",
 )
 
 # BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond

@@ -414,3 +414,34 @@ def script_while_threshold(spark, sf_dir):
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+# ---- PERCENTILE_CONT / PERCENTILE_DISC ... WITHIN GROUP ------------------
+
+_PCTL_WG_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity)
+                  AS DOUBLE) + 1e-9, 6) AS qty_p50,
+       round(CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_quantity)
+                  AS DOUBLE) + 1e-9, 6) AS qty_p95,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+            AS DOUBLE) AS qty_p50_disc,
+       CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity)
+            AS DOUBLE) AS qty_p95_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentile_within_group", oracle=_PCTL_WG_SQL)
+def agg_percentile_within_group(spark, sf_dir):
+    """SQL:2008 ordered-set aggregates ``PERCENTILE_CONT`` /
+    ``PERCENTILE_DISC ... WITHIN GROUP (ORDER BY ...)`` — the ANSI forms
+    of Hive's percentile()/percentile_approx() surface (SURVEY §2.4),
+    exercised in the standard inverse-distribution syntax both engines
+    parse natively. CONT interpolates (6dp-rounded on both sides); DISC
+    returns an actual population element, so it is exact by construction.
+    Same per-group sort-bounded cost shape as agg_percentile: grouping
+    bounds each ordered set to one cell, so no global sort exists."""
+    return _sql(spark, sf_dir, _PCTL_WG_SQL)

@@ -22,6 +22,7 @@ orders = "catalog", events = "web"):
 - q64 : aggregate CTE self-joined on (item, yr+1)  (tpcds_q64_item_year_resales)
 - q78 : aggregate-grain LEFT JOIN + IS NULL branch (tpcds_q78_channel_ratio)
 - q95 : fact self-join EXISTS (ws1/ws2) + NOT EXISTS (tpcds_q95_multi_supplier)
+- q34 : HAVING count-band -> join back to dimension   (tpcds_q34_basket_bands)
 
 Expressed as shared SQL (one text, both engines — the subqueries-module
 pattern): the *syntax* (ROLLUP, EXISTS-OR, INTERSECT, FULL OUTER) is what
@@ -552,3 +553,34 @@ def tpcds_q95_multi_supplier(spark, sf_dir):
     Catalyst turns the EXISTS pair into a semi + anti join on the same
     orderkey exchange."""
     return _sql(spark, sf_dir, _Q95_SQL)
+
+
+# --- q34: HAVING count-band -> join back to the dimension ------------------
+
+_Q34_SQL = """
+WITH baskets AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING count(*) BETWEEN 6 AND 7
+)
+SELECT c.c_custkey, c.c_name,
+       CAST(count(*) AS BIGINT) AS n_big_baskets,
+       CAST(sum(b.n_lines) AS BIGINT) AS total_lines
+FROM baskets b
+JOIN orders o   ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+HAVING count(*) >= 2
+"""
+
+
+@query("tpcds_q34_basket_bands", oracle=_Q34_SQL)
+def tpcds_q34_basket_bands(spark, sf_dir):
+    """TPC-DS q34/q73 shape: per-ticket line counts filtered to a HAVING
+    band (6-7 lines = the 'large basket' class), joined BACK through the
+    fact to the customer dimension, then re-aggregated with a second
+    HAVING (repeat large-basket customers). The band aggregate and the
+    join-back reuse the same orderkey hash; all columns are exact
+    BIGINT/string, no float anywhere."""
+    return _sql(spark, sf_dir, _Q34_SQL)

@@ -61,6 +61,7 @@ SNAPSHOT_QUERIES = (
     "tpcds_q64_item_year_resales",
     "tpcds_q78_channel_ratio",
     "tpcds_q95_multi_supplier",
+    "tpcds_q34_basket_bands",
 )
 
 _RULES: tuple[tuple[re.Pattern[str], str], ...] = (
