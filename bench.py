@@ -89,10 +89,10 @@ EXTRA_HEADLINERS = (
     "tpcds_q67_rollup_topk",
     "tpcds_q88_time_bands",
     "tpcds_q97_channel_overlap",
-    # round-8 widening: the five remaining distinct TPC-DS plan signatures
+    # round-8 widening: the six remaining distinct TPC-DS plan signatures
     # (scalar-max threshold CTEs, cumulative full-outer windows, aggregate
     # CTE self-join, aggregate-grain left-join null branch, fact self-join
-    # EXISTS pair)
+    # EXISTS pair, HAVING count-band join-back)
     "tpcds_q23_frequent_buyers",
     "tpcds_q51_cumulative_channels",
     "tpcds_q64_item_year_resales",

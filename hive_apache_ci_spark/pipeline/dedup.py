@@ -2499,18 +2499,26 @@ def dedup_exact_substring(spark, sf_dir):
     from pyspark.sql import Window
 
     d = T(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(split(lower(text), '\\\\s+'))"
-                f" - {_ESUB_K} + 1),"
-                f" i -> struct(cast(i as int) as pos,"
-                f" concat_ws(' ', slice(split(lower(text), '\\\\s+'), i, {_ESUB_K}))"
-                " as g))"
-            )
-        ).alias("w"),
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
+    # Tokenize ONCE into a column (the lambda below would otherwise
+    # re-split per window position — O(tokens^2) regex work per doc), and
+    # gate on size >= K BEFORE building the sequence: Spark's
+    # sequence(1, m) with m <= 0 counts DOWN ([1, 0]) and the slice at 0
+    # throws, where the oracle's exclusive-end range() is simply empty.
+    grams = (
+        d.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
+        .filter(F.size("toks") >= _ESUB_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_ESUB_K} + 1),"
+                    f" i -> struct(cast(i as int) as pos,"
+                    f" concat_ws(' ', slice(toks, i, {_ESUB_K})) as g))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
+    )
     keep = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("df"))

@@ -68,11 +68,21 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # PHYSICAL RAM per process, so concurrent sweep shards (or one
     # pathological oracle at a big SF) can take the whole box to 0-free
     # before spilling — seen in the r8 sf1 sweep, where one quadratic
-    # oracle held ~100 GB then filled the disk with spill files. 24 GB
-    # keeps any one oracle inside a fair share of the 128 GB box and
-    # turns runaways into clean OUT_OF_MEMORY errors instead of freezes.
-    con.execute("SET memory_limit='24GB'")
-    con.execute("SET max_temp_directory_size='40GB'")
+    # oracle held ~100 GB then filled the disk with spill files. Capping
+    # at min(24 GB, 40% of detected RAM) keeps any one oracle inside a
+    # fair share of the big box while never RAISING the budget above what
+    # a small host can give (a flat 24 GB on a 16 GB runner would invite
+    # the OS OOM-killer instead of a clean OUT_OF_MEMORY).
+    try:
+        with open("/proc/meminfo") as fh:
+            total_kb = next(
+                int(line.split()[1]) for line in fh if line.startswith("MemTotal:")
+            )
+        cap_gb = max(1, min(24, int(total_kb * 0.4 / 1024 / 1024)))
+    except (OSError, StopIteration, ValueError):
+        cap_gb = 24
+    con.execute(f"SET memory_limit='{cap_gb}GB'")
+    con.execute(f"SET max_temp_directory_size='{cap_gb * 2}GB'")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

@@ -120,13 +120,32 @@ def test_exact_substring_runs_verify_and_are_maximal(spark):
         .select("doc_id", F.split(F.lower("text"), r"\s+").alias("toks"))
         .collect()
     }
+    # gram -> document frequency, for the extension guard below: a run can
+    # legitimately stop where its next seed gram was df-cut as boilerplate
+    # (>_ESUB_MAX_DF docs) — maximality only holds where the seed that
+    # would cover the extension was itself eligible.
+    from collections import Counter
+
+    from hive_apache_ci_spark.pipeline.dedup import _ESUB_K, _ESUB_MAX_DF
+
+    df = Counter()
+    for ts in toks.values():
+        seen = {
+            " ".join(ts[i : i + _ESUB_K]) for i in range(len(ts) - _ESUB_K + 1)
+        }
+        df.update(seen)
+
+    def eligible(ts, start):  # df-eligible seed gram at 0-based start
+        g = " ".join(ts[start : start + _ESUB_K])
+        return 2 <= df[g] <= _ESUB_MAX_DF
+
     for r in runs[:50]:
         a, b = toks[r["doc_a"]], toks[r["doc_b"]]
         sa, sb, n = r["start_a"] - 1, r["start_b"] - 1, r["run_tokens"]
         assert a[sa : sa + n] == b[sb : sb + n], (r, a[sa : sa + n], b[sb : sb + n])
-        if sa > 0 and sb > 0:
+        if sa > 0 and sb > 0 and eligible(a, sa - 1):
             assert a[sa - 1] != b[sb - 1], ("left-extensible", r)
-        if sa + n < len(a) and sb + n < len(b):
+        if sa + n < len(a) and sb + n < len(b) and eligible(a, sa + n - _ESUB_K + 1):
             assert a[sa + n] != b[sb + n], ("right-extensible", r)
 
 
@@ -163,3 +182,26 @@ def test_attribution_credit_conserves_purchase_mass(spark):
         total_credit,
         attributed,
     )
+
+
+def test_exact_substring_short_docs_dont_crash(spark, tmp_path):
+    """Regression (r8 review): a document with fewer than K tokens made
+    Spark's sequence(1, m<=0) count DOWN into slice(toks, 0, ...) and
+    abort the whole query, while the oracle's exclusive-end range() was
+    simply empty. Short docs must contribute no grams, and runs between
+    the remaining docs must still be found."""
+    rows = [
+        (1, "a b c", "en", "src0", 5),  # 3 tokens — the crash case
+        (2, "x y z w q r s t u v", "en", "src0", 19),
+        (3, "x y z w q r s t u v", "en", "src0", 19),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = all_queries()["dedup_exact_substring"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"], r["run_tokens"]) == (2, 3, 10)
