@@ -2290,3 +2290,107 @@ def events_attribution_multitouch(spark, sf_dir):
             .alias("total_credit"),
         )
     )
+
+
+# ---- cohort lifetime value (the money counterpart to retention) ---------
+
+_LTV_SQL = """
+WITH per_user AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cs
+  FROM events GROUP BY user_id
+),
+purchases AS (
+  SELECT e.user_id, p.cs,
+         CAST(floor((CAST(floor(epoch(e.ts)) AS BIGINT)
+                     - CAST(floor(epoch(p.cs)) AS BIGINT)) / 604800.0)
+              AS INT) AS offset_w,
+         CAST(round(e.value + 1e-9, 2) AS DECIMAL(18,2)) AS rev
+  FROM events e JOIN per_user p USING (user_id)
+  WHERE e.event_type = 'purchase'
+),
+weekly AS (
+  SELECT cs, offset_w,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         sum(rev) AS revenue
+  FROM purchases GROUP BY cs, offset_w
+),
+cohort_size AS (
+  SELECT cs, CAST(count(*) AS BIGINT) AS cohort_n FROM per_user GROUP BY cs
+)
+SELECT strftime(w.cs, '%Y-%m-%d') AS cohort_week,
+       w.offset_w, w.n_purchases, s.cohort_n,
+       CAST(round(w.revenue, 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(w.revenue) OVER (PARTITION BY w.cs ORDER BY w.offset_w
+                                       ROWS UNBOUNDED PRECEDING), 2)
+            AS DOUBLE) AS cum_revenue,
+       round(CAST(sum(w.revenue) OVER (PARTITION BY w.cs ORDER BY w.offset_w
+                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / s.cohort_n + 1e-9, 6) AS ltv_per_user
+FROM weekly w JOIN cohort_size s USING (cs)
+"""
+
+
+@query("events_ltv_cohorts", oracle=_LTV_SQL)
+def events_ltv_cohorts(spark, sf_dir):
+    """Cohort lifetime value: users bucketed by first-activity week (the
+    retention-cohort key), purchase revenue aggregated per (cohort,
+    week-offset), then a cumulative DECIMAL window gives each cohort's
+    running LTV and per-user LTV curve — the money counterpart to
+    events_retention_cohorts' activity triangle.
+
+    Dataflow: one user-keyed join to attach cohorts, one (cohort, offset)
+    aggregate, one cohort-keyed cumulative window over the ~weeks-sized
+    aggregate (tiny); cohort sizes broadcast. Week offsets bin in integer
+    epoch seconds and revenue accumulates as DECIMAL(18,2) end-to-end, so
+    the curve is bit-identical across engines."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cs")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(per_user, "user_id")
+        .select(
+            "cs",
+            F.floor(
+                (
+                    F.floor(F.col("ts").cast("double")).cast("bigint")
+                    - F.floor(F.col("cs").cast("double")).cast("bigint")
+                )
+                / 604800.0
+            )
+            .cast("int")
+            .alias("offset_w"),
+            F.round(F.col("value") + F.lit(1e-9), 2)
+            .cast("decimal(18,2)")
+            .alias("rev"),
+        )
+    )
+    weekly = purchases.groupBy("cs", "offset_w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("rev").alias("revenue"),
+    )
+    sizes = per_user.groupBy("cs").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_n")
+    )
+    wcum = (
+        Window.partitionBy("cs")
+        .orderBy("offset_w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = weekly.join(F.broadcast(sizes), "cs").select(
+        F.date_format("cs", "yyyy-MM-dd").alias("cohort_week"),
+        "offset_w",
+        "n_purchases",
+        "cohort_n",
+        F.round(F.col("revenue"), 2).cast("double").alias("revenue"),
+        F.round(F.sum("revenue").over(wcum), 2).cast("double").alias("cum_revenue"),
+        F.round(
+            F.sum("revenue").over(wcum).cast("double") / F.col("cohort_n")
+            + F.lit(1e-9),
+            6,
+        ).alias("ltv_per_user"),
+    )
+    return out
