@@ -501,3 +501,44 @@ def tablesample_fixed_k(spark, sf_dir):
 tablesample_fixed_k.__doc__ = tablesample_fixed_k.__doc__.replace(
     "{K}", str(_FIXK)
 )
+
+
+_ARROW_MAP_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY l_returnflag
+"""
+
+
+@query("arrow_map_batches", oracle=_ARROW_MAP_ORACLE)
+def arrow_map_batches(spark, sf_dir):
+    """Arrow-native batch transform (``df.mapInArrow``, SPARK-37227) — the
+    §2.9 extension tier BELOW pandas: zero pandas materialization, the
+    Python side sees raw ``pyarrow.RecordBatch`` columns and computes with
+    ``pyarrow.compute`` kernels (SIMD, no copy). This is the right shape
+    for byte-level / columnar custom ops at 100 TB where even the
+    Arrow→pandas conversion of ``mapInPandas`` is measurable. The map
+    emits one revenue column per row; the aggregation stays JVM-side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def revenue_batches(batches):
+        for b in batches:
+            ep, disc = b.column("l_extendedprice"), b.column("l_discount")
+            rev = pc.multiply(ep, pc.subtract(pa.scalar(1.0), disc))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_returnflag"), rev], ["l_returnflag", "revenue"]
+            )
+
+    l = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")
+    )
+    mapped = l.select("l_returnflag", "l_extendedprice", "l_discount").mapInArrow(
+        revenue_batches, "l_returnflag string, revenue double"
+    )
+    return mapped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), r2(F.sum("revenue")).alias("revenue")
+    )

@@ -445,3 +445,124 @@ def agg_percentile_within_group(spark, sf_dir):
     Same per-group sort-bounded cost shape as agg_percentile: grouping
     bounds each ordered set to one cell, so no global sort exists."""
     return _sql(spark, sf_dir, _PCTL_WG_SQL)
+
+
+# ---- SQL UDFs (CREATE FUNCTION ... RETURN) -------------------------------
+
+# Hive's CREATE TEMPORARY MACRO (SURVEY §2.9, macro_expression) grew up into
+# ANSI SQL UDFs in Spark 4: named, typed, catalog-registered functions whose
+# body is pure SQL — Catalyst inlines them, so unlike Java/Python UDFs they
+# cost nothing at 100 TB (full codegen, pushdown through the call).
+
+_SQL_UDF_SCALAR = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT)  AS n,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           AS net_total
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_udf_scalar", oracle=_SQL_UDF_SCALAR)
+def sql_udf_scalar(spark, sf_dir):
+    """ANSI SQL scalar UDF: ``CREATE TEMPORARY FUNCTION ... RETURNS DOUBLE
+    RETURN <expr>`` (Spark 4) — the typed, catalog-visible successor to
+    Hive's CREATE TEMPORARY MACRO. The body is inlined by Catalyst
+    (stays inside WholeStageCodegen; no serialization wall), so the
+    oracle is simply the query with the call textually expanded."""
+    load_tables(spark, sf_dir, register=True)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_price(
+            ep DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS DOUBLE
+        RETURN ep * (1 - disc) * (1 + tax)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT)  AS n,
+               round(sum(net_price(l_extendedprice, l_discount, l_tax)), 2)
+                   AS net_total
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+_SQL_UDF_TABLE = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT)       AS n,
+       round(sum(b.o_totalprice), 2)  AS total
+FROM (SELECT o_custkey, o_totalprice
+      FROM orders WHERE o_totalprice >= 150000.0) b
+JOIN customer c ON c.c_custkey = b.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("sql_udf_table", oracle=_SQL_UDF_TABLE)
+def sql_udf_table(spark, sf_dir):
+    """SQL table function: ``CREATE TEMPORARY FUNCTION ... RETURNS TABLE(...)
+    RETURN SELECT ...`` — a parameterized view callable in FROM position
+    (SQL:2016 polymorphic-ish table function, the lawful replacement for
+    Hive's UDTF-as-view idiom). Catalyst expands the body as a subquery,
+    so the parameter (a price floor) is folded and pushed down to the
+    parquet scan like any literal predicate."""
+    load_tables(spark, sf_dir, register=True)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION big_orders(minprice DOUBLE)
+        RETURNS TABLE(o_custkey BIGINT, o_totalprice DOUBLE)
+        RETURN SELECT o_custkey, o_totalprice
+               FROM orders WHERE o_totalprice >= minprice
+        """
+    )
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT)       AS n,
+               round(sum(b.o_totalprice), 2)  AS total
+        FROM big_orders(150000.0) b
+        JOIN customer c ON c.c_custkey = b.o_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+# ---- parameterized SQL ---------------------------------------------------
+
+_PARAM_SQL_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT)      AS n,
+       round(avg(o_totalprice), 2)   AS avg_price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 25000.0
+GROUP BY o_orderpriority
+"""
+
+
+@query("parameterized_query", oracle=_PARAM_SQL_ORACLE)
+def parameterized_query(spark, sf_dir):
+    """Named-parameter SQL binding (``spark.sql(text, args={...})`` with
+    ``:name`` markers, SPARK-44140) — the injection-safe replacement for
+    Hive's ``hivevar`` text substitution (SURVEY §3.4 CLI variables).
+    Parameters bind as literals in the analyzer, so they constant-fold
+    and push down to the scan exactly like inline constants; the oracle
+    is the query with the bindings spelled out."""
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT)      AS n,
+               round(avg(o_totalprice), 2)   AS avg_price
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "floor": 25000.0},
+    )

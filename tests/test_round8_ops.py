@@ -205,3 +205,73 @@ def test_exact_substring_short_docs_dont_crash(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert (r["doc_a"], r["doc_b"], r["run_tokens"]) == (2, 3, 10)
+
+
+# ---- Spark-4 SQL-UDF / parameterized-SQL / Arrow-native surface ----------
+
+
+def _plan_of(spark, name):
+    import contextlib
+    import io
+
+    df = all_queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_sql_udf_scalar_inlines_no_python(spark):
+    """The SQL UDF body must be Catalyst-inlined: no Python eval node, and
+    the shipdate predicate still reaches the scan through the call."""
+    p = _plan_of(spark, "sql_udf_scalar")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "LessThanOrEqual(l_shipdate" in p
+
+
+def test_sql_udf_table_param_folds_to_scan(spark):
+    """The table-function parameter (price floor) must constant-fold and
+    push down to the orders parquet scan — a parameterized view, not a
+    materialize-then-filter."""
+    p = _plan_of(spark, "sql_udf_table")
+    assert "GreaterThanOrEqual(o_totalprice,150000.0)" in p
+
+
+def test_parameterized_query_binds_as_literals(spark):
+    """Named :params bind in the analyzer and push down like inline
+    constants (both the equality and the range predicate)."""
+    p = _plan_of(spark, "parameterized_query")
+    assert "EqualTo(o_orderstatus,F)" in p
+    assert "GreaterThanOrEqual(o_totalprice,25000.0)" in p
+
+
+def test_arrow_map_batches_plan_and_values(spark):
+    """mapInArrow shows as a MapInArrow node (no pandas conversion), the
+    filter is pushed below it, and the Arrow-computed revenue matches the
+    JVM expression bitwise-at-2dp."""
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.helpers import T, r2
+
+    p = _plan_of(spark, "arrow_map_batches")
+    assert "MapInArrow" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    got = {
+        r["l_returnflag"]: (r["n"], r["revenue"])
+        for r in all_queries()["arrow_map_batches"](spark, SF_DIR).collect()
+    }
+    l = T(spark, SF_DIR, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")
+    )
+    want = {
+        r["l_returnflag"]: (r["n"], r["revenue"])
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
