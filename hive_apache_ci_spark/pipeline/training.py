@@ -562,3 +562,142 @@ def train_decision_stump(spark, sf_dir):
     )
     w = Window.orderBy(F.desc("gain"), "feature", "th")
     return scored.withColumn("is_best", F.row_number().over(w) == 1)
+
+
+# ---- held-out nearest-centroid evaluation --------------------------------
+
+_CENTROID_EVAL_SQL = """
+WITH tr AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+te AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+dims AS (
+  SELECT label, u.pos AS pos, u.val AS val
+  FROM (
+    SELECT label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {'pos': i, 'val': CAST(embedding[i] AS DOUBLE)})) AS u
+    FROM tr
+  )
+),
+centroids AS (
+  SELECT label, pos, round(avg(val) + 1e-12, 6) AS c
+  FROM dims GROUP BY label, pos
+),
+cvecs AS (
+  SELECT label AS c_label,
+         list(c ORDER BY pos) AS cvec,
+         sqrt(list_sum(list_transform(list(c ORDER BY pos), x -> x * x)))
+             AS cnorm
+  FROM centroids GROUP BY label
+),
+scored AS (
+  SELECT v.vec_id, v.label, c.c_label,
+         list_sum(list_transform(list_zip(v.embedding, c.cvec),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / c.cnorm
+             AS score
+  FROM te v CROSS JOIN cvecs c
+),
+pred AS (
+  SELECT vec_id, label,
+         arg_max(c_label, score - c_label * 1e-12) AS pred_label
+  FROM scored GROUP BY vec_id, label
+),
+cells AS (
+  SELECT label, pred_label, count(*) AS n FROM pred GROUP BY label, pred_label
+),
+rowtot AS (SELECT label, sum(n) AS row_n FROM cells GROUP BY label),
+tot AS (
+  SELECT sum(n) AS total,
+         sum(CASE WHEN label = pred_label THEN n ELSE 0 END) AS hit
+  FROM cells
+)
+SELECT c.label, c.pred_label, CAST(c.n AS BIGINT) AS n,
+       round(c.n * 1.0 / r.row_n + 1e-9, 6)               AS recall_share,
+       round((SELECT hit * 1.0 / total FROM tot) + 1e-9, 6) AS accuracy
+FROM cells c JOIN rowtot r ON r.label = c.label
+"""
+
+
+@query("classify_centroid_eval", oracle=_CENTROID_EVAL_SQL)
+def classify_centroid_eval(spark, sf_dir):
+    """Held-out nearest-centroid (Rocchio) classifier evaluation: train
+    per-label mean vectors on the 80% split (vec_id % 5 <> 0), assign each
+    held-out vector to its max-cosine centroid, and emit the confusion
+    matrix with per-class recall and overall accuracy. This is the
+    label-consistency probe a pretraining pipeline runs before trusting
+    stored labels for mix allocation: near-chance accuracy (as here — the
+    synthetic labels are deliberately uncorrelated with the vectors) means
+    the labels carry no embedding-space signal.
+
+    Leakage discipline is the point vs ivf_assign: centroids see ONLY the
+    train split, scoring sees ONLY the eval split. 100 TB shape: centroid
+    fit is one (label, dim)-keyed aggregate (|L|x|D| cells regardless of
+    corpus size); the model is broadcast to the eval scan (BNLJ against 10
+    rows); the confusion matrix is a |L|^2-cell aggregate. Two scans, no
+    corpus-sized shuffle. Argmax ties broken by an epsilon-scaled label
+    term mirrored in the oracle; centroid values 6dp-quantized before any
+    dot product (repo discipline, ADVICE r4)."""
+    e = T(spark, sf_dir, "embeddings")
+    tr = e.filter(F.col("vec_id") % 5 != 0)
+    te = e.filter(F.col("vec_id") % 5 == 0)
+    dims = tr.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "val_f")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    centroids = dims.groupBy("label", "pos").agg(
+        F.round(F.avg("val") + F.lit(1e-12), 6).alias("c")
+    )
+    cvec = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))),
+        lambda s: s.getField("c"),
+    )
+    cvecs = (
+        centroids.groupBy("label")
+        .agg(cvec.alias("cvec"))
+        .select(
+            F.col("label").alias("c_label"),
+            "cvec",
+            F.sqrt(
+                F.aggregate(
+                    "cvec", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ).alias("cnorm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "cvec", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = te.crossJoin(F.broadcast(cvecs)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        (dot / F.col("cnorm")).alias("score"),
+    )
+    pred = scored.groupBy("vec_id", "label").agg(
+        F.max_by("c_label", F.col("score") - F.col("c_label") * 1e-12).alias(
+            "pred_label"
+        )
+    )
+    cells = pred.groupBy("label", "pred_label").agg(F.count("*").alias("n"))
+    rowtot = cells.groupBy("label").agg(F.sum("n").alias("row_n"))
+    tot = cells.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.when(F.col("label") == F.col("pred_label"), F.col("n")).otherwise(0)).alias("hit"),
+    ).select((F.col("hit") / F.col("total")).alias("acc_raw"))
+    return (
+        cells.join(rowtot, "label")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "pred_label",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("row_n") + F.lit(1e-9), 6).alias(
+                "recall_share"
+            ),
+            F.round(F.col("acc_raw") + F.lit(1e-9), 6).alias("accuracy"),
+        )
+    )

@@ -2394,3 +2394,83 @@ def events_ltv_cohorts(spark, sf_dir):
         ).alias("ltv_per_user"),
     )
     return out
+
+
+# ---- A/B experiment readout ----------------------------------------------
+
+_AB_SQL = """
+WITH arms AS (
+  SELECT event_type, user_id % 2 AS arm,
+         count(*)         AS n,
+         avg(value)       AS m,
+         var_samp(value)  AS v
+  FROM events GROUP BY event_type, user_id % 2
+)
+SELECT a.event_type,
+       CAST(a.n AS BIGINT)                       AS n_control,
+       CAST(b.n AS BIGINT)                       AS n_treat,
+       round(a.m + 1e-9, 6)                      AS mean_control,
+       round(b.m + 1e-9, 6)                      AS mean_treat,
+       round((b.m - a.m) / a.m + 1e-9, 6)        AS rel_lift,
+       round((b.m - a.m) / sqrt(a.v / a.n + b.v / b.n) + 1e-9, 6) AS z_welch,
+       abs(round((b.m - a.m) / sqrt(a.v / a.n + b.v / b.n) + 1e-9, 6)) > 1.96
+           AS significant
+FROM arms a JOIN arms b
+  ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+"""
+
+
+@query("events_ab_readout", oracle=_AB_SQL)
+def events_ab_readout(spark, sf_dir):
+    """A/B experiment readout: users split into control/treatment by a
+    deterministic id hash (user_id % 2 here so the oracle can mirror it;
+    production would use a salted hash), then per metric (event_type) the
+    Welch two-sample z statistic on `value`, relative lift, and a 95%
+    two-sided significance flag. This is THE online-experimentation query
+    shape — the readout every product analytics stack recomputes hourly.
+
+    100 TB shape: one aggregate pass keyed by (event_type, arm) — map-side
+    partial (n, sum, sum-of-squares) moments do all the work, the z-test
+    math runs on the |metrics|x2 cell table, and the self-join is over
+    that tiny table (broadcast). Nothing downstream of the scan scales
+    with data volume. The flag compares the 6dp-rounded z on both sides,
+    so engine summation-order noise cannot flip it (repo discipline)."""
+    e = T(spark, sf_dir, "events")
+    arms = e.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("event_type").alias("et_b"),
+        F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"),
+        F.col("v").alias("v_b"),
+    )
+    z = (F.col("m_b") - F.col("m_a")) / F.sqrt(
+        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    )
+    z6 = F.round(z + F.lit(1e-9), 6)
+    return (
+        a.join(F.broadcast(b), a.event_type == b.et_b)
+        .select(
+            "event_type",
+            F.col("n_a").cast("bigint").alias("n_control"),
+            F.col("n_b").cast("bigint").alias("n_treat"),
+            F.round(F.col("m_a") + F.lit(1e-9), 6).alias("mean_control"),
+            F.round(F.col("m_b") + F.lit(1e-9), 6).alias("mean_treat"),
+            F.round(
+                (F.col("m_b") - F.col("m_a")) / F.col("m_a") + F.lit(1e-9), 6
+            ).alias("rel_lift"),
+            z6.alias("z_welch"),
+            (F.abs(z6) > 1.96).alias("significant"),
+        )
+    )

@@ -275,3 +275,38 @@ def test_arrow_map_batches_plan_and_values(spark):
         .collect()
     }
     assert got == want
+
+
+def test_centroid_eval_covers_heldout_exactly(spark):
+    """Confusion-cell mass must equal the held-out split size (no vector
+    dropped or double-counted), the model side must broadcast, and the
+    accuracy column must be one consistent scalar."""
+    from hive_apache_ci_spark.helpers import T
+
+    rows = all_queries()["classify_centroid_eval"](spark, SF_DIR).collect()
+    n_eval = (
+        T(spark, SF_DIR, "embeddings").filter("vec_id % 5 = 0").count()
+    )
+    assert sum(r["n"] for r in rows) == n_eval
+    assert len({r["accuracy"] for r in rows}) == 1
+    p = _plan_of(spark, "classify_centroid_eval")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_ab_readout_arms_partition_users(spark):
+    """Control+treatment counts must add to the full event count per
+    metric, and the significance flag must agree with the reported z."""
+    from hive_apache_ci_spark.helpers import T
+
+    rows = all_queries()["events_ab_readout"](spark, SF_DIR).collect()
+    totals = {
+        r["event_type"]: r["n"]
+        for r in T(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for r in rows:
+        assert r["n_control"] + r["n_treat"] == totals[r["event_type"]]
+        assert r["significant"] == (abs(r["z_welch"]) > 1.96)
