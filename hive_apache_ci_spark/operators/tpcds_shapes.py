@@ -88,23 +88,39 @@ WITH salesreturns AS (
          CASE WHEN event_type = 'error' THEN round(value + 1e-9, 2) ELSE 0.0 END AS refunds,
          round(value * 0.2 + 1e-9, 2) AS profit
   FROM events
+),
+base AS (
+  SELECT channel AS channel0, bucket AS bucket0,
+         sum(CAST(sales AS DECIMAL(18,2)))   AS s_sales,
+         sum(CAST(refunds AS DECIMAL(18,2))) AS s_refunds,
+         sum(CAST(profit AS DECIMAL(18,2)))  AS s_profit,
+         count(*) AS n0
+  FROM salesreturns
+  GROUP BY channel, bucket
 )
-SELECT coalesce(channel, 'ALL') AS channel,
-       coalesce(CAST(bucket AS BIGINT), -1) AS bucket,
-       CAST(round(sum(CAST(sales AS DECIMAL(18,2))), 2) AS DOUBLE)   AS sales,
-       CAST(round(sum(CAST(refunds AS DECIMAL(18,2))), 2) AS DOUBLE) AS refunds,
-       CAST(round(sum(CAST(profit AS DECIMAL(18,2))), 2) AS DOUBLE)  AS profit,
-       CAST(count(*) AS BIGINT) AS n
-FROM salesreturns
-GROUP BY ROLLUP(channel, bucket)
+SELECT coalesce(channel0, 'ALL') AS channel,
+       coalesce(CAST(bucket0 AS BIGINT), -1) AS bucket,
+       CAST(round(sum(s_sales), 2) AS DOUBLE)   AS sales,
+       CAST(round(sum(s_refunds), 2) AS DOUBLE) AS refunds,
+       CAST(round(sum(s_profit), 2) AS DOUBLE)  AS profit,
+       CAST(sum(n0) AS BIGINT) AS n
+FROM base
+GROUP BY ROLLUP(channel0, bucket0)
 """
 
 
 @query("tpcds_q5_channel_rollup", oracle=_Q5_SQL)
 def tpcds_q5_channel_rollup(spark, sf_dir):
     """TPC-DS q5 shape: per-channel sales/returns/profit union rolled up
-    across (channel, bucket) -> channel subtotals -> grand total. One
-    Expand node + two-phase agg; no per-grouping-set re-shuffle."""
+    across (channel, bucket) -> channel subtotals -> grand total.
+
+    Scale note (r8): the union is pre-aggregated at the finest
+    (channel, bucket) grain BEFORE the ROLLUP, so the Expand node
+    multiplies |channels x buckets| rows (~60) instead of the full fact
+    union — exact-DECIMAL partial sums are associative, so results are
+    bitwise identical while the x3 Expand blow-up of corpus-sized data
+    disappears. At 100 TB this is the difference between a rollup over
+    60 rows and a rollup over the whole fact table."""
     return _sql(spark, sf_dir, _Q5_SQL)
 
 
@@ -246,13 +262,26 @@ def tpcds_q47_sales_deviation(spark, sf_dir):
 # --- q67: ROLLUP hierarchy -> rank() top-k per partition -------------------
 
 _Q67_SQL = """
-WITH results AS (
-  SELECT coalesce(p.p_brand, 'ALL') AS brand,
-         coalesce(p.p_type, 'ALL')  AS ptype,
-         coalesce(CAST(p.p_size AS INT), -1) AS psize,
-         CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) + 1e-9, 2) AS DECIMAL(18,2))), 2) AS DOUBLE) AS sumsales
-  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-  GROUP BY ROLLUP(p.p_brand, p.p_type, p.p_size)
+WITH lagg AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) + 1e-9, 2)
+                  AS DECIMAL(18,2))) AS s
+  FROM lineitem
+  GROUP BY l_partkey
+),
+base AS (
+  SELECT p.p_brand AS brand0, p.p_type AS ptype0, p.p_size AS psize0,
+         sum(l.s) AS s
+  FROM lagg l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, p.p_type, p.p_size
+),
+results AS (
+  SELECT coalesce(brand0, 'ALL') AS brand,
+         coalesce(ptype0, 'ALL')  AS ptype,
+         coalesce(CAST(psize0 AS INT), -1) AS psize,
+         CAST(round(sum(s), 2) AS DOUBLE) AS sumsales
+  FROM base
+  GROUP BY ROLLUP(brand0, ptype0, psize0)
 )
 SELECT brand, ptype, psize, sumsales, rk
 FROM (
@@ -270,7 +299,16 @@ def tpcds_q67_rollup_topk(spark, sf_dir):
     """TPC-DS q67 shape: a (brand, type, size) ROLLUP hierarchy ranked
     within brand, top-5 kept. Rank order carries the full unique
     (ptype, psize) tie-break so rank == row_number deterministically;
-    rollup NULLs are coalesced to sentinels before partitioning."""
+    rollup NULLs are coalesced to sentinels before partitioning.
+
+    Scale note (r8): two-tier eager aggregation (Yan/Larson). Tier 1
+    pre-aggregates lineitem per l_partkey BELOW the join, so the join
+    matches |parts| aggregate rows against the part dimension instead of
+    the full fact table; tier 2 re-aggregates at (brand, type, size)
+    BEFORE the ROLLUP, so Expand multiplies a few hundred rows by 4, not
+    the fact rows. Exact-DECIMAL partial sums are associative, so results
+    are bitwise identical at every tier. The only corpus-sized exchange
+    left is the map-side-combined l_partkey aggregate."""
     return _sql(spark, sf_dir, _Q67_SQL)
 
 
