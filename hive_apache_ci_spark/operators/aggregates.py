@@ -1904,3 +1904,59 @@ def agg_weighted_median(spark, sf_dir):
             F.when(10 * F.col("cumw") >= 9 * F.col("tot"), F.col("x"))
         ).alias("w_p90"),
     )
+
+
+# ---- k-anonymity audit ----------------------------------------------------
+
+_KANON_SQL = """
+WITH groups AS (
+  SELECT c_mktsegment,
+         c_nationkey,
+         CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_band,
+         count(*) AS k
+  FROM customer
+  GROUP BY c_mktsegment, c_nationkey, CAST(floor(c_acctbal / 1000.0) AS INT)
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT)                               AS n_groups,
+       CAST(min(k) AS BIGINT)                                 AS min_k,
+       CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS small_groups,
+       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       round(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 1.0 / sum(k) + 1e-9, 6)
+           AS risk_share
+FROM groups
+GROUP BY c_mktsegment
+"""
+
+
+@query("dq_k_anonymity", oracle=_KANON_SQL)
+def dq_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over a quasi-identifier tuple (market segment,
+    nation, account-balance band): group sizes k per QI combination, then
+    per segment the minimum k, the number of under-k groups (k < 5), the
+    row count re-identifiable through them, and the at-risk share — the
+    privacy gate a dataset passes before leaving a trust boundary
+    (Sweeney's k-anonymity, the standard pre-release audit next to the
+    PII scan in pipeline/corpus.py's pii_redaction).
+
+    100 TB: one hash aggregate keyed by the QI tuple (map-side partials
+    collapse duplicate tuples early), then a segment-level re-aggregate
+    of the tiny group table. No joins, no windows — scan-bound, and the
+    QI aggregate is exactly the cardinality a real audit must materialize
+    anyway."""
+    c = T(spark, sf_dir, "customer")
+    groups = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("bal_band"),
+    ).agg(F.count("*").alias("k"))
+    small = F.when(F.col("k") < 5, F.col("k")).otherwise(0)
+    return groups.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.sum((F.col("k") < 5).cast("int")).cast("bigint").alias("small_groups"),
+        F.sum(small).cast("bigint").alias("rows_at_risk"),
+        F.round(
+            F.sum(small) / F.sum("k") + F.lit(1e-9), 6
+        ).alias("risk_share"),
+    )

@@ -1271,3 +1271,65 @@ def io_stats_only_minmax(spark, sf_dir):
             spark.conf.unset("spark.sql.sources.useV1SourceList")
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+
+
+_BINARYFILE_ORACLE = """
+SELECT CAST(doc_id AS BIGINT)            AS doc_id,
+       lang,
+       CAST(strlen(text) + 1 AS BIGINT)  AS n_bytes,
+       md5(text || chr(10))              AS content_md5
+FROM documents
+WHERE doc_id < 40
+"""
+
+
+@query("io_binaryfile_ingest", oracle=_BINARYFILE_ORACLE)
+def io_binaryfile_ingest(spark, sf_dir):
+    """`binaryFile` datasource ingest — the multimodal on-ramp (SURVEY §2.2
+    storage-handler role; pipeline/multimodal.py consumes the resulting
+    binary columns). A one-file-per-document corpus is written
+    distributed (repartition by doc_id -> partitionBy text write: each
+    doc's single row lands in exactly one part file), then re-ingested as
+    raw blobs via ``spark.read.format('binaryFile')`` with
+    recursiveFileLookup + pathGlobFilter, the production pattern for
+    slurping image/audio/document trees into a table of (path, content).
+    doc_id is recovered from the partition directory name; byte length
+    and md5 are computed ON THE BLOB.
+
+    The oracle never sees the files: it derives the expected byte count
+    and digest from the documents table itself (text + the trailing
+    newline the text writer appends), so the check proves the
+    write->binary-ingest loop is lossless, not merely self-consistent.
+
+    100 TB: binaryFile is read-parallel per file with a configurable
+    maxBytesPerFile guard; metadata columns (path, length) come from the
+    listing, so the length/pruning phase never opens file contents, and
+    the glob filter prunes non-data files before any IO."""
+    out = _scratch(sf_dir, "docs_binary")
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    (
+        d.repartition("doc_id")
+        .select("doc_id", F.col("text").alias("value"))
+        .write.mode("overwrite")
+        .partitionBy("doc_id")
+        .text(out)
+    )
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "part-*")
+        .load(committed(out))
+    )
+    parsed = blobs.select(
+        F.regexp_extract(F.col("path"), r"doc_id=(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.length(F.col("content")).cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+    langs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select(
+        "doc_id", "lang"
+    )
+    return parsed.join(langs, "doc_id").select(
+        "doc_id", "lang", "n_bytes", "content_md5"
+    )

@@ -310,3 +310,41 @@ def test_ab_readout_arms_partition_users(spark):
     for r in rows:
         assert r["n_control"] + r["n_treat"] == totals[r["event_type"]]
         assert r["significant"] == (abs(r["z_welch"]) > 1.96)
+
+
+def test_binaryfile_ingest_lossless(spark):
+    """Every doc under the cutoff must come back exactly once, and the
+    blob digest must equal the md5 of (text + newline) from the table."""
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.helpers import T
+
+    out = {
+        r["doc_id"]: (r["n_bytes"], r["content_md5"])
+        for r in all_queries()["io_binaryfile_ingest"](spark, SF_DIR).collect()
+    }
+    src = T(spark, SF_DIR, "documents").filter("doc_id < 40").select(
+        "doc_id",
+        (F.length("text") + 1).cast("bigint").alias("n_bytes"),
+        F.md5(F.concat(F.col("text"), F.lit("\n"))).alias("md5"),
+    )
+    want = {r["doc_id"]: (r["n_bytes"], r["md5"]) for r in src.collect()}
+    assert out == want
+
+
+def test_k_anonymity_accounting(spark):
+    """Group mass must reconcile: rows_at_risk <= total rows, min_k <= any
+    group size implied, and risk_share consistent with the counts."""
+    from hive_apache_ci_spark.helpers import T
+
+    rows = all_queries()["dq_k_anonymity"](spark, SF_DIR).collect()
+    seg_tot = {
+        r["c_mktsegment"]: r["count"]
+        for r in T(spark, SF_DIR, "customer").groupBy("c_mktsegment").count().collect()
+    }
+    for r in rows:
+        assert 0 <= r["rows_at_risk"] <= seg_tot[r["c_mktsegment"]]
+        assert r["small_groups"] <= r["n_groups"]
+        assert r["min_k"] >= 1
+        expect_share = r["rows_at_risk"] / seg_tot[r["c_mktsegment"]]
+        assert abs(r["risk_share"] - expect_share) < 1e-5
