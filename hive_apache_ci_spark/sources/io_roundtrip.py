@@ -1333,3 +1333,63 @@ def io_binaryfile_ingest(spark, sf_dir):
     return parsed.join(langs, "doc_id").select(
         "doc_id", "lang", "n_bytes", "content_md5"
     )
+
+
+_RETENTION_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(count(*) AS BIGINT)       AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total
+FROM orders
+WHERE year(o_orderdate) >= 1997
+GROUP BY CAST(year(o_orderdate) AS INT)
+"""
+
+
+@query("io_drop_partition_retention", oracle=_RETENTION_ORACLE)
+def io_drop_partition_retention(spark, sf_dir):
+    """Partition-retention job via DDL: dynamic-partition insert into a
+    year-partitioned table, then ``ALTER TABLE ... DROP PARTITION`` of the
+    expired years (Hive's retention idiom, SURVEY §2.2 DDL surface — the
+    metadata-only delete that makes time-partitioned retention O(dropped
+    partitions), never a data rewrite). The readback aggregate must equal
+    the source filtered by the retention predicate, proving the catalog
+    stopped exposing the dropped years without touching survivors.
+
+    100 TB: the drop is a metastore operation regardless of data volume;
+    the subsequent scan partition-prunes to the surviving years. The
+    anti-pattern this replaces is DELETE-by-rewrite over the full table."""
+    rid = RUN_ID.replace("-", "_")
+    tbl = f"orders_retention_{rid}"
+    loc = _scratch(sf_dir, "orders_retention_tbl")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl} (o_orderkey BIGINT, o_totalprice DOUBLE)
+        USING parquet PARTITIONED BY (yr INT) LOCATION '{loc}'
+        """
+    )
+    o = T(spark, sf_dir, "orders")
+    (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .repartition("yr")
+        .write.mode("overwrite")
+        .insertInto(tbl)
+    )
+    spark.sql(
+        f"ALTER TABLE {tbl} DROP IF EXISTS "
+        "PARTITION (yr=1995), PARTITION (yr=1996)"
+    )
+    return (
+        spark.table(tbl)
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("o_totalprice"), 2).alias("total"),
+        )
+        .select(F.col("yr").cast("int").alias("yr"), "n", "total")
+    )

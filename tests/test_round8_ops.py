@@ -348,3 +348,17 @@ def test_k_anonymity_accounting(spark):
         assert r["min_k"] >= 1
         expect_share = r["rows_at_risk"] / seg_tot[r["c_mktsegment"]]
         assert abs(r["risk_share"] - expect_share) < 1e-5
+
+
+def test_drop_partition_is_metadata_only(spark):
+    """After the retention drop, the catalog must list no expired years
+    and a year-filtered read must partition-prune to one directory."""
+    from hive_apache_ci_spark.helpers import RUN_ID
+
+    df = all_queries()["io_drop_partition_retention"](spark, SF_DIR)
+    yrs = {r["yr"] for r in df.collect()}
+    assert yrs and min(yrs) >= 1997
+    tbl = "orders_retention_" + RUN_ID.replace("-", "_")
+    parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {tbl}").collect()}
+    assert "yr=1995" not in parts and "yr=1996" not in parts
+    assert any(p.startswith("yr=199") or p.startswith("yr=200") for p in parts)
