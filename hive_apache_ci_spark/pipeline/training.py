@@ -701,3 +701,172 @@ def classify_centroid_eval(spark, sf_dir):
             F.round(F.col("acc_raw") + F.lit(1e-9), 6).alias("accuracy"),
         )
     )
+
+
+# ---- k-fold cross-validation via leave-one-fold-out sufficient stats -----
+
+_KFOLD_SQL = """
+WITH folded AS (
+  SELECT vec_id, embedding, label, vec_id % 5 AS fold FROM embeddings
+),
+dims AS (
+  SELECT fold, label, u.pos AS pos, u.val AS val
+  FROM (
+    SELECT fold, label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {'pos': i, 'val': CAST(embedding[i] AS DOUBLE)})) AS u
+    FROM folded
+  )
+),
+per_flp AS (
+  SELECT fold, label, pos, sum(val) AS s, count(*) AS n
+  FROM dims GROUP BY fold, label, pos
+),
+totals AS (
+  SELECT label, pos, sum(s) AS st, sum(n) AS nt
+  FROM per_flp GROUP BY label, pos
+),
+cent AS (
+  SELECT f.fold, f.label, f.pos,
+         round((t.st - f.s) / (t.nt - f.n) + 1e-12, 6) AS c
+  FROM per_flp f JOIN totals t ON t.label = f.label AND t.pos = f.pos
+),
+cvecs AS (
+  SELECT fold AS c_fold, label AS c_label,
+         list(c ORDER BY pos) AS cvec,
+         sqrt(list_sum(list_transform(list(c ORDER BY pos), x -> x * x)))
+             AS cnorm
+  FROM cent GROUP BY fold, label
+),
+scored AS (
+  SELECT v.vec_id, v.fold, v.label, c.c_label,
+         list_sum(list_transform(list_zip(v.embedding, c.cvec),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / c.cnorm
+             AS score
+  FROM folded v JOIN cvecs c ON c.c_fold = v.fold
+),
+pred AS (
+  SELECT vec_id, fold, label,
+         arg_max(c_label, score - c_label * 1e-12) AS pred_label
+  FROM scored GROUP BY vec_id, fold, label
+),
+perfold AS (
+  SELECT fold,
+         CAST(count(*) AS BIGINT) AS n_eval,
+         round(avg(CASE WHEN pred_label = label THEN 1.0 ELSE 0.0 END)
+               + 1e-9, 6) AS fold_acc
+  FROM pred GROUP BY fold
+),
+summary AS (
+  SELECT round(avg(fold_acc) + 1e-9, 6)         AS mean_acc,
+         round(stddev_samp(fold_acc) + 1e-9, 6) AS std_acc
+  FROM perfold
+)
+SELECT CAST(p.fold AS BIGINT) AS fold, p.n_eval, p.fold_acc,
+       s.mean_acc, s.std_acc
+FROM perfold p CROSS JOIN summary s
+"""
+
+
+@query("train_kfold_cv", oracle=_KFOLD_SQL)
+def train_kfold_cv(spark, sf_dir):
+    """5-fold cross-validation of the nearest-centroid classifier WITHOUT
+    5 training passes: one scan aggregates per-(fold, label, dim)
+    sufficient statistics (sum, count), and fold f's leave-one-fold-out
+    centroid is (total - fold_f) / (n_total - n_f) — the algebraic trick
+    that makes cross-validation a constant number of scans at 100 TB
+    instead of k re-trains. Every vector is then scored against ITS OWN
+    fold's held-out model (a 50-row broadcast), giving per-fold accuracy
+    and the mean/std readout — the variance estimate that tells you
+    whether a quality-classifier gate is stable enough to deploy.
+
+    Scale: scan 1 computes |folds|x|labels|x|dims| cells (map-side
+    partials); scan 2 scores against the broadcast centroid table and
+    aggregates |folds| accuracy cells. No corpus-sized shuffle, no
+    per-fold recomputation. Centroids 6dp-quantized before any dot
+    product and argmax ties epsilon-broken (repo discipline)."""
+    e = T(spark, sf_dir, "embeddings").withColumn(
+        "fold", F.col("vec_id") % 5
+    )
+    dims = e.select(
+        "fold", "label", F.posexplode(F.col("embedding")).alias("pos0", "val_f")
+    ).select(
+        "fold",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    per_flp = dims.groupBy("fold", "label", "pos").agg(
+        F.sum("val").alias("s"), F.count("*").alias("n")
+    )
+    totals = per_flp.groupBy("label", "pos").agg(
+        F.sum("s").alias("st"), F.sum("n").alias("nt")
+    )
+    cent = per_flp.join(totals, ["label", "pos"]).select(
+        "fold",
+        "label",
+        "pos",
+        F.round(
+            (F.col("st") - F.col("s")) / (F.col("nt") - F.col("n"))
+            + F.lit(1e-12),
+            6,
+        ).alias("c"),
+    )
+    cvec = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))),
+        lambda s: s.getField("c"),
+    )
+    cvecs = (
+        cent.groupBy("fold", "label")
+        .agg(cvec.alias("cvec"))
+        .select(
+            F.col("fold").alias("c_fold"),
+            F.col("label").alias("c_label"),
+            "cvec",
+            F.sqrt(
+                F.aggregate("cvec", F.lit(0.0), lambda a, x: a + x * x)
+            ).alias("cnorm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "cvec", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.join(
+        F.broadcast(cvecs), e.fold == cvecs.c_fold
+    ).select(
+        "vec_id",
+        "fold",
+        "label",
+        "c_label",
+        (dot / F.col("cnorm")).alias("score"),
+    )
+    pred = scored.groupBy("vec_id", "fold", "label").agg(
+        F.max_by("c_label", F.col("score") - F.col("c_label") * 1e-12).alias(
+            "pred_label"
+        )
+    )
+    perfold = pred.groupBy("fold").agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.round(
+            F.avg(
+                F.when(F.col("pred_label") == F.col("label"), 1.0).otherwise(
+                    0.0
+                )
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("fold_acc"),
+    )
+    summary = perfold.agg(
+        F.round(F.avg("fold_acc") + F.lit(1e-9), 6).alias("mean_acc"),
+        F.round(F.stddev_samp("fold_acc") + F.lit(1e-9), 6).alias("std_acc"),
+    )
+    return perfold.crossJoin(F.broadcast(summary)).select(
+        F.col("fold").cast("bigint").alias("fold"),
+        "n_eval",
+        "fold_acc",
+        "mean_acc",
+        "std_acc",
+    )

@@ -362,3 +362,32 @@ def test_drop_partition_is_metadata_only(spark):
     parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {tbl}").collect()}
     assert "yr=1995" not in parts and "yr=1996" not in parts
     assert any(p.startswith("yr=199") or p.startswith("yr=200") for p in parts)
+
+
+def test_kfold_loo_stats_match_direct_training(spark):
+    """The leave-one-fold-out centroid algebra (total minus fold partial)
+    must equal a centroid trained directly on the other folds, and fold-0
+    accuracy must equal what classify-style direct evaluation gives."""
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.helpers import T
+
+    e = T(spark, SF_DIR, "embeddings").withColumn("fold", F.col("vec_id") % 5)
+    # direct: train on folds != 0, label 3, dim 1
+    direct = (
+        e.filter("fold <> 0 AND label = 3")
+        .select(F.col("embedding")[0].cast("double").alias("v"))
+        .agg(F.round(F.avg("v") + F.lit(1e-12), 6).alias("c"))
+        .collect()[0]["c"]
+    )
+    dims = e.filter("label = 3").select(
+        "fold", F.col("embedding")[0].cast("double").alias("v")
+    )
+    per = dims.groupBy("fold").agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    tot = per.agg(F.sum("s").alias("st"), F.sum("n").alias("nt")).collect()[0]
+    f0 = per.filter("fold = 0").collect()[0]
+    trick = round((tot["st"] - f0["s"]) / (tot["nt"] - f0["n"]) + 1e-12, 6)
+    assert abs(trick - direct) < 2e-6
+    rows = all_queries()["train_kfold_cv"](spark, SF_DIR).collect()
+    assert sum(r["n_eval"] for r in rows) == e.count()
+    assert len({r["mean_acc"] for r in rows}) == 1
