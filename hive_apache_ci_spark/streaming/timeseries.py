@@ -2474,3 +2474,157 @@ def events_ab_readout(spark, sf_dir):
             (F.abs(z6) > 1.96).alias("significant"),
         )
     )
+
+
+# ---- CUPED variance-reduced A/B readout -----------------------------------
+
+_CUPED_SQL = """
+WITH bounds AS (
+  SELECT min(epoch(ts)) AS e0, max(epoch(ts)) AS e1 FROM events
+),
+per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         sum(CASE WHEN epoch(ts) <  (e0 + e1) / 2.0 THEN value ELSE 0.0 END)
+             AS pre,
+         sum(CASE WHEN epoch(ts) >= (e0 + e1) / 2.0 THEN value ELSE 0.0 END)
+             AS post
+  FROM events CROSS JOIN bounds
+  GROUP BY user_id, user_id % 2
+),
+theta AS (
+  SELECT round(covar_pop(pre, post) / var_pop(pre) + 1e-9, 6) AS th,
+         round(avg(pre) + 1e-9, 6)                            AS mu_pre
+  FROM per_user
+),
+adjusted AS (
+  SELECT arm, post, post - th * (pre - mu_pre) AS adj
+  FROM per_user CROSS JOIN theta
+),
+arms AS (
+  SELECT arm,
+         count(*)        AS n,
+         avg(post)       AS m_post,  var_samp(post) AS v_post,
+         avg(adj)        AS m_adj,   var_samp(adj)  AS v_adj
+  FROM adjusted GROUP BY arm
+),
+readout AS (
+  SELECT round((b.m_post - a.m_post)
+               / sqrt(a.v_post / a.n + b.v_post / b.n) + 1e-9, 6) AS z_raw,
+         round((b.m_adj - a.m_adj)
+               / sqrt(a.v_adj / a.n + b.v_adj / b.n) + 1e-9, 6)   AS z_cuped,
+         round(1.0 - (a.v_adj + b.v_adj) / (a.v_post + b.v_post) + 1e-9, 6)
+             AS var_reduction
+  FROM arms a JOIN arms b ON a.arm = 0 AND b.arm = 1
+)
+SELECT CAST(s.arm AS BIGINT)           AS arm,
+       CAST(s.n AS BIGINT)             AS n_users,
+       round(s.m_post + 1e-9, 6)       AS mean_post,
+       round(s.m_adj + 1e-9, 6)        AS mean_adj,
+       (SELECT th FROM theta)          AS theta,
+       (SELECT z_raw FROM readout)     AS z_raw,
+       (SELECT z_cuped FROM readout)   AS z_cuped,
+       (SELECT var_reduction FROM readout) AS var_reduction
+FROM arms s
+"""
+
+
+@query("events_ab_cuped", oracle=_CUPED_SQL)
+def events_ab_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM'13 —
+    the industry-standard A/B sensitivity booster): per user, a
+    pre-period covariate (value mass in the first half of the window) and
+    the post-period metric; theta = cov(pre, post)/var(pre) fitted on the
+    pooled arms; the adjusted metric post - theta*(pre - mean(pre))
+    preserves the treatment-effect mean while removing the covariate-
+    explained variance. Emits per-arm raw/adjusted means plus theta, the
+    raw and CUPED Welch z, and the achieved variance reduction — the
+    exact readout that tells an experimenter how much extra power the
+    covariate bought.
+
+    100 TB shape: per-user (pre, post) is ONE scan keyed by user (the
+    time split rides as a conditional sum, not a self-join); theta and
+    the means are a handful of pooled moments (map-side partials);
+    adjustment is a broadcast scalar attach; the arm readout is a 2-cell
+    aggregate. theta and mu_pre are 6dp-quantized BEFORE the adjustment
+    on both engines so summation-order noise cannot leak into the
+    per-user adjusted values (repo discipline)."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "value", F.col("ts").cast("double").alias("ets")
+    )
+    bounds = e.agg(
+        ((F.min("ets") + F.max("ets")) / 2.0).alias("mid")
+    )
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.sum(
+                F.when(F.col("ets") < F.col("mid"), F.col("value")).otherwise(0.0)
+            ).alias("pre"),
+            F.sum(
+                F.when(F.col("ets") >= F.col("mid"), F.col("value")).otherwise(0.0)
+            ).alias("post"),
+        )
+    )
+    theta = per_user.agg(
+        F.round(
+            F.covar_pop("pre", "post") / F.var_pop("pre") + F.lit(1e-9), 6
+        ).alias("th"),
+        F.round(F.avg("pre") + F.lit(1e-9), 6).alias("mu_pre"),
+    )
+    adjusted = per_user.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "post",
+        (F.col("post") - F.col("th") * (F.col("pre") - F.col("mu_pre"))).alias(
+            "adj"
+        ),
+        "th",
+    )
+    arms = adjusted.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.avg("post").alias("m_post"),
+        F.var_samp("post").alias("v_post"),
+        F.avg("adj").alias("m_adj"),
+        F.var_samp("adj").alias("v_adj"),
+        F.first("th").alias("th"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("m_post").alias("mp_a"),
+        F.col("v_post").alias("vp_a"), F.col("m_adj").alias("ma_a"),
+        F.col("v_adj").alias("va_a"),
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("m_post").alias("mp_b"),
+        F.col("v_post").alias("vp_b"), F.col("m_adj").alias("ma_b"),
+        F.col("v_adj").alias("va_b"),
+    )
+    readout = a.crossJoin(F.broadcast(b)).select(
+        F.round(
+            (F.col("mp_b") - F.col("mp_a"))
+            / F.sqrt(F.col("vp_a") / F.col("n_a") + F.col("vp_b") / F.col("n_b"))
+            + F.lit(1e-9),
+            6,
+        ).alias("z_raw"),
+        F.round(
+            (F.col("ma_b") - F.col("ma_a"))
+            / F.sqrt(F.col("va_a") / F.col("n_a") + F.col("va_b") / F.col("n_b"))
+            + F.lit(1e-9),
+            6,
+        ).alias("z_cuped"),
+        F.round(
+            1.0
+            - (F.col("va_a") + F.col("va_b")) / (F.col("vp_a") + F.col("vp_b"))
+            + F.lit(1e-9),
+            6,
+        ).alias("var_reduction"),
+    )
+    return arms.crossJoin(F.broadcast(readout)).select(
+        F.col("arm").cast("bigint").alias("arm"),
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(F.col("m_post") + F.lit(1e-9), 6).alias("mean_post"),
+        F.round(F.col("m_adj") + F.lit(1e-9), 6).alias("mean_adj"),
+        F.col("th").alias("theta"),
+        "z_raw",
+        "z_cuped",
+        "var_reduction",
+    )

@@ -391,3 +391,21 @@ def test_kfold_loo_stats_match_direct_training(spark):
     rows = all_queries()["train_kfold_cv"](spark, SF_DIR).collect()
     assert sum(r["n_eval"] for r in rows) == e.count()
     assert len({r["mean_acc"] for r in rows}) == 1
+
+
+def test_cuped_preserves_effect_and_reduces_variance(spark):
+    """CUPED must not move the estimated effect materially when the
+    covariate is balanced (means shift by theta*arm-imbalance only) and
+    must never INCREASE pooled variance; both arms carry one consistent
+    theta/readout."""
+    rows = {r["arm"]: r for r in all_queries()["events_ab_cuped"](spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1}
+    r0, r1 = rows[0], rows[1]
+    assert r0["theta"] == r1["theta"]
+    assert r0["var_reduction"] == r1["var_reduction"]
+    assert r0["var_reduction"] >= -1e-6  # pooled-theta CUPED cannot hurt
+    raw_eff = r1["mean_post"] - r0["mean_post"]
+    adj_eff = r1["mean_adj"] - r0["mean_adj"]
+    # effect shift is bounded by |theta| * |pre-mean imbalance|; on a
+    # balanced random split this is small relative to the raw spread
+    assert abs(adj_eff - raw_eff) < max(1.0, abs(raw_eff))
