@@ -2628,3 +2628,123 @@ def events_ab_cuped(spark, sf_dir):
         "z_cuped",
         "var_reduction",
     )
+
+
+# ---- Kaplan-Meier survival (time-to-first-error, administrative censor) ---
+
+_KM_HORIZON_H = 96
+
+_KM_SQL = f"""
+WITH u AS (
+  SELECT user_id, min(ts) AS first_ts,
+         min(CASE WHEN event_type = 'error' THEN ts END) AS first_err
+  FROM events GROUP BY user_id
+),
+obs AS (
+  SELECT user_id,
+         CASE WHEN first_err IS NOT NULL
+               AND floor(date_diff('second', first_ts, first_err) / 3600.0)
+                   <= {_KM_HORIZON_H}
+              THEN 1 ELSE 0 END AS died,
+         CASE WHEN first_err IS NOT NULL
+               AND floor(date_diff('second', first_ts, first_err) / 3600.0)
+                   <= {_KM_HORIZON_H}
+              THEN CAST(floor(date_diff('second', first_ts, first_err)
+                              / 3600.0) AS BIGINT)
+              ELSE {_KM_HORIZON_H} END AS t
+  FROM u
+),
+cells AS (
+  SELECT t, sum(died) AS d, count(*) AS ends FROM obs GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         (SELECT count(*) FROM obs)
+           - coalesce(sum(ends) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM cells
+),
+deaths AS (SELECT t, d, n_risk FROM risk WHERE d > 0),
+km AS (
+  SELECT t, d, n_risk,
+         exp(sum(ln(greatest(1.0 - d * 1.0 / n_risk, 1e-300)))
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)) AS s
+  FROM deaths
+)
+SELECT CAST(t AS BIGINT)      AS t_hours,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT)      AS deaths,
+       round(s + 1e-9, 6)     AS survival
+FROM km
+"""
+
+
+@query("events_survival_km", oracle=_KM_SQL)
+def events_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival estimator over time-to-first-error per user
+    (administratively censored at a 96-hour horizon — users whose first
+    error lands beyond it count as at-risk, not dead): at each death time
+    the at-risk count, deaths, and the product-limit survival
+    S(t) = prod(1 - d/n) — THE churn/reliability curve every product and
+    SRE stack reports, with lawful censoring handling instead of the
+    biased drop-the-censored shortcut.
+
+    100 TB shape: per-user observation is one user-keyed aggregate scan;
+    everything after runs on the |distinct times| cell table (<= horizon
+    rows), where the reverse-cumulative risk window and the cumulative
+    product are legitimately tiny. The product is computed as
+    exp(cumsum(ln .)) over integer-exact d/n ratios in ascending-time
+    order — both engines sum the same terms in the same order; the d = n
+    terminal case is floored at 1e-300 so ln never sees zero."""
+    e = T(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("first_err"),
+    )
+    hrs = F.floor(
+        (F.col("first_err").cast("double") - F.col("first_ts").cast("double"))
+        / 3600.0
+    )
+    died = F.when(
+        F.col("first_err").isNotNull() & (hrs <= _KM_HORIZON_H), 1
+    ).otherwise(0)
+    obs = u.select(
+        died.alias("died"),
+        F.when(died == 1, hrs.cast("bigint"))
+        .otherwise(F.lit(_KM_HORIZON_H))
+        .alias("t"),
+    )
+    cells = obs.groupBy("t").agg(
+        F.sum("died").alias("d"), F.count("*").alias("ends")
+    )
+    total = obs.agg(F.count("*").alias("n_total"))
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = cells.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("ends").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    deaths = risk.filter(F.col("d") > 0)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    lnterm = F.log(
+        F.greatest(1.0 - F.col("d") / F.col("n_risk"), F.lit(1e-300))
+    )
+    return deaths.select(
+        F.col("t").cast("bigint").alias("t_hours"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("deaths"),
+        F.round(F.exp(F.sum(lnterm).over(w_cum)) + F.lit(1e-9), 6).alias(
+            "survival"
+        ),
+    )

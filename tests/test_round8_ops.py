@@ -409,3 +409,22 @@ def test_cuped_preserves_effect_and_reduces_variance(spark):
     # effect shift is bounded by |theta| * |pre-mean imbalance|; on a
     # balanced random split this is small relative to the raw spread
     assert abs(adj_eff - raw_eff) < max(1.0, abs(raw_eff))
+
+
+def test_km_survival_is_monotone_and_risk_accounted(spark):
+    """S(t) must be non-increasing from <=1, the risk set non-increasing,
+    and the first risk set equal to the user count."""
+    from hive_apache_ci_spark.helpers import T
+
+    rows = sorted(
+        all_queries()["events_survival_km"](spark, SF_DIR).collect(),
+        key=lambda r: r["t_hours"],
+    )
+    n_users = T(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert rows[0]["n_risk"] == n_users
+    prev_s, prev_n = 1.0 + 1e-9, n_users + 1
+    for r in rows:
+        assert r["survival"] <= prev_s + 1e-9
+        assert r["n_risk"] <= prev_n
+        assert 1 <= r["deaths"] <= r["n_risk"]
+        prev_s, prev_n = r["survival"], r["n_risk"]
