@@ -2748,3 +2748,66 @@ def events_survival_km(spark, sf_dir):
             "survival"
         ),
     )
+
+
+# ---- A/B power analysis / required sample size ----------------------------
+
+_POWER_SQL = """
+WITH m AS (
+  SELECT event_type,
+         count(*)        AS n_obs,
+         avg(value)      AS mu,
+         var_samp(value) AS v
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_obs AS BIGINT)        AS n_obs,
+       round(mu + 1e-9, 6)          AS mean_value,
+       round(v + 1e-9, 6)           AS variance,
+       round(0.05 * mu + 1e-9, 6)   AS mde_abs,
+       CAST(ceil(2.0 * power(1.959964 + 0.841621, 2) * round(v + 1e-9, 6)
+                 / power(round(0.05 * mu + 1e-9, 6), 2)) AS BIGINT)
+           AS n_per_arm,
+       CAST(ceil(2.0 * power(1.959964 + 0.841621, 2) * round(v + 1e-9, 6)
+                 / power(round(0.05 * mu + 1e-9, 6), 2)) AS BIGINT) * 2
+           <= n_obs AS currently_powered
+FROM m
+"""
+
+
+@query("events_ab_power", oracle=_POWER_SQL)
+def events_ab_power(spark, sf_dir):
+    """Experiment power analysis: per metric, the required per-arm sample
+    size to detect a 5% relative lift at alpha=0.05 (two-sided) with 80%
+    power — n = 2 (z_a + z_b)^2 sigma^2 / delta^2 — plus whether the
+    current traffic already clears it. This is the pre-registration step
+    of the experimentation family (events_ab_readout computes the
+    readout, events_ab_cuped buys variance back, this decides if the
+    test is worth running at all). z quantiles are fixed literals
+    (1.959964, 0.841621) on both engines, so the only data-dependent
+    inputs are the same one-pass moments.
+
+    100 TB shape: one (metric)-keyed moment aggregate — map-side partial
+    (n, sum, sumsq); the power algebra runs on |metrics| cells."""
+    e = T(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n_obs"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    # ceil runs on 6dp-quantized moments on BOTH sides so engine
+    # summation-order noise can never straddle an integer boundary
+    v6 = F.round(F.col("v") + F.lit(1e-9), 6)
+    d6 = F.round(0.05 * F.col("mu") + F.lit(1e-9), 6)
+    n_req = F.ceil(
+        2.0 * F.pow(F.lit(1.959964 + 0.841621), 2) * v6 / F.pow(d6, 2)
+    ).cast("bigint")
+    return m.select(
+        "event_type",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.round(F.col("mu") + F.lit(1e-9), 6).alias("mean_value"),
+        F.round(F.col("v") + F.lit(1e-9), 6).alias("variance"),
+        F.round(0.05 * F.col("mu") + F.lit(1e-9), 6).alias("mde_abs"),
+        n_req.alias("n_per_arm"),
+        (n_req * 2 <= F.col("n_obs")).alias("currently_powered"),
+    )

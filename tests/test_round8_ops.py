@@ -428,3 +428,17 @@ def test_km_survival_is_monotone_and_risk_accounted(spark):
         assert r["n_risk"] <= prev_n
         assert 1 <= r["deaths"] <= r["n_risk"]
         prev_s, prev_n = r["survival"], r["n_risk"]
+
+
+def test_power_analysis_formula(spark):
+    """n_per_arm must reproduce the textbook formula from the emitted
+    moments, and the powered flag must agree with observed traffic."""
+    import math
+
+    rows = all_queries()["events_ab_power"](spark, SF_DIR).collect()
+    for r in rows:
+        n = math.ceil(
+            2.0 * (1.959964 + 0.841621) ** 2 * r["variance"] / r["mde_abs"] ** 2
+        )
+        assert r["n_per_arm"] == n
+        assert r["currently_powered"] == (2 * n <= r["n_obs"])
