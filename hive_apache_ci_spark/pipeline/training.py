@@ -566,6 +566,52 @@ def train_decision_stump(spark, sf_dir):
 
 # ---- held-out nearest-centroid evaluation --------------------------------
 
+def _heldout_centroid_scores(spark, sf_dir):
+    """Shared Rocchio dataflow (classify_centroid_eval +
+    quality_uncertainty_pick): 6dp-quantized per-label centroids fit on
+    the 80% split, every held-out vector scored against the broadcast
+    10-row centroid table. Returns (vec_id, label, c_label, score)."""
+    e = T(spark, sf_dir, "embeddings")
+    tr = e.filter(F.col("vec_id") % 5 != 0)
+    te = e.filter(F.col("vec_id") % 5 == 0)
+    dims = tr.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "val_f")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    centroids = dims.groupBy("label", "pos").agg(
+        F.round(F.avg("val") + F.lit(1e-12), 6).alias("c")
+    )
+    cvec = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))),
+        lambda s: s.getField("c"),
+    )
+    cvecs = (
+        centroids.groupBy("label")
+        .agg(cvec.alias("cvec"))
+        .select(
+            F.col("label").alias("c_label"),
+            "cvec",
+            F.sqrt(
+                F.aggregate("cvec", F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias("cnorm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "cvec", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return te.crossJoin(F.broadcast(cvecs)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        (dot / F.col("cnorm")).alias("score"),
+    )
+
+
 _CENTROID_EVAL_SQL = """
 WITH tr AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
 te AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
@@ -636,47 +682,7 @@ def classify_centroid_eval(spark, sf_dir):
     corpus-sized shuffle. Argmax ties broken by an epsilon-scaled label
     term mirrored in the oracle; centroid values 6dp-quantized before any
     dot product (repo discipline, ADVICE r4)."""
-    e = T(spark, sf_dir, "embeddings")
-    tr = e.filter(F.col("vec_id") % 5 != 0)
-    te = e.filter(F.col("vec_id") % 5 == 0)
-    dims = tr.select(
-        "label", F.posexplode(F.col("embedding")).alias("pos0", "val_f")
-    ).select(
-        "label",
-        (F.col("pos0") + 1).alias("pos"),
-        F.col("val_f").cast("double").alias("val"),
-    )
-    centroids = dims.groupBy("label", "pos").agg(
-        F.round(F.avg("val") + F.lit(1e-12), 6).alias("c")
-    )
-    cvec = F.transform(
-        F.array_sort(F.collect_list(F.struct("pos", "c"))),
-        lambda s: s.getField("c"),
-    )
-    cvecs = (
-        centroids.groupBy("label")
-        .agg(cvec.alias("cvec"))
-        .select(
-            F.col("label").alias("c_label"),
-            "cvec",
-            F.sqrt(
-                F.aggregate(
-                    "cvec", F.lit(0.0), lambda acc, x: acc + x * x
-                )
-            ).alias("cnorm"),
-        )
-    )
-    dot = F.aggregate(
-        F.zip_with("embedding", "cvec", lambda a, b: a.cast("double") * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = te.crossJoin(F.broadcast(cvecs)).select(
-        "vec_id",
-        "label",
-        "c_label",
-        (dot / F.col("cnorm")).alias("score"),
-    )
+    scored = _heldout_centroid_scores(spark, sf_dir)
     pred = scored.groupBy("vec_id", "label").agg(
         F.max_by("c_label", F.col("score") - F.col("c_label") * 1e-12).alias(
             "pred_label"
@@ -870,3 +876,91 @@ def train_kfold_cv(spark, sf_dir):
         "mean_acc",
         "std_acc",
     )
+
+
+# ---- active learning: uncertainty sampling --------------------------------
+
+_UNCERTAINTY_SQL = """
+WITH tr AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+te AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+dims AS (
+  SELECT label, u.pos AS pos, u.val AS val
+  FROM (
+    SELECT label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {'pos': i, 'val': CAST(embedding[i] AS DOUBLE)})) AS u
+    FROM tr
+  )
+),
+centroids AS (
+  SELECT label, pos, round(avg(val) + 1e-12, 6) AS c
+  FROM dims GROUP BY label, pos
+),
+cvecs AS (
+  SELECT label AS c_label,
+         list(c ORDER BY pos) AS cvec,
+         sqrt(list_sum(list_transform(list(c ORDER BY pos), x -> x * x)))
+             AS cnorm
+  FROM centroids GROUP BY label
+),
+scored AS (
+  SELECT v.vec_id, v.label, c.c_label,
+         list_sum(list_transform(list_zip(v.embedding, c.cvec),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / c.cnorm
+             AS score
+  FROM te v CROSS JOIN cvecs c
+),
+ranked AS (
+  SELECT vec_id, label, c_label, score,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, c_label) AS rk
+  FROM scored
+),
+margins AS (
+  SELECT vec_id, label,
+         max(CASE WHEN rk = 1 THEN c_label END) AS pred_label,
+         round(max(CASE WHEN rk = 1 THEN score END)
+               - max(CASE WHEN rk = 2 THEN score END) + 1e-9, 6) AS margin
+  FROM ranked GROUP BY vec_id, label
+)
+SELECT vec_id, label, pred_label, margin
+FROM margins
+ORDER BY margin, vec_id
+LIMIT 25
+"""
+
+
+@query("quality_uncertainty_pick", oracle=_UNCERTAINTY_SQL)
+def quality_uncertainty_pick(spark, sf_dir):
+    """Active-learning acquisition: margin-based uncertainty sampling —
+    the 25 held-out vectors whose top-1 vs top-2 centroid cosine margin
+    is smallest are exactly the ones a labeling budget should buy next
+    (Lewis & Gale '94 uncertainty sampling, the default acquisition rule
+    in every annotation pipeline). Emits (vec_id, current label,
+    model's pick, margin) — the work queue an annotation tool consumes.
+
+    100 TB shape: reuses the broadcast-centroid scoring dataflow (one
+    eval-scan, |L|-row model), margins come from a per-vector top-2 over
+    the 10 scores (vec_id-keyed window over 10 rows, not a global sort),
+    and the final pick is a 6dp-quantized margin ORDER BY ... LIMIT —
+    TakeOrderedAndProject, never a full sort. Margin quantization plus
+    the vec_id tie-break makes the k-boundary engine-stable."""
+    from pyspark.sql import Window
+
+    scored = _heldout_centroid_scores(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("c_label")
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 2
+    )
+    margins = ranked.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("c_label"))).alias("pred_label"),
+        F.round(
+            F.max(F.when(F.col("rk") == 1, F.col("score")))
+            - F.max(F.when(F.col("rk") == 2, F.col("score")))
+            + F.lit(1e-9),
+            6,
+        ).alias("margin"),
+    )
+    return margins.orderBy("margin", "vec_id").limit(25)

@@ -442,3 +442,14 @@ def test_power_analysis_formula(spark):
         )
         assert r["n_per_arm"] == n
         assert r["currently_powered"] == (2 * n <= r["n_obs"])
+
+
+def test_uncertainty_pick_takes_smallest_margins(spark):
+    """The 25 picked margins must be the global minimum set over the
+    held-out split, plan must TakeOrdered (no global sort), and every
+    margin must be non-negative (top1 >= top2 by construction)."""
+    rows = all_queries()["quality_uncertainty_pick"](spark, SF_DIR).collect()
+    assert len(rows) == 25
+    assert all(r["margin"] >= 0 for r in rows)
+    p = _plan_of(spark, "quality_uncertainty_pick")
+    assert "TakeOrderedAndProject" in p
