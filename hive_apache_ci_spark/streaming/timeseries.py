@@ -2811,3 +2811,99 @@ def events_ab_power(spark, sf_dir):
         n_req.alias("n_per_arm"),
         (n_req * 2 <= F.col("n_obs")).alias("currently_powered"),
     )
+
+
+# ---- difference-in-differences --------------------------------------------
+
+_DID_SQL = """
+WITH bounds AS (
+  SELECT min(epoch(ts)) AS e0, max(epoch(ts)) AS e1 FROM events
+),
+cells AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN epoch(ts) < (e0 + e1) / 2.0 THEN 0 ELSE 1 END AS period,
+         count(*)        AS n,
+         avg(value)      AS m,
+         var_samp(value) AS v
+  FROM events CROSS JOIN bounds
+  GROUP BY user_id % 2,
+           CASE WHEN epoch(ts) < (e0 + e1) / 2.0 THEN 0 ELSE 1 END
+),
+wide AS (
+  SELECT max(CASE WHEN arm = 1 AND period = 1 THEN m END) AS t_post,
+         max(CASE WHEN arm = 1 AND period = 0 THEN m END) AS t_pre,
+         max(CASE WHEN arm = 0 AND period = 1 THEN m END) AS c_post,
+         max(CASE WHEN arm = 0 AND period = 0 THEN m END) AS c_pre,
+         sum(v / n) AS se2
+  FROM cells
+),
+summary AS (
+  SELECT round((t_post - t_pre) - (c_post - c_pre) + 1e-9, 6) AS did,
+         round(sqrt(se2) + 1e-9, 6)                           AS se,
+         round(((t_post - t_pre) - (c_post - c_pre)) / sqrt(se2) + 1e-9, 6)
+             AS z_did
+  FROM wide
+)
+SELECT CAST(c.arm AS BIGINT)    AS arm,
+       CAST(c.period AS BIGINT) AS period,
+       CAST(c.n AS BIGINT)      AS n,
+       round(c.m + 1e-9, 6)     AS mean_value,
+       s.did, s.se, s.z_did
+FROM cells c CROSS JOIN summary s
+"""
+
+
+@query("events_ab_did", oracle=_DID_SQL)
+def events_ab_did(spark, sf_dir):
+    """Difference-in-differences: the 2x2 (arm x pre/post) cell means and
+    the DiD effect (treat-change minus control-change) with its pooled
+    standard error and z — the quasi-experimental estimator for rollouts
+    where random assignment exists but time-varying shocks hit both arms
+    (parallel-trends assumption; the pre-period difference is the
+    counterfactual). Completes the experimentation suite: readout
+    (events_ab_readout), sensitivity (events_ab_cuped), sizing
+    (events_ab_power), survival (events_survival_km), causal panel (this).
+
+    100 TB shape: ONE scan into a 4-cell moment aggregate (arm and
+    period are both map-side expressions; the time midpoint rides as a
+    broadcast scalar); the estimator algebra runs on the 4 cells."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "value", F.col("ts").cast("double").alias("ets")
+    )
+    bounds = e.agg(((F.min("ets") + F.max("ets")) / 2.0).alias("mid"))
+    cells = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            (F.col("user_id") % 2).alias("arm"),
+            F.when(F.col("ets") < F.col("mid"), 0).otherwise(1).alias("period"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    wide = cells.agg(
+        F.max(F.when((F.col("arm") == 1) & (F.col("period") == 1), F.col("m"))).alias("t_post"),
+        F.max(F.when((F.col("arm") == 1) & (F.col("period") == 0), F.col("m"))).alias("t_pre"),
+        F.max(F.when((F.col("arm") == 0) & (F.col("period") == 1), F.col("m"))).alias("c_post"),
+        F.max(F.when((F.col("arm") == 0) & (F.col("period") == 0), F.col("m"))).alias("c_pre"),
+        F.sum(F.col("v") / F.col("n")).alias("se2"),
+    )
+    did_raw = (F.col("t_post") - F.col("t_pre")) - (
+        F.col("c_post") - F.col("c_pre")
+    )
+    summary = wide.select(
+        F.round(did_raw + F.lit(1e-9), 6).alias("did"),
+        F.round(F.sqrt("se2") + F.lit(1e-9), 6).alias("se"),
+        F.round(did_raw / F.sqrt("se2") + F.lit(1e-9), 6).alias("z_did"),
+    )
+    return cells.crossJoin(F.broadcast(summary)).select(
+        F.col("arm").cast("bigint").alias("arm"),
+        F.col("period").cast("bigint").alias("period"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("m") + F.lit(1e-9), 6).alias("mean_value"),
+        "did",
+        "se",
+        "z_did",
+    )

@@ -453,3 +453,14 @@ def test_uncertainty_pick_takes_smallest_margins(spark):
     assert all(r["margin"] >= 0 for r in rows)
     p = _plan_of(spark, "quality_uncertainty_pick")
     assert "TakeOrderedAndProject" in p
+
+
+def test_did_reconstructs_from_cells(spark):
+    """The DiD effect must equal the double difference of the emitted
+    cell means (within rounding), with all four cells present."""
+    rows = all_queries()["events_ab_did"](spark, SF_DIR).collect()
+    cells = {(r["arm"], r["period"]): r["mean_value"] for r in rows}
+    assert set(cells) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    did = (cells[(1, 1)] - cells[(1, 0)]) - (cells[(0, 1)] - cells[(0, 0)])
+    assert abs(rows[0]["did"] - did) < 5e-6
+    assert len({(r["did"], r["se"], r["z_did"]) for r in rows}) == 1
