@@ -964,3 +964,114 @@ def quality_uncertainty_pick(spark, sf_dir):
         ).alias("margin"),
     )
     return margins.orderBy("margin", "vec_id").limit(25)
+
+
+# ---- inter-annotator agreement (Cohen's kappa) -----------------------------
+
+_KAPPA_SQL = """
+WITH tr AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+te AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+dims AS (
+  SELECT label, u.pos AS pos, u.val AS val
+  FROM (
+    SELECT label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {'pos': i, 'val': CAST(embedding[i] AS DOUBLE)})) AS u
+    FROM tr
+  )
+),
+centroids AS (
+  SELECT label, pos, round(avg(val) + 1e-12, 6) AS c
+  FROM dims GROUP BY label, pos
+),
+cvecs AS (
+  SELECT label AS c_label,
+         list(c ORDER BY pos) AS cvec,
+         sqrt(list_sum(list_transform(list(c ORDER BY pos), x -> x * x)))
+             AS cnorm
+  FROM centroids GROUP BY label
+),
+scored AS (
+  SELECT v.vec_id, v.label, c.c_label,
+         list_sum(list_transform(list_zip(v.embedding, c.cvec),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / c.cnorm
+             AS score
+  FROM te v CROSS JOIN cvecs c
+),
+pred AS (
+  SELECT vec_id, label,
+         arg_max(c_label, score - c_label * 1e-12) AS pred_label
+  FROM scored GROUP BY vec_id, label
+),
+tot AS (SELECT count(*) AS n FROM pred),
+po AS (
+  SELECT sum(CASE WHEN label = pred_label THEN 1.0 ELSE 0.0 END)
+         / (SELECT n FROM tot) AS po
+  FROM pred
+),
+marg AS (
+  SELECT a.k,
+         coalesce(r.rn, 0) * 1.0 / (SELECT n FROM tot) AS p_row,
+         coalesce(c.cn, 0) * 1.0 / (SELECT n FROM tot) AS p_col
+  FROM (SELECT DISTINCT label AS k FROM pred
+        UNION SELECT DISTINCT pred_label FROM pred) a
+  LEFT JOIN (SELECT label AS k, count(*) AS rn FROM pred GROUP BY label) r
+         ON r.k = a.k
+  LEFT JOIN (SELECT pred_label AS k, count(*) AS cn FROM pred
+             GROUP BY pred_label) c ON c.k = a.k
+),
+pe AS (SELECT sum(p_row * p_col) AS pe FROM marg)
+SELECT CAST((SELECT n FROM tot) AS BIGINT)        AS n_items,
+       round((SELECT po FROM po) + 1e-9, 6)       AS p_observed,
+       round((SELECT pe FROM pe) + 1e-9, 6)       AS p_expected,
+       round(((SELECT po FROM po) - (SELECT pe FROM pe))
+             / (1.0 - (SELECT pe FROM pe)) + 1e-9, 6) AS kappa
+"""
+
+
+@query("quality_cohen_kappa", oracle=_KAPPA_SQL)
+def quality_cohen_kappa(spark, sf_dir):
+    """Cohen's kappa between the stored labels and the centroid model's
+    picks on the held-out split: observed agreement, chance agreement
+    from the marginal distributions, and kappa = (po - pe)/(1 - pe) —
+    the chance-corrected agreement statistic annotation pipelines report
+    instead of raw accuracy (raw agreement flatters imbalanced label
+    sets; kappa ~ 0 here correctly exposes the synthetic labels as
+    uncorrelated with the vectors where accuracy alone reads ~10%).
+
+    100 TB shape: reuses the broadcast-centroid scoring pass; po/pe are
+    |L|-cell marginal aggregates — nothing after the scan scales."""
+    scored = _heldout_centroid_scores(spark, sf_dir)
+    pred = scored.groupBy("vec_id", "label").agg(
+        F.max_by("c_label", F.col("score") - F.col("c_label") * 1e-12).alias(
+            "pred_label"
+        )
+    )
+    tot = pred.agg(
+        F.count("*").alias("n"),
+        F.avg(
+            F.when(F.col("label") == F.col("pred_label"), 1.0).otherwise(0.0)
+        ).alias("po"),
+    )
+    rows = pred.groupBy(F.col("label").alias("k")).agg(
+        F.count("*").alias("rn")
+    )
+    cols = pred.groupBy(F.col("pred_label").alias("k")).agg(
+        F.count("*").alias("cn")
+    )
+    marg = rows.join(cols, "k", "full").crossJoin(F.broadcast(tot)).select(
+        (
+            F.coalesce(F.col("rn"), F.lit(0))
+            * F.coalesce(F.col("cn"), F.lit(0))
+            / (F.col("n") * F.col("n"))
+        ).alias("pp")
+    )
+    pe = marg.agg(F.sum("pp").alias("pe"))
+    return tot.crossJoin(F.broadcast(pe)).select(
+        F.col("n").cast("bigint").alias("n_items"),
+        F.round(F.col("po") + F.lit(1e-9), 6).alias("p_observed"),
+        F.round(F.col("pe") + F.lit(1e-9), 6).alias("p_expected"),
+        F.round(
+            (F.col("po") - F.col("pe")) / (1.0 - F.col("pe")) + F.lit(1e-9), 6
+        ).alias("kappa"),
+    )

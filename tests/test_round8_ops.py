@@ -464,3 +464,15 @@ def test_did_reconstructs_from_cells(spark):
     did = (cells[(1, 1)] - cells[(1, 0)]) - (cells[(0, 1)] - cells[(0, 0)])
     assert abs(rows[0]["did"] - did) < 5e-6
     assert len({(r["did"], r["se"], r["z_did"]) for r in rows}) == 1
+
+
+def test_kappa_consistent_with_confusion(spark):
+    """kappa must reconstruct from p_observed/p_expected, and p_observed
+    must equal the centroid-eval overall accuracy (same model, split)."""
+    k = all_queries()["quality_cohen_kappa"](spark, SF_DIR).collect()[0]
+    recon = (k["p_observed"] - k["p_expected"]) / (1.0 - k["p_expected"])
+    assert abs(k["kappa"] - recon) < 5e-6
+    acc = all_queries()["classify_centroid_eval"](spark, SF_DIR).collect()[0][
+        "accuracy"
+    ]
+    assert abs(k["p_observed"] - acc) < 5e-6
