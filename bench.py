@@ -99,6 +99,9 @@ EXTRA_HEADLINERS = (
     "tpcds_q78_channel_ratio",
     "tpcds_q95_multi_supplier",
     "tpcds_q34_basket_bands",
+    # r8 session-3: the experimentation suite's heaviest member (per-user
+    # covariate aggregate + broadcast-theta adjustment + arm moments)
+    "events_ab_cuped",
 )
 
 # BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond

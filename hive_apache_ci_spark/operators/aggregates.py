@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..helpers import T, r2, r4, ravg
+from ..helpers import T, money_sum, r2, r4, ravg
 from ..registry import query
 
 
@@ -1959,4 +1959,84 @@ def dq_k_anonymity(spark, sf_dir):
         F.round(
             F.sum(small) / F.sum("k") + F.lit(1e-9), 6
         ).alias("risk_share"),
+    )
+
+
+# ---- market-concentration audit (HHI) --------------------------------------
+
+_HHI_SQL = """
+WITH rev AS (
+  SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+         CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   + 1e-9, 2) AS DECIMAL(18,2))), 2)
+              AS DOUBLE) AS revenue
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+),
+tot AS (SELECT nationkey, sum(revenue) AS total FROM rev GROUP BY nationkey),
+shares AS (
+  SELECT r.nationkey, r.suppkey,
+         round(r.revenue / t.total + 1e-9, 6) AS share
+  FROM rev r JOIN tot t ON t.nationkey = r.nationkey
+)
+SELECT CAST(nationkey AS INT)            AS nationkey,
+       CAST(count(*) AS BIGINT)          AS n_suppliers,
+       round(sum(share * share) * 10000.0 + 1e-9, 2) AS hhi,
+       round(max(share) + 1e-9, 6)       AS cr1,
+       CASE WHEN round(sum(share * share) * 10000.0 + 1e-9, 2) >= 2500.0
+                 THEN 'concentrated'
+            WHEN round(sum(share * share) * 10000.0 + 1e-9, 2) >= 1500.0
+                 THEN 'moderate'
+            ELSE 'unconcentrated' END    AS band
+FROM shares
+GROUP BY nationkey
+"""
+
+
+@query("supplier_hhi_concentration", oracle=_HHI_SQL)
+def supplier_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman supplier-concentration audit per nation:
+    exact-DECIMAL revenue per (nation, supplier), 6dp-quantized market
+    shares, HHI = 10000 * sum(share^2) with the DOJ/FTC bands
+    (>=2500 concentrated, >=1500 moderate) and the top-supplier share
+    (CR1) — the procurement-risk query every supply-chain review runs.
+
+    100 TB shape: one fact-side aggregate keyed by (nation, supplier)
+    with map-side combine (the dimension join is a broadcast), then the
+    share/HHI algebra on the |nations x suppliers| cell table with a
+    |nations|-row totals join. Band cuts compare the ROUNDED hhi on both
+    engines, so the classification is engine-stable."""
+    l = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    rev = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+    tot = rev.groupBy("nationkey").agg(F.sum("revenue").alias("total"))
+    shares = rev.join(F.broadcast(tot), "nationkey").select(
+        "nationkey",
+        "suppkey",
+        F.round(F.col("revenue") / F.col("total") + F.lit(1e-9), 6).alias(
+            "share"
+        ),
+    )
+    hhi = F.round(
+        F.sum(F.col("share") * F.col("share")) * 10000.0 + F.lit(1e-9), 2
+    )
+    return shares.groupBy(F.col("nationkey").cast("int").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        hhi.alias("hhi"),
+        F.round(F.max("share") + F.lit(1e-9), 6).alias("cr1"),
+        F.when(hhi >= 2500.0, "concentrated")
+        .when(hhi >= 1500.0, "moderate")
+        .otherwise("unconcentrated")
+        .alias("band"),
     )

@@ -813,11 +813,12 @@ def pagerank_similarity_graph(spark, sf_dir):
 _LPA_ITERS = 4
 
 
-def _lpa_oracle() -> str:
-    """Unrolled synchronous label propagation: per iteration, one
+def _lpa_chain_sql() -> str:
+    """Unrolled synchronous label propagation CTE chain (shared by the
+    LPA oracle and the modularity readout): per iteration, one
     neighbor-label frequency CTE, one per-node argmax (count desc, label
     asc — deterministic), one carry-forward for isolated nodes. Same
-    LSH-confirmed edge set as PageRank."""
+    LSH-confirmed edge set as PageRank. Ends at l{_LPA_ITERS}."""
     from .similarity import _cos_sql, lsh_tb_cte_sql
 
     parts = [
@@ -860,13 +861,17 @@ def _lpa_oracle() -> str:
       FROM l{i-1} p LEFT JOIN m{i} m ON p.vec_id = m.vec_id
     )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _lpa_oracle() -> str:
+    return (
+        _lpa_chain_sql()
+        + f"""
     SELECT vec_id, CAST(label AS BIGINT) AS community_id
     FROM l{_LPA_ITERS}
     """
     )
-    return "".join(parts)
 
 
 @query("graph_label_propagation", oracle=_lpa_oracle())
@@ -886,6 +891,15 @@ def graph_label_propagation(spark, sf_dir):
     O(edges) per iteration with no global state, which is why it's the
     standard billion-node community algorithm (GraphX/GraphFrames ship the
     same shape)."""
+    labels, _edges = _lpa_labels(spark, sf_dir)
+    return labels.select(
+        "vec_id", F.col("label").cast("bigint").alias("community_id")
+    )
+
+
+def _lpa_labels(spark, sf_dir):
+    """Shared synchronous-LPA loop: returns (labels, symmetric edges) —
+    reused by graph_label_propagation and graph_community_modularity."""
     from pyspark.sql import Window as W
 
     e = T(spark, sf_dir, "embeddings")
@@ -915,9 +929,7 @@ def graph_label_propagation(spark, sf_dir):
             )
             .localCheckpoint()
         )
-    return labels.select(
-        "vec_id", F.col("label").cast("bigint").alias("community_id")
-    )
+    return labels, edges
 
 
 graph_label_propagation.__doc__ = graph_label_propagation.__doc__.replace(
@@ -2563,3 +2575,123 @@ dedup_exact_substring.__doc__ = (
     .replace("{K}", str(_ESUB_K))
     .replace("{D}", str(_ESUB_MAX_DF))
 )
+
+
+# ---- community quality: Newman modularity ---------------------------------
+
+
+def _modularity_oracle() -> str:
+    return (
+        _lpa_chain_sql()
+        + f""",
+    final AS (SELECT vec_id, label AS community FROM l{_LPA_ITERS}),
+    deg AS (SELECT s AS vec_id, count(*) AS degree FROM edges GROUP BY s),
+    memb AS (
+      SELECT f.vec_id, f.community, coalesce(d.degree, 0) AS degree
+      FROM final f LEFT JOIN deg d ON d.vec_id = f.vec_id
+    ),
+    mm AS (SELECT greatest(count(*) / 2.0, 1.0) AS m FROM edges),
+    within AS (
+      SELECT la.community, count(*) / 2.0 AS m_c
+      FROM edges e
+      JOIN final la ON e.s = la.vec_id
+      JOIN final lb ON e.d = lb.vec_id AND lb.community = la.community
+      GROUP BY la.community
+    ),
+    comm AS (
+      SELECT mb.community,
+             CAST(count(*) AS BIGINT)       AS size,
+             CAST(sum(mb.degree) AS BIGINT) AS degree_sum,
+             coalesce(any_value(w.m_c), 0.0) AS m_c
+      FROM memb mb LEFT JOIN within w ON w.community = mb.community
+      GROUP BY mb.community
+    ),
+    q AS (
+      SELECT round(sum(m_c / mm.m
+                       - (degree_sum / (2.0 * mm.m))
+                         * (degree_sum / (2.0 * mm.m))) + 1e-9, 6) AS q
+      FROM comm CROSS JOIN mm
+    )
+    SELECT CAST(c.community AS BIGINT) AS community,
+           c.size, c.degree_sum,
+           round(c.m_c / mm.m
+                 - (c.degree_sum / (2.0 * mm.m))
+                   * (c.degree_sum / (2.0 * mm.m)) + 1e-9, 6) + 0.0
+               AS contribution,
+           (SELECT q FROM q) AS modularity
+    FROM comm c CROSS JOIN mm
+    WHERE c.size >= 2
+    """
+    )
+
+
+@query("graph_community_modularity", oracle=_modularity_oracle())
+def graph_community_modularity(spark, sf_dir):
+    """Newman modularity of the LPA communities over the confirmed
+    near-dup graph: per non-singleton community its size, degree mass,
+    within-edge fraction and modularity contribution
+    m_c/m - (d_c/2m)^2, plus the global Q — the community-QUALITY
+    readout that turns 'LPA produced labels' into 'the partition is
+    (or is not) better than random', closing the graph family's loop
+    (detect: label propagation; measure: this).
+
+    100 TB shape: after the shared LPA rounds, modularity is two
+    edge-keyed joins against the (broadcastable-per-partition) label
+    table plus |C|-cell aggregates — O(edges) with no new iteration.
+    All inputs to Q are exact integer counts; the only float math is the
+    final ratio arithmetic, 6dp-rounded on both engines."""
+    labels, edges = _lpa_labels(spark, sf_dir)
+    final = labels.select("vec_id", F.col("label").alias("community"))
+    deg = edges.groupBy(F.col("s").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    memb = final.join(deg, "vec_id", "left").select(
+        "vec_id",
+        "community",
+        F.coalesce("degree", F.lit(0)).alias("degree"),
+    )
+    mm = edges.agg(
+        F.greatest(F.count(F.lit(1)) / 2.0, F.lit(1.0)).alias("m")
+    )
+    la = final.select(F.col("vec_id").alias("sa"), F.col("community").alias("ca"))
+    lb = final.select(F.col("vec_id").alias("sb"), F.col("community").alias("cb"))
+    within = (
+        edges.join(la, edges["s"] == la["sa"])
+        .join(lb, (edges["d"] == lb["sb"]) & (F.col("cb") == F.col("ca")))
+        .groupBy(F.col("ca").alias("community"))
+        .agg((F.count(F.lit(1)) / 2.0).alias("m_c"))
+    )
+    comm = (
+        memb.groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("size"),
+            F.sum("degree").cast("bigint").alias("degree_sum"),
+        )
+        .join(within, "community", "left")
+        .select(
+            "community",
+            "size",
+            "degree_sum",
+            F.coalesce("m_c", F.lit(0.0)).alias("m_c"),
+        )
+    )
+    contrib = F.col("m_c") / F.col("m") - F.pow(
+        F.col("degree_sum") / (2.0 * F.col("m")), 2
+    )
+    cells = comm.crossJoin(F.broadcast(mm))
+    q = cells.agg(F.round(F.sum(contrib) + F.lit(1e-9), 6).alias("modularity"))
+    return (
+        cells.filter(F.col("size") >= 2)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("community").cast("bigint").alias("community"),
+            "size",
+            "degree_sum",
+            # + 0.0 collapses IEEE negative zero (tiny negative
+            # contributions round to -0.0 in DuckDB, 0.0 in Spark)
+            (F.round(contrib + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "contribution"
+            ),
+            "modularity",
+        )
+    )

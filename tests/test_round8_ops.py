@@ -476,3 +476,34 @@ def test_kappa_consistent_with_confusion(spark):
         "accuracy"
     ]
     assert abs(k["p_observed"] - acc) < 5e-6
+
+
+def test_modularity_accounting(spark):
+    """Per-community contribution must reconstruct Q when summed with the
+    (unemitted) singleton terms bounded: every emitted contribution obeys
+    m_c/m <= 1 and the global Q lies in [-0.5, 1]."""
+    rows = all_queries()["graph_community_modularity"](spark, SF_DIR).collect()
+    if rows:
+        q = rows[0]["modularity"]
+        assert -0.5 - 1e-6 <= q <= 1.0 + 1e-6
+        assert len({r["modularity"] for r in rows}) == 1
+        for r in rows:
+            assert r["size"] >= 2 and r["degree_sum"] >= 0
+
+
+def test_hhi_shares_and_bands(spark):
+    """HHI must lie in (0, 10000], CR1 in (0, 1], and the band must agree
+    with the emitted hhi under the published thresholds."""
+    rows = all_queries()["supplier_hhi_concentration"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["hhi"] <= 10000.0 + 1e-6
+        assert 0 < r["cr1"] <= 1.0 + 1e-6
+        want = (
+            "concentrated"
+            if r["hhi"] >= 2500
+            else "moderate" if r["hhi"] >= 1500 else "unconcentrated"
+        )
+        assert r["band"] == want
+        # perfectly even shares bound: hhi >= 10000/n
+        assert r["hhi"] >= 10000.0 / r["n_suppliers"] - 1e-6
