@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..helpers import T, r2, ravg
+from ..helpers import T, money_sum, r2, ravg
 from ..registry import query
 
 
@@ -748,4 +748,122 @@ def window_streaks(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         best.getField("l").alias("max_streak"),
         best.getField("s").alias("max_streak_start"),
+    )
+
+
+# ---- Pareto / ABC revenue classification ----------------------------------
+
+_ABC_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS r
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT sum(CAST(r AS DECIMAL(18,2))) AS t FROM rev),
+cum AS (
+  SELECT o_custkey, r,
+         sum(CAST(r AS DECIMAL(18,2)))
+             OVER (ORDER BY r DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM rev
+),
+cls AS (
+  SELECT r,
+         CASE WHEN round(CAST(c AS DOUBLE) / CAST(t.t AS DOUBLE) + 1e-9, 6)
+                   <= 0.80 THEN 'A'
+              WHEN round(CAST(c AS DOUBLE) / CAST(t.t AS DOUBLE) + 1e-9, 6)
+                   <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM cum CROSS JOIN tot t
+)
+SELECT abc,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(round(sum(CAST(r AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS class_revenue,
+       round(CAST(sum(CAST(r AS DECIMAL(18,2))) AS DOUBLE)
+             / (SELECT CAST(t AS DOUBLE) FROM tot) + 1e-9, 6)
+           AS revenue_share
+FROM cls
+GROUP BY abc
+"""
+
+
+@query("window_pareto_abc", oracle=_ABC_SQL)
+def window_pareto_abc(spark, sf_dir):
+    """Pareto / ABC analysis: customers ranked by exact-DECIMAL revenue,
+    classified by cumulative revenue share (A <= 80%, B <= 95%, C rest) —
+    the 80/20 inventory-and-accounts classification every revenue org
+    runs. Class counts and revenue mass per class certify the skew
+    ('how few customers carry 80% of revenue').
+
+    100 TB path (window_ntile_scaled's pattern applied to a cumulative
+    SUM): no single-partition global window — percentile boundaries split
+    customers into value-range shards; the cumulative revenue is the
+    within-shard DECIMAL running sum (window partitioned BY SHARD) plus
+    the broadcast prefix revenue of richer shards (|shards|^2 tiny
+    self-join). DECIMAL accumulation keeps every prefix exact, so the
+    6dp-rounded share cut lands identically in both engines; the
+    (revenue DESC, custkey) order is unique, pinning ties."""
+    n_shards = 16
+    o = T(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        money_sum(F.col("o_totalprice"), 2).alias("r")
+    )
+    fracs = [i / n_shards for i in range(1, n_shards)]
+    bnd = rev.agg(F.percentile_approx("r", fracs, 10000).alias("bs"))
+    shard = F.aggregate(
+        F.col("bs"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("r") < b, 1).otherwise(0),
+    )
+    sharded = (
+        rev.crossJoin(F.broadcast(bnd)).withColumn("shard", shard).drop("bs")
+    )
+    rdec = F.col("r").cast("decimal(18,2)")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("r").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = sharded.withColumn("wcum", F.sum(rdec).over(w))
+    sums = sharded.groupBy("shard").agg(F.sum(rdec).alias("srev"))
+    richer = sums.select(
+        F.col("shard").alias("eshard"), F.col("srev").alias("erev")
+    )
+    offs = (
+        # shard index DECREASES with revenue (count of boundaries above),
+        # so "richer prefix" = strictly smaller shard ids
+        sums.join(richer, F.col("eshard") < F.col("shard"), "left")
+        .groupBy("shard")
+        .agg(
+            F.coalesce(F.sum("erev"), F.lit(0).cast("decimal(18,2)")).alias(
+                "off"
+            )
+        )
+    )
+    total = sums.agg(F.sum("srev").cast("double").alias("t"))
+    cumshare = F.round(
+        (F.col("off") + F.col("wcum")).cast("double") / F.col("t")
+        + F.lit(1e-9),
+        6,
+    )
+    cls = (
+        within.join(F.broadcast(offs), "shard")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "r",
+            F.when(cumshare <= 0.80, "A")
+            .when(cumshare <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc"),
+            F.col("t"),
+        )
+    )
+    return cls.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum(rdec), 2).cast("double").alias("class_revenue"),
+        F.round(
+            F.sum(rdec).cast("double") / F.first("t") + F.lit(1e-9), 6
+        ).alias("revenue_share"),
     )

@@ -507,3 +507,19 @@ def test_hhi_shares_and_bands(spark):
         assert r["band"] == want
         # perfectly even shares bound: hhi >= 10000/n
         assert r["hhi"] >= 10000.0 / r["n_suppliers"] - 1e-6
+
+
+def test_pareto_abc_mass_and_no_global_window(spark):
+    """Class masses must cover all customers and ~100% revenue, A must
+    dominate, and the plan must not contain a single-partition global
+    window (the scaled two-pass shape is the point)."""
+    rows = {r["abc"]: r for r in all_queries()["window_pareto_abc"](spark, SF_DIR).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-4
+    assert rows["A"]["revenue_share"] >= rows["B"]["revenue_share"] >= rows["C"]["revenue_share"]
+    p = _plan_of(spark, "window_pareto_abc")
+    import re as _re
+
+    # every window must be shard-keyed: an empty partitionBy would mean
+    # the single-partition global cumulative this op exists to avoid
+    assert not _re.search(r"partitionBy=\[\]", p)
