@@ -766,6 +766,8 @@ def events_transition_matrix(spark, sf_dir):
     join is over ≤|types| rows."""
     from pyspark.sql import Window
 
+    from pyspark.sql import Window
+
     e = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
@@ -2907,3 +2909,86 @@ def events_ab_did(spark, sf_dir):
         "se",
         "z_did",
     )
+
+
+# ---- behavior predictability: Markov entropy rate --------------------------
+
+_MARKOV_ENTROPY_SQL = """
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+cnt AS (
+  SELECT src, dst, count(*) AS n FROM seq
+  WHERE dst IS NOT NULL GROUP BY src, dst
+),
+tot AS (SELECT src, sum(n) AS t FROM cnt GROUP BY src),
+alltot AS (SELECT sum(n) AS g FROM cnt),
+rowent AS (
+  SELECT c.src,
+         CAST(t.t AS BIGINT) AS n_out,
+         round(t.t / (SELECT CAST(g AS DOUBLE) FROM alltot) + 1e-9, 6)
+             AS pi,
+         round(-sum((c.n / CAST(t.t AS DOUBLE))
+                    * log2(c.n / CAST(t.t AS DOUBLE))) + 1e-9, 6)
+             AS h_row
+  FROM cnt c JOIN tot t ON c.src = t.src
+  GROUP BY c.src, t.t
+),
+rate AS (
+  SELECT round(sum(pi * h_row) + 1e-9, 6) AS h_rate FROM rowent
+)
+SELECT src, n_out, pi, h_row,
+       (SELECT h_rate FROM rate) AS entropy_rate
+FROM rowent
+"""
+
+
+@query("events_markov_entropy", oracle=_MARKOV_ENTROPY_SQL)
+def events_markov_entropy(spark, sf_dir):
+    """Behavior predictability: the Markov entropy rate of the user
+    event-type transition chain — per source state its conditional
+    entropy H(next | src) in bits and stationary weight pi (empirical
+    transition mass), plus the chain's entropy rate sum(pi * H_row).
+    Low rate = predictable journeys (prefetch/cache/UX wins); ~log2(K) =
+    behavior indistinguishable from noise. The information-theoretic
+    summary on top of events_transition_matrix's raw probabilities.
+
+    100 TB shape: the user-keyed lead() window builds transitions in one
+    exchange (same as the transition matrix); everything after runs on
+    the |K|^2 cell table. Row entropies 6dp-rounded BEFORE the pi-weighted
+    sum so libm log2 noise can't leak into the rate."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("src").agg(F.sum("n").alias("t"))
+    alltot = cnt.agg(F.sum("n").cast("double").alias("g"))
+    p = F.col("n") / F.col("t").cast("double")
+    rowent = (
+        cnt.join(F.broadcast(tot), "src")
+        .groupBy("src", "t")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)) + F.lit(1e-9), 6).alias("h_row")
+        )
+        .crossJoin(F.broadcast(alltot))
+        .select(
+            "src",
+            F.col("t").cast("bigint").alias("n_out"),
+            F.round(F.col("t") / F.col("g") + F.lit(1e-9), 6).alias("pi"),
+            "h_row",
+        )
+    )
+    rate = rowent.agg(
+        F.round(F.sum(F.col("pi") * F.col("h_row")) + F.lit(1e-9), 6).alias(
+            "entropy_rate"
+        )
+    )
+    return rowent.crossJoin(F.broadcast(rate))

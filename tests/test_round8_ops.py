@@ -523,3 +523,17 @@ def test_pareto_abc_mass_and_no_global_window(spark):
     # every window must be shard-keyed: an empty partitionBy would mean
     # the single-partition global cumulative this op exists to avoid
     assert not _re.search(r"partitionBy=\[\]", p)
+
+
+def test_markov_entropy_bounds(spark):
+    """Row entropies in [0, log2(K)], pi sums to ~1, and the rate equals
+    the pi-weighted row-entropy sum."""
+    import math
+
+    rows = all_queries()["events_markov_entropy"](spark, SF_DIR).collect()
+    k = len(rows)
+    assert abs(sum(r["pi"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert -1e-9 <= r["h_row"] <= math.log2(k) + 1e-6
+    rate = sum(r["pi"] * r["h_row"] for r in rows)
+    assert abs(rows[0]["entropy_rate"] - rate) < 1e-4
