@@ -340,3 +340,26 @@ def test_foreach_batch_restart_resume(spark, tmp_path):
         tuple(r) for r in foreach_batch_readback(spark, sink_one).collect()
     )
     assert got == want and got, (got, want)
+
+
+def test_stream_ab_readout_matches_batch(spark):
+    """The streamed arm cells must reproduce the batch readout exactly —
+    count/avg/var are order-insensitive, so stream == batch bit-for-bit
+    at the rounded precision."""
+    from hive_apache_ci_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    got = {
+        r["event_type"]: r
+        for r in all_queries()["stream_ab_readout"](spark, SF_DIR).collect()
+    }
+    want = {
+        r["event_type"]: r
+        for r in all_queries()["events_ab_readout"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k]["z_welch"] == want[k]["z_welch"]
+        assert got[k]["n_control"] == want[k]["n_control"]
+        assert got[k]["significant"] == want[k]["significant"]
