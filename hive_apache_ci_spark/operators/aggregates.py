@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..helpers import T, money_sum, r2, r4, ravg
+from ..helpers import T, r2, r4, ravg
 from ..registry import query
 
 
@@ -2015,9 +2015,21 @@ def supplier_hhi_concentration(spark, sf_dir):
             F.col("l_suppkey").alias("suppkey"),
         )
         .agg(
-            money_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
-            ).alias("revenue")
+            # 2dp-quantize the product TERM before DECIMAL accumulation
+            # (tpcds_shapes discipline — 4dp products sit on half-cent
+            # boundaries where raw decimal casts can split across engines)
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        + F.lit(1e-9),
+                        2,
+                    ).cast("decimal(18,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
     tot = rev.groupBy("nationkey").agg(F.sum("revenue").alias("total"))

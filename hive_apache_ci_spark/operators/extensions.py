@@ -506,7 +506,8 @@ tablesample_fixed_k.__doc__ = tablesample_fixed_k.__doc__.replace(
 _ARROW_MAP_ORACLE = """
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) + 1e-9, 2)
+                           AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= DATE '1995-01-01'
 GROUP BY l_returnflag
@@ -539,6 +540,12 @@ def arrow_map_batches(spark, sf_dir):
     mapped = l.select("l_returnflag", "l_extendedprice", "l_discount").mapInArrow(
         revenue_batches, "l_returnflag string, revenue double"
     )
+    # the Arrow kernel emits the RAW product (bitwise-identical IEEE
+    # multiply on both engines); quantize-then-DECIMAL-accumulate JVM-side
+    # (helpers.money_sum discipline — double sums at sf1 magnitude are not
+    # 2dp-round-stable)
+    term = F.round(F.col("revenue") + F.lit(1e-9), 2).cast("decimal(18,2)")
     return mapped.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"), r2(F.sum("revenue")).alias("revenue")
+        F.count("*").alias("n"),
+        F.round(F.sum(term), 2).cast("double").alias("revenue"),
     )

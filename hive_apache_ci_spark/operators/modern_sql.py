@@ -457,8 +457,9 @@ def agg_percentile_within_group(spark, sf_dir):
 _SQL_UDF_SCALAR = """
 SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT)  AS n,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-           AS net_total
+       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) + 1e-9, 2)
+                           AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_total
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -485,7 +486,12 @@ def sql_udf_scalar(spark, sf_dir):
         """
         SELECT l_returnflag, l_linestatus,
                CAST(count(*) AS BIGINT)  AS n,
-               round(sum(net_price(l_extendedprice, l_discount, l_tax)), 2)
+               -- money discipline (helpers.money_sum rationale): 2dp-quantize
+               -- the TERM, DECIMAL-accumulate — double sums at sf1 magnitude
+               -- are not 2dp-round-stable across engines
+               CAST(round(sum(CAST(round(net_price(l_extendedprice, l_discount,
+                                                   l_tax) + 1e-9, 2)
+                                   AS DECIMAL(18,2))), 2) AS DOUBLE)
                    AS net_total
         FROM lineitem
         WHERE l_shipdate <= DATE '1998-09-02'
@@ -497,7 +503,8 @@ def sql_udf_scalar(spark, sf_dir):
 _SQL_UDF_TABLE = """
 SELECT c.c_mktsegment,
        CAST(count(*) AS BIGINT)       AS n,
-       round(sum(b.o_totalprice), 2)  AS total
+       CAST(round(sum(CAST(b.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total
 FROM (SELECT o_custkey, o_totalprice
       FROM orders WHERE o_totalprice >= 150000.0) b
 JOIN customer c ON c.c_custkey = b.o_custkey
@@ -526,7 +533,8 @@ def sql_udf_table(spark, sf_dir):
         """
         SELECT c.c_mktsegment,
                CAST(count(*) AS BIGINT)       AS n,
-               round(sum(b.o_totalprice), 2)  AS total
+               CAST(round(sum(CAST(b.o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS total
         FROM big_orders(150000.0) b
         JOIN customer c ON c.c_custkey = b.o_custkey
         GROUP BY c.c_mktsegment

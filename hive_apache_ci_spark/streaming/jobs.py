@@ -1008,36 +1008,11 @@ def stream_state_store_reader(spark, sf_dir):
 
 
 def _ab_post(table: DataFrame) -> DataFrame:
-    """Batch finish over the streamed arm cells: Welch z per metric —
-    identical algebra to the batch events_ab_readout."""
-    a = table.filter(F.col("arm") == 0).select(
-        "event_type",
-        F.col("n").alias("n_a"),
-        F.col("m").alias("m_a"),
-        F.col("v").alias("v_a"),
-    )
-    b = table.filter(F.col("arm") == 1).select(
-        F.col("event_type").alias("et_b"),
-        F.col("n").alias("n_b"),
-        F.col("m").alias("m_b"),
-        F.col("v").alias("v_b"),
-    )
-    z = (F.col("m_b") - F.col("m_a")) / F.sqrt(
-        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
-    )
-    z6 = F.round(z + F.lit(1e-9), 6)
-    return a.join(F.broadcast(b), a.event_type == b.et_b).select(
-        "event_type",
-        F.col("n_a").cast("bigint").alias("n_control"),
-        F.col("n_b").cast("bigint").alias("n_treat"),
-        F.round(F.col("m_a") + F.lit(1e-9), 6).alias("mean_control"),
-        F.round(F.col("m_b") + F.lit(1e-9), 6).alias("mean_treat"),
-        F.round(
-            (F.col("m_b") - F.col("m_a")) / F.col("m_a") + F.lit(1e-9), 6
-        ).alias("rel_lift"),
-        z6.alias("z_welch"),
-        (F.abs(z6) > 1.96).alias("significant"),
-    )
+    """Batch finish over the streamed arm cells: delegates to the batch
+    readout's welch_readout so streaming and batch share one algebra."""
+    from .timeseries import welch_readout
+
+    return welch_readout(table)
 
 
 @query(

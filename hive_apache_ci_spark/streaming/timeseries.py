@@ -766,8 +766,6 @@ def events_transition_matrix(spark, sf_dir):
     join is over ≤|types| rows."""
     from pyspark.sql import Window
 
-    from pyspark.sql import Window
-
     e = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
@@ -2445,6 +2443,13 @@ def events_ab_readout(spark, sf_dir):
         F.avg("value").alias("m"),
         F.var_samp("value").alias("v"),
     )
+    return welch_readout(arms)
+
+
+def welch_readout(arms):
+    """Welch two-sample finish over (event_type, arm, n, m, v) cells —
+    shared by the batch readout and the streaming stream_ab_readout job
+    so the two can never diverge on thresholds or rounding."""
     a = arms.filter(F.col("arm") == 0).select(
         "event_type",
         F.col("n").alias("n_a"),
@@ -2645,13 +2650,13 @@ WITH u AS (
 obs AS (
   SELECT user_id,
          CASE WHEN first_err IS NOT NULL
-               AND floor(date_diff('second', first_ts, first_err) / 3600.0)
+               AND floor((epoch(first_err) - epoch(first_ts)) / 3600.0)
                    <= {_KM_HORIZON_H}
               THEN 1 ELSE 0 END AS died,
          CASE WHEN first_err IS NOT NULL
-               AND floor(date_diff('second', first_ts, first_err) / 3600.0)
+               AND floor((epoch(first_err) - epoch(first_ts)) / 3600.0)
                    <= {_KM_HORIZON_H}
-              THEN CAST(floor(date_diff('second', first_ts, first_err)
+              THEN CAST(floor((epoch(first_err) - epoch(first_ts))
                               / 3600.0) AS BIGINT)
               ELSE {_KM_HORIZON_H} END AS t
   FROM u

@@ -211,14 +211,7 @@ def test_exact_substring_short_docs_dont_crash(spark, tmp_path):
 
 
 def _plan_of(spark, name):
-    import contextlib
-    import io
-
-    df = all_queries()[name](spark, SF_DIR)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode="formatted")
-    return buf.getvalue()
+    return _formatted(all_queries()[name](spark, SF_DIR))
 
 
 def test_sql_udf_scalar_inlines_no_python(spark):
@@ -251,7 +244,7 @@ def test_arrow_map_batches_plan_and_values(spark):
     JVM expression bitwise-at-2dp."""
     from pyspark.sql import functions as F
 
-    from hive_apache_ci_spark.helpers import T, r2
+    from hive_apache_ci_spark.helpers import T
 
     p = _plan_of(spark, "arrow_map_batches")
     assert "MapInArrow" in p
@@ -263,14 +256,15 @@ def test_arrow_map_batches_plan_and_values(spark):
     l = T(spark, SF_DIR, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")
     )
+    term = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) + F.lit(1e-9), 2
+    ).cast("decimal(18,2)")
     want = {
         r["l_returnflag"]: (r["n"], r["revenue"])
         for r in l.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            ),
+            F.round(F.sum(term), 2).cast("double").alias("revenue"),
         )
         .collect()
     }
@@ -325,7 +319,8 @@ def test_binaryfile_ingest_lossless(spark):
     }
     src = T(spark, SF_DIR, "documents").filter("doc_id < 40").select(
         "doc_id",
-        (F.length("text") + 1).cast("bigint").alias("n_bytes"),
+        # byte length, not char length — the blob side measures UTF-8 bytes
+        (F.octet_length("text") + 1).cast("bigint").alias("n_bytes"),
         F.md5(F.concat(F.col("text"), F.lit("\n"))).alias("md5"),
     )
     want = {r["doc_id"]: (r["n_bytes"], r["md5"]) for r in src.collect()}
