@@ -2997,3 +2997,139 @@ def events_markov_entropy(spark, sf_dir):
         )
     )
     return rowent.crossJoin(F.broadcast(rate))
+
+
+# ---- robust metrics: winsorization -----------------------------------------
+
+_WINSOR_SQL = """
+WITH cuts AS (
+  SELECT event_type,
+         round(CAST(percentile_cont(0.01) WITHIN GROUP (ORDER BY value)
+                    AS DOUBLE) + 1e-9, 6) AS lo,
+         round(CAST(percentile_cont(0.99) WITHIN GROUP (ORDER BY value)
+                    AS DOUBLE) + 1e-9, 6) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(e.value) + 1e-9, 6) AS mean_raw,
+       round(avg(CASE WHEN e.value < c.lo THEN c.lo
+                      WHEN e.value > c.hi THEN c.hi
+                      ELSE e.value END) + 1e-9, 6) AS mean_winsor,
+       CAST(sum(CASE WHEN e.value < c.lo OR e.value > c.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+       round(stddev_samp(e.value) + 1e-9, 6) AS sd_raw,
+       round(stddev_samp(CASE WHEN e.value < c.lo THEN c.lo
+                              WHEN e.value > c.hi THEN c.hi
+                              ELSE e.value END) + 1e-9, 6) AS sd_winsor
+FROM events e JOIN cuts c ON c.event_type = e.event_type
+GROUP BY e.event_type
+"""
+
+
+@query("events_winsorized_metrics", oracle=_WINSOR_SQL)
+def events_winsorized_metrics(spark, sf_dir):
+    """Winsorized metric hygiene: per metric the 1%/99% exact percentile
+    cuts (6dp-quantized on both engines before any clamp decision), the
+    raw vs winsorized mean and standard deviation, and how many
+    observations were clamped — the heavy-tail guard every
+    experimentation platform applies to value metrics before the z-test
+    (one whale order otherwise owns the variance and kills power).
+
+    100 TB shape: pass 1 computes |metrics| exact-percentile cells
+    (grouping bounds each ordered set to one cell — agg_percentile's
+    shape); pass 2 re-scans with the broadcast cut table and clamps in
+    codegen. Two scans, no corpus-sized shuffle."""
+    e = T(spark, sf_dir, "events")
+    cuts = e.groupBy("event_type").agg(
+        F.round(
+            F.expr("percentile(value, 0.01)") + F.lit(1e-9), 6
+        ).alias("lo"),
+        F.round(
+            F.expr("percentile(value, 0.99)") + F.lit(1e-9), 6
+        ).alias("hi"),
+    )
+    j = e.join(F.broadcast(cuts), "event_type")
+    clamped = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    out_flag = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("value") + F.lit(1e-9), 6).alias("mean_raw"),
+        F.round(F.avg(clamped) + F.lit(1e-9), 6).alias("mean_winsor"),
+        F.sum(out_flag.cast("int")).cast("bigint").alias("n_clamped"),
+        F.round(F.stddev_samp("value") + F.lit(1e-9), 6).alias("sd_raw"),
+        F.round(F.stddev_samp(clamped) + F.lit(1e-9), 6).alias("sd_winsor"),
+    )
+
+
+# ---- survey sampling: Neyman allocation -------------------------------------
+
+_NEYMAN_SQL = """
+WITH strata AS (
+  SELECT event_type,
+         count(*)         AS n_h,
+         stddev_samp(value) AS s_h
+  FROM events GROUP BY event_type
+),
+weights AS (
+  SELECT event_type, n_h,
+         round(s_h + 1e-9, 6)          AS s_h,
+         n_h * round(s_h + 1e-9, 6)    AS w
+  FROM strata
+),
+tot AS (SELECT sum(w) AS tw, sum(n_h) AS tn FROM weights)
+SELECT w.event_type,
+       CAST(w.n_h AS BIGINT) AS stratum_size,
+       w.s_h                 AS stratum_sd,
+       round(w.w / t.tw + 1e-9, 6) AS alloc_share,
+       CAST(floor(1000 * round(w.w / t.tw + 1e-9, 6)) AS BIGINT)
+           AS n_alloc_of_1000,
+       round(w.w / t.tw + 1e-9, 6)
+         - round(w.n_h * 1.0 / t.tn + 1e-9, 6) AS vs_proportional
+FROM weights w CROSS JOIN tot t
+"""
+
+
+@query("sample_neyman_allocation", oracle=_NEYMAN_SQL)
+def sample_neyman_allocation(spark, sf_dir):
+    """Neyman optimal allocation for stratified sampling: each stratum's
+    share of a fixed labeling/sampling budget proportional to
+    N_h * sigma_h (minimum-variance allocation for a fixed total n —
+    Neyman 1934), with the concrete per-1000 budget split and the delta
+    vs naive proportional allocation. The budget-planning op that pairs
+    sample_stratified_hash (which draws) with a principled HOW MUCH per
+    stratum; high-variance strata get oversampled, near-constant strata
+    starve.
+
+    100 TB shape: one moment aggregate per stratum (map-side partials),
+    allocation algebra on |strata| cells. Stratum sigma is 6dp-quantized
+    before the weight product so the allocation shares and the
+    floor-based integer budget split are engine-stable."""
+    e = T(spark, sf_dir, "events")
+    strata = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.stddev_samp("value").alias("s_raw"),
+    )
+    weights = strata.select(
+        "event_type",
+        "n_h",
+        F.round(F.col("s_raw") + F.lit(1e-9), 6).alias("s_h"),
+    ).withColumn("w", F.col("n_h") * F.col("s_h"))
+    tot = weights.agg(
+        F.sum("w").alias("tw"), F.sum("n_h").cast("double").alias("tn")
+    )
+    share = F.round(F.col("w") / F.col("tw") + F.lit(1e-9), 6)
+    return weights.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("n_h").cast("bigint").alias("stratum_size"),
+        F.col("s_h").alias("stratum_sd"),
+        share.alias("alloc_share"),
+        F.floor(1000 * share).cast("bigint").alias("n_alloc_of_1000"),
+        (share - F.round(F.col("n_h") / F.col("tn") + F.lit(1e-9), 6)).alias(
+            "vs_proportional"
+        ),
+    )

@@ -532,3 +532,23 @@ def test_markov_entropy_bounds(spark):
         assert -1e-9 <= r["h_row"] <= math.log2(k) + 1e-6
     rate = sum(r["pi"] * r["h_row"] for r in rows)
     assert abs(rows[0]["entropy_rate"] - rate) < 1e-4
+
+
+def test_winsorized_metrics_contract(spark):
+    """Winsorization can only shrink spread; clamp counts are bounded by
+    ~2% of mass (1%+99% tails of the exact percentile cuts)."""
+    rows = all_queries()["events_winsorized_metrics"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["sd_winsor"] <= r["sd_raw"] + 1e-6
+        assert 0 <= r["n_clamped"] <= 0.03 * r["n"] + 2
+        assert abs(r["mean_winsor"] - r["mean_raw"]) <= r["sd_raw"]
+
+
+def test_neyman_allocation_sums(spark):
+    """Shares sum to 1, the per-1000 integer split never overspends, and
+    the deltas vs proportional cancel out."""
+    rows = all_queries()["sample_neyman_allocation"](spark, SF_DIR).collect()
+    assert abs(sum(r["alloc_share"] for r in rows) - 1.0) < 1e-4
+    assert sum(r["n_alloc_of_1000"] for r in rows) <= 1000
+    assert abs(sum(r["vs_proportional"] for r in rows)) < 1e-4
