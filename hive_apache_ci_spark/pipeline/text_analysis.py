@@ -769,3 +769,120 @@ def quality_label_confusion(spark, sf_dir):
             ).alias("overall_agreement"),
         )
     )
+
+
+# ---- vocabulary growth: Heaps' law fit --------------------------------------
+
+_N_HEAPS_CHECKPOINTS = 20
+
+_HEAPS_SQL = f"""
+WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+docs AS (
+  SELECT doc_id,
+         CAST(floor(doc_id * {_N_HEAPS_CHECKPOINTS}.0 / n_docs) AS INT)
+             AS bucket,
+         len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+  FROM documents CROSS JOIN nd
+),
+toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok,
+         CAST(floor(doc_id * {_N_HEAPS_CHECKPOINTS}.0 / n_docs) AS INT)
+             AS bucket
+  FROM documents CROSS JOIN nd
+),
+first_seen AS (SELECT tok, min(bucket) AS fb FROM toks GROUP BY tok),
+ks AS (SELECT DISTINCT bucket AS k FROM docs),
+curve AS (
+  SELECT k.k,
+         (SELECT sum(n_tokens) FROM docs WHERE bucket <= k.k) AS cum_tokens,
+         (SELECT count(*) FROM first_seen WHERE fb <= k.k)    AS cum_vocab
+  FROM ks k
+),
+fit AS (
+  SELECT round(regr_slope(ln(cum_vocab), ln(cum_tokens)) + 1e-9, 6)
+             AS beta,
+         round(regr_intercept(ln(cum_vocab), ln(cum_tokens)) + 1e-9, 6)
+             AS ln_k
+  FROM curve
+)
+SELECT CAST(c.k AS INT) AS checkpoint,
+       CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(c.cum_vocab AS BIGINT)  AS cum_vocab,
+       f.beta, f.ln_k
+FROM curve c CROSS JOIN fit f
+"""
+
+
+@query("text_heaps_law_fit", oracle=_HEAPS_SQL)
+def text_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit: cumulative (corpus tokens, distinct
+    vocabulary) at 20 doc-order checkpoints, with the log-log OLS fit
+    V = K * n^beta (regr_slope/intercept over the checkpoint cells) —
+    the projection a tokenizer/vocab team uses to size vocabulary for a
+    corpus 100x larger than the sample (natural text: beta ~ 0.4-0.6;
+    this closed-vocabulary synthetic corpus saturates, beta ~ 0, which
+    the fit correctly reports).
+
+    100 TB shape: cumulative DISTINCT counting without any per-prefix
+    re-scan — each token's FIRST checkpoint is one hash aggregate
+    (min bucket per token), and the cumulative vocabulary at k is a
+    count over that token table; cumulative token mass is a running sum
+    over 20 per-bucket cells. The OLS fit runs on 20 points. Nothing
+    is quadratic in prefix count; no distinct-per-window anywhere."""
+    n_ck = _N_HEAPS_CHECKPOINTS
+    d = T(spark, sf_dir, "documents")
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    arr = F.split(F.lower("text"), r"\s+")
+    docs = d.crossJoin(F.broadcast(nd)).select(
+        F.floor(F.col("doc_id") * n_ck / F.col("n_docs"))
+        .cast("int")
+        .alias("bucket"),
+        F.size(arr).alias("n_tokens"),
+        arr.alias("a"),
+    )
+    per_bucket = docs.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("b_tokens")
+    )
+    first_seen = (
+        docs.select("bucket", F.explode("a").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("bucket").alias("fb"))
+    )
+    vocab_per = first_seen.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("b_vocab")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_bucket.join(vocab_per, "bucket", "left")
+        .select(
+            "bucket",
+            "b_tokens",
+            F.coalesce("b_vocab", F.lit(0)).alias("b_vocab"),
+        )
+        .select(
+            "bucket",
+            F.sum("b_tokens").over(w).alias("cum_tokens"),
+            F.sum("b_vocab").over(w).alias("cum_vocab"),
+        )
+    )
+    fit = curve.agg(
+        F.round(
+            F.regr_slope(F.log("cum_vocab"), F.log("cum_tokens"))
+            + F.lit(1e-9),
+            6,
+        ).alias("beta"),
+        F.round(
+            F.regr_intercept(F.log("cum_vocab"), F.log("cum_tokens"))
+            + F.lit(1e-9),
+            6,
+        ).alias("ln_k"),
+    )
+    return curve.crossJoin(F.broadcast(fit)).select(
+        F.col("bucket").cast("int").alias("checkpoint"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
+        "beta",
+        "ln_k",
+    )

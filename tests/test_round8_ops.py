@@ -552,3 +552,37 @@ def test_neyman_allocation_sums(spark):
     assert abs(sum(r["alloc_share"] for r in rows) - 1.0) < 1e-4
     assert sum(r["n_alloc_of_1000"] for r in rows) <= 1000
     assert abs(sum(r["vs_proportional"] for r in rows)) < 1e-4
+
+
+def test_heaps_curve_monotone_and_fit_consistent(spark):
+    """Both cumulative series must be strictly monotone non-decreasing,
+    the last vocab checkpoint must equal the corpus distinct-token count,
+    and the emitted fit must reproduce an OLS over the emitted points."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.helpers import T
+
+    rows = sorted(
+        all_queries()["text_heaps_law_fit"](spark, SF_DIR).collect(),
+        key=lambda r: r["checkpoint"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_tokens"] >= a["cum_tokens"]
+        assert b["cum_vocab"] >= a["cum_vocab"]
+    vocab = (
+        T(spark, SF_DIR, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert rows[-1]["cum_vocab"] == vocab
+    xs = [math.log(r["cum_tokens"]) for r in rows]
+    ys = [math.log(r["cum_vocab"]) for r in rows]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    beta = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert abs(rows[0]["beta"] - beta) < 1e-4
