@@ -3133,3 +3133,84 @@ def sample_neyman_allocation(spark, sf_dir):
             "vs_proportional"
         ),
     )
+
+
+# ---- SRE alerting: multi-window SLO burn rate -------------------------------
+
+_SLO_TARGET = 0.88  # synthetic corpus runs ~10-12% errors; budget = 12%
+
+_BURN_SQL = f"""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT h, n, errs,
+         sum(n)    OVER w6 AS n6,
+         sum(errs) OVER w6 AS errs6
+  FROM hourly
+  WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+),
+rates AS (
+  SELECT h,
+         CAST(n AS BIGINT)  AS n_1h,
+         CAST(n6 AS BIGINT) AS n_6h,
+         round((errs * 1.0 / n) / (1.0 - {_SLO_TARGET}) + 1e-9, 6)
+             AS burn_1h,
+         round((errs6 * 1.0 / n6) / (1.0 - {_SLO_TARGET}) + 1e-9, 6)
+             AS burn_6h
+  FROM win
+)
+SELECT h AS hour_start, n_1h, n_6h, burn_1h, burn_6h,
+       burn_1h > 2.0 AND burn_6h > 1.0 AS page
+FROM rates
+"""
+
+
+@query("events_slo_burn_rate", oracle=_BURN_SQL)
+def events_slo_burn_rate(spark, sf_dir):
+    """Multi-window SLO burn-rate alerting (Google SRE workbook): per hour
+    the 1h and trailing-6h error-budget burn rates (observed error rate /
+    allowed rate for an {SLO}% success SLO) and the page condition —
+    BOTH windows burning (short window > 2x budget AND long window > 1x)
+    — the standard rule that pages on real sustained burn while ignoring
+    blips the long window absorbs. The query every SRE alerting pipeline
+    evaluates continuously.
+
+    100 TB shape: one hour-keyed count aggregate over the raw events
+    (map-side partials), then the 6h trailing window runs over the
+    |hours| cell table — ROWS frame over cells, never over raw events.
+    Burn rates are ratios of exact integer counts, 6dp-rounded before
+    the page cut on both engines."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        (
+            F.floor(F.col("ts").cast("double") / 3600).cast("bigint") * 3600
+        ).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int")).alias("errs"),
+    )
+    w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    win = hourly.select(
+        "h",
+        "n",
+        "errs",
+        F.sum("n").over(w6).alias("n6"),
+        F.sum("errs").over(w6).alias("errs6"),
+    )
+    budget = 1.0 - _SLO_TARGET
+    burn1 = F.round((F.col("errs") / F.col("n")) / budget + F.lit(1e-9), 6)
+    burn6 = F.round((F.col("errs6") / F.col("n6")) / budget + F.lit(1e-9), 6)
+    return win.select(
+        F.col("h").alias("hour_start"),
+        F.col("n").cast("bigint").alias("n_1h"),
+        F.col("n6").cast("bigint").alias("n_6h"),
+        burn1.alias("burn_1h"),
+        burn6.alias("burn_6h"),
+        ((burn1 > 2.0) & (burn6 > 1.0)).alias("page"),
+    )

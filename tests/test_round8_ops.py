@@ -586,3 +586,22 @@ def test_heaps_curve_monotone_and_fit_consistent(spark):
         (x - mx) ** 2 for x in xs
     )
     assert abs(rows[0]["beta"] - beta) < 1e-4
+
+
+def test_slo_burn_rate_window_accounting(spark):
+    """Trailing-6h mass must dominate the 1h mass and never exceed the sum
+    of 6 hourly cells; the page flag must equal the two-window rule."""
+    rows = sorted(
+        all_queries()["events_slo_burn_rate"](spark, SF_DIR).collect(),
+        key=lambda r: r["hour_start"],
+    )
+    by_h = {r["hour_start"]: r for r in rows}
+    for r in rows:
+        assert r["n_6h"] >= r["n_1h"]
+        window = [
+            by_h[h]["n_1h"]
+            for h in range(r["hour_start"] - 5 * 3600, r["hour_start"] + 1, 3600)
+            if h in by_h
+        ]
+        assert r["n_6h"] == sum(window)
+        assert r["page"] == (r["burn_1h"] > 2.0 and r["burn_6h"] > 1.0)
