@@ -3151,7 +3151,7 @@ win AS (
          sum(n)    OVER w6 AS n6,
          sum(errs) OVER w6 AS errs6
   FROM hourly
-  WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+  WINDOW w6 AS (ORDER BY h RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW)
 ),
 rates AS (
   SELECT h,
@@ -3181,7 +3181,8 @@ def events_slo_burn_rate(spark, sf_dir):
 
     100 TB shape: one hour-keyed count aggregate over the raw events
     (map-side partials), then the 6h trailing window runs over the
-    |hours| cell table — ROWS frame over cells, never over raw events.
+    |hours| cell table — a RANGE frame on the epoch key (gap-correct,
+    unlike ROWS) over cells, never over raw events.
     Burn rates are ratios of exact integer counts, 6dp-rounded before
     the page cut on both engines."""
     from pyspark.sql import Window
@@ -3195,7 +3196,10 @@ def events_slo_burn_rate(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("event_type") == "error").cast("int")).alias("errs"),
     )
-    w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    # RANGE on the epoch key, not ROWS: hourly buckets can have gaps, and
+    # a ROWS frame would silently span non-contiguous hours (caught by the
+    # window-accounting test)
+    w6 = Window.orderBy("h").rangeBetween(-5 * 3600, 0)
     win = hourly.select(
         "h",
         "n",
