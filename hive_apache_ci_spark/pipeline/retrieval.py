@@ -850,3 +850,135 @@ search_phrase_positions.__doc__ = (
     .replace("{P1}", _PHRASE[1])
     .replace("{W}", str(_NEAR_W))
 )
+
+
+# ---- query spell correction (SymSpell deletion-neighborhood join) ----------
+
+_SPELL_SQL = """
+WITH vocab AS (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents)
+  WHERE len(tok) >= 3
+  GROUP BY tok
+),
+typos AS (
+  SELECT DISTINCT
+         tok AS truth,
+         substr(tok, 1, CAST(doc_id % (len(tok) - 1) AS INT) + 1 - 1)
+           || substr(tok, CAST(doc_id % (len(tok) - 1) AS INT) + 2) AS typo
+  FROM (
+    SELECT doc_id,
+           string_split_regex(lower(text), '\\s+')
+             [CAST(doc_id % 5 AS INT) + 1] AS tok
+    FROM documents WHERE doc_id % 7 = 0
+  )
+  WHERE len(tok) >= 3
+),
+vkeys AS (
+  SELECT tok, freq, tok AS key FROM vocab
+  UNION ALL
+  SELECT tok, freq,
+         substr(tok, 1, i - 1) || substr(tok, i + 1) AS key
+  FROM vocab, unnest(range(1, len(tok) + 1)) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT t.typo, t.truth, v.tok AS suggestion, v.freq
+  FROM typos t JOIN vkeys v ON v.key = t.typo
+  WHERE levenshtein(t.typo, v.tok) <= 1
+),
+mf AS (SELECT typo, truth, max(freq) AS freq FROM cand GROUP BY typo, truth),
+best AS (
+  SELECT c.typo, c.truth, min(c.suggestion) AS correction, m.freq
+  FROM cand c JOIN mf m
+    ON m.typo = c.typo AND m.truth = c.truth AND m.freq = c.freq
+  GROUP BY c.typo, c.truth, m.freq
+)
+SELECT typo, truth, correction,
+       CAST(freq AS BIGINT) AS correction_freq,
+       correction = truth   AS recovered
+FROM best
+"""
+
+
+@query("search_spell_correction", oracle=_SPELL_SQL)
+def search_spell_correction(spark, sf_dir):
+    """Query spell correction by the SymSpell deletion-neighborhood trick:
+    candidate (typo, word) pairs come from an EQUI-JOIN on 1-deletion
+    keys (every vocab word is indexed under itself plus each
+    single-character deletion; a 1-deletion typo then hits its source
+    word's key exactly), confirmed by levenshtein <= 1 and ranked by
+    corpus frequency — never an all-pairs edit-distance scan. Typos are
+    synthesized deterministically from the corpus (one char deleted at a
+    doc_id-derived position), so the output also reports the recovery
+    rate against ground truth.
+
+    100 TB shape: the deletion index is |vocab| x (1 + avg word length)
+    keys built once (explode + hash join on the key); candidate fanout
+    is bounded by words sharing a deletion key, not vocabulary size.
+    This is exactly how SymSpell/Elasticsearch-style suggesters scale;
+    the (freq desc, suggestion asc) tie-break runs as max-freq-then-min-
+    suggestion on both engines."""
+    d = T(spark, sf_dir, "documents")
+    arr = F.split(F.lower("text"), r"\s+")
+    vocab = (
+        d.select(F.explode(arr).alias("tok"))
+        .filter(F.length("tok") >= 3)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    picked = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.element_at(arr, (F.col("doc_id") % 5 + 1).cast("int")).alias(
+                "tok"
+            ),
+        )
+        .filter(F.length("tok") >= 3)
+    )
+    cut = (F.col("doc_id") % (F.length("tok") - 1) + 1).cast("int")
+    typos = picked.select(
+        F.col("tok").alias("truth"),
+        F.concat(
+            F.expr("substr(tok, 1, cast(doc_id % (length(tok) - 1) as int))"),
+            F.expr("substr(tok, cast(doc_id % (length(tok) - 1) as int) + 2)"),
+        ).alias("typo"),
+    ).distinct()
+    dels = vocab.select(
+        "tok",
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok")),
+                lambda i: F.concat(
+                    F.expr("tok").substr(F.lit(1), i - 1),
+                    F.col("tok").substr(i + 1, F.length("tok")),
+                ),
+            )
+        ).alias("key"),
+    )
+    vkeys = vocab.select("tok", "freq", F.col("tok").alias("key")).unionByName(
+        dels
+    )
+    cand = (
+        typos.join(vkeys, vkeys.key == typos.typo)
+        .filter(F.levenshtein(F.col("typo"), F.col("tok")) <= 1)
+        .select("typo", "truth", F.col("tok").alias("suggestion"), "freq")
+        .distinct()
+    )
+    # max freq first, then MIN suggestion among the tied — two-step
+    # because the oracle's arg_max cannot take a composite key
+    mf = cand.groupBy("typo", "truth").agg(F.max("freq").alias("freq"))
+    best = (
+        cand.join(mf, ["typo", "truth", "freq"])
+        .groupBy("typo", "truth", "freq")
+        .agg(F.min("suggestion").alias("correction"))
+    )
+    return best.select(
+        "typo",
+        "truth",
+        "correction",
+        F.col("freq").cast("bigint").alias("correction_freq"),
+        (F.col("correction") == F.col("truth")).alias("recovered"),
+    )

@@ -605,3 +605,38 @@ def test_slo_burn_rate_window_accounting(spark):
         ]
         assert r["n_6h"] == sum(window)
         assert r["page"] == (r["burn_1h"] > 2.0 and r["burn_6h"] > 1.0)
+
+
+def test_spell_correction_recovers_and_is_editdist_bounded(spark):
+    """Every correction must be within edit distance 1 of the typo, and
+    since the synthetic typos delete one char from real vocab words, the
+    recovery rate must be well above zero."""
+    rows = all_queries()["search_spell_correction"](spark, SF_DIR).collect()
+    assert rows
+
+    def lev1(a, b):
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = j = diff = 0
+        while i < la and j < lb:
+            if a[i] == b[j]:
+                i += 1
+                j += 1
+            else:
+                diff += 1
+                if diff > 1:
+                    return False
+                if la == lb:
+                    i += 1
+                j += 1
+        return True
+
+    for r in rows:
+        assert lev1(r["typo"], r["correction"])
+        assert r["recovered"] == (r["correction"] == r["truth"])
+    assert sum(r["recovered"] for r in rows) >= 0.5 * len(rows)
