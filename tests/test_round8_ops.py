@@ -640,3 +640,15 @@ def test_spell_correction_recovers_and_is_editdist_bounded(spark):
         assert lev1(r["typo"], r["correction"])
         assert r["recovered"] == (r["correction"] == r["truth"])
     assert sum(r["recovered"] for r in rows) >= 0.5 * len(rows)
+
+
+def test_psi_accounting(spark):
+    """Bin masses must cover both halves, contributions must sum to the
+    PSI, and every contribution is non-negative (the PSI integrand
+    (a-b)*ln(a/b) is always >= 0)."""
+    rows = all_queries()["dq_psi_drift"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert abs(sum(r["contribution"] for r in rows) - rows[0]["psi"]) < 1e-4
+    for r in rows:
+        assert r["contribution"] >= -1e-9
+        assert r["drifted"] == (rows[0]["psi"] >= 0.2)
