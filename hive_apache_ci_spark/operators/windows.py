@@ -461,22 +461,8 @@ def window_ntile_scaled(spark, sf_dir):
     pure integers, so the plain ``ntile`` oracle hash-matches. Every
     window here partitions by the shard id; the only exchanges are two
     tiny aggregates (boundaries, shard counts)."""
-    n_shards = 16
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    fracs = [i / n_shards for i in range(1, n_shards)]
-    bnd = cust.agg(
-        F.percentile_approx("c_acctbal", fracs, 10000).alias("bs")
-    )
-    shard = F.aggregate(
-        F.col("bs"),
-        F.lit(0),
-        lambda acc, b: acc + F.when(F.col("c_acctbal") < b, 1).otherwise(0),
-    )
-    sharded = (
-        cust.crossJoin(F.broadcast(bnd))
-        .withColumn("shard", shard)
-        .drop("bs")
-    )
+    sharded = _value_range_shards(cust, "c_acctbal", 16, descending=True)
     w = Window.partitionBy("shard").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
@@ -518,6 +504,34 @@ def window_ntile_scaled(spark, sf_dir):
     )
 
 
+def _value_range_shards(df, value_col, n_shards=16, descending=False):
+    """Shared first pass of every scaled-window op (NTILE, RFM, Pareto):
+    percentile_approx value-range shard assignment. The 'shard' column is
+    monotone in the requested sort direction (ascending: count boundaries
+    at-or-below; descending: count boundaries above), and the split choice
+    never affects results — any deterministic split works. localCheckpoint
+    pins ONE evaluation of the approximate boundaries so the downstream
+    branches (per-shard windows AND prefix offsets) can never see two
+    different assignments for a boundary-adjacent row."""
+    fracs = [i / n_shards for i in range(1, n_shards)]
+    bnd = df.agg(F.percentile_approx(value_col, fracs, 10000).alias("bs"))
+    if descending:
+        hit = lambda b: F.col(value_col) < b  # noqa: E731
+    else:
+        hit = lambda b: F.col(value_col) >= b  # noqa: E731
+    shard = F.aggregate(
+        F.col("bs"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(hit(b), 1).otherwise(0),
+    )
+    return (
+        df.crossJoin(F.broadcast(bnd))
+        .withColumn("shard", shard)
+        .drop("bs")
+        .localCheckpoint()
+    )
+
+
 def _scaled_ntile_score(df, value_col, key_col, buckets=4, n_shards=16):
     """Exact global NTILE(buckets) over (value_col ASC, key_col ASC)
     WITHOUT a single-partition window — window_ntile_scaled's technique as
@@ -526,18 +540,8 @@ def _scaled_ntile_score(df, value_col, key_col, buckets=4, n_shards=16):
     prefix-count offsets, ANSI ntile integer arithmetic. Returns
     (key_col, score). Output equals plain NTILE whenever the composite
     sort key is unique (key_col breaks all ties)."""
-    fracs = [i / n_shards for i in range(1, n_shards)]
     src = df.select(key_col, value_col)
-    bnd = src.agg(F.percentile_approx(value_col, fracs, 10000).alias("bs"))
-    # shard must be monotone INCREASING in the ASC sort value: count the
-    # boundaries at or below the value (window_ntile_scaled's DESC variant
-    # counts the other direction)
-    shard = F.aggregate(
-        F.col("bs"),
-        F.lit(0),
-        lambda acc, b: acc + F.when(F.col(value_col) >= b, 1).otherwise(0),
-    )
-    sharded = src.crossJoin(F.broadcast(bnd)).withColumn("shard", shard).drop("bs")
+    sharded = _value_range_shards(src, value_col, n_shards)
     w = Window.partitionBy("shard").orderBy(F.col(value_col), F.col(key_col))
     ranked = sharded.withColumn("rn", F.row_number().over(w))
     counts = sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
@@ -805,21 +809,11 @@ def window_pareto_abc(spark, sf_dir):
     self-join). DECIMAL accumulation keeps every prefix exact, so the
     6dp-rounded share cut lands identically in both engines; the
     (revenue DESC, custkey) order is unique, pinning ties."""
-    n_shards = 16
     o = T(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         money_sum(F.col("o_totalprice"), 2).alias("r")
     )
-    fracs = [i / n_shards for i in range(1, n_shards)]
-    bnd = rev.agg(F.percentile_approx("r", fracs, 10000).alias("bs"))
-    shard = F.aggregate(
-        F.col("bs"),
-        F.lit(0),
-        lambda acc, b: acc + F.when(F.col("r") < b, 1).otherwise(0),
-    )
-    sharded = (
-        rev.crossJoin(F.broadcast(bnd)).withColumn("shard", shard).drop("bs")
-    )
+    sharded = _value_range_shards(rev, "r", 16, descending=True)
     rdec = F.col("r").cast("decimal(18,2)")
     w = (
         Window.partitionBy("shard")

@@ -937,12 +937,15 @@ def search_spell_correction(spark, sf_dir):
         )
         .filter(F.length("tok") >= 3)
     )
-    cut = (F.col("doc_id") % (F.length("tok") - 1) + 1).cast("int")
+    # deletion position (0-based char index doc_id % (len-1)), written
+    # ONCE and used for both substring halves so the synthesis can never
+    # half-diverge from the oracle
+    pos = (F.col("doc_id") % (F.length("tok") - 1)).cast("int")
     typos = picked.select(
         F.col("tok").alias("truth"),
         F.concat(
-            F.expr("substr(tok, 1, cast(doc_id % (length(tok) - 1) as int))"),
-            F.expr("substr(tok, cast(doc_id % (length(tok) - 1) as int) + 2)"),
+            F.substring("tok", F.lit(1), pos),
+            F.substring("tok", pos + 2, F.length("tok")),
         ).alias("typo"),
     ).distinct()
     dels = vocab.select(

@@ -3220,6 +3220,11 @@ def events_slo_burn_rate(spark, sf_dir):
     )
 
 
+events_slo_burn_rate.__doc__ = events_slo_burn_rate.__doc__.replace(
+    "{SLO}", str(int(_SLO_TARGET * 100))
+)
+
+
 # ---- drift monitoring: Population Stability Index ---------------------------
 
 _PSI_SQL = """

@@ -515,9 +515,15 @@ def test_pareto_abc_mass_and_no_global_window(spark):
     p = _plan_of(spark, "window_pareto_abc")
     import re as _re
 
-    # every window must be shard-keyed: an empty partitionBy would mean
-    # the single-partition global cumulative this op exists to avoid
-    assert not _re.search(r"partitionBy=\[\]", p)
+    # every Window node must be shard-keyed: in formatted explain the
+    # partition spec is the bracket list after the windowspecdefinition
+    # args — "], [shard#N], [" when keyed, "], [], [" for the
+    # single-partition global cumulative this op exists to avoid
+    win_lines = [l for l in p.splitlines() if "windowspecdefinition" in l]
+    assert win_lines
+    for l in win_lines:
+        assert not _re.search(r"\], \[\], \[", l), l
+        assert "shard#" in l
 
 
 def test_markov_entropy_bounds(spark):
