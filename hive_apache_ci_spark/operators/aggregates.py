@@ -854,25 +854,62 @@ def dq_constraint_report(spark, sf_dir):
 def analyze_equi_depth_histogram(spark, sf_dir):
     """Equi-depth (equi-height) histogram — the statistics shape Hive's
     ANALYZE ... COMPUTE STATISTICS stores for optimizer selectivity: 10
-    buckets of equal row count with their value boundaries. NTILE under a
-    deterministic total order makes the bucketing exact and
-    cross-engine-stable (vs the heuristic streaming histogram of
-    agg_histogram, which is rows-only by contract).
+    buckets of equal row count with their value boundaries, exactly equal
+    to NTILE(10) under the deterministic total order (l_quantity,
+    l_orderkey, l_linenumber) — the unique composite key makes the
+    bucketing exact and cross-engine-stable.
 
-    Scale note: global NTILE is the documented single-partition shape —
-    at 100 TB the same result comes from percentile_approx boundaries +
-    a map-side width classification (docs/SCALE.md)."""
+    Scale shape (the windows.py window_ntile_scaled technique, reused on
+    the FACT table): percentile_approx value-range shards (split choice
+    never affects the result), per-shard row_number, broadcast
+    prefix-count offsets, ANSI ntile integer arithmetic on (rank, total).
+    Every window partitions by the shard id — no single-partition global
+    sort of lineitem anywhere in the plan (gated by
+    tests/test_plans.py::test_equi_depth_histogram_no_global_window)."""
     from pyspark.sql import Window
 
-    li = T(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
-    ranked = li.select(
-        "l_quantity", F.ntile(10).over(w).cast("int").alias("bucket")
+    from .windows import _value_range_shards
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_orderkey", "l_linenumber"
     )
-    return ranked.groupBy("bucket").agg(
-        F.round(F.min("l_quantity"), 2).alias("lo"),
-        F.round(F.max("l_quantity"), 2).alias("hi"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    sharded = _value_range_shards(li, "l_quantity", 32)
+    w = Window.partitionBy("shard").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    ranked = sharded.withColumn("rn", F.row_number().over(w))
+    counts = sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
+    earlier = counts.select(
+        F.col("shard").alias("eshard"), F.col("cnt").alias("ecnt")
+    )
+    # prefix offsets via tiny n_shards² self-join, not a global window
+    offs = (
+        counts.join(earlier, F.col("eshard") < F.col("shard"), "left")
+        .groupBy("shard")
+        .agg(F.coalesce(F.sum("ecnt"), F.lit(0)).alias("off"))
+    )
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    i0 = (F.col("off") + F.col("rn") - 1).cast("bigint")  # 0-based rank
+    n = F.col("n_total").cast("bigint")
+    # ANSI NTILE(10): first (n mod 10) buckets hold ceil(n/10) rows
+    q = (n / 10).cast("bigint")
+    r = n % 10
+    big = r * (q + 1)
+    bucket = (
+        F.when(i0 < big, (i0 / (q + 1)).cast("bigint"))
+        .otherwise(r + ((i0 - big) / q).cast("bigint"))
+        + 1
+    ).cast("int")
+    return (
+        ranked.join(F.broadcast(offs), "shard")
+        .crossJoin(F.broadcast(total))
+        .select("l_quantity", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min("l_quantity"), 2).alias("lo"),
+            F.round(F.max("l_quantity"), 2).alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
     )
 
 
@@ -1967,16 +2004,16 @@ def dq_k_anonymity(spark, sf_dir):
 _HHI_SQL = """
 WITH rev AS (
   SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
-         CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
-                                   + 1e-9, 2) AS DECIMAL(18,2))), 2)
-              AS DOUBLE) AS revenue
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                        + 1e-9, 2) AS DECIMAL(18,2))) AS revenue
   FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
   GROUP BY s.s_nationkey, l.l_suppkey
 ),
 tot AS (SELECT nationkey, sum(revenue) AS total FROM rev GROUP BY nationkey),
 shares AS (
   SELECT r.nationkey, r.suppkey,
-         round(r.revenue / t.total + 1e-9, 6) AS share
+         round(CAST(r.revenue AS DOUBLE) / CAST(t.total AS DOUBLE)
+               + 1e-9, 6) AS share
   FROM rev r JOIN tot t ON t.nationkey = r.nationkey
 )
 SELECT CAST(nationkey AS INT)            AS nationkey,
@@ -2005,7 +2042,10 @@ def supplier_hhi_concentration(spark, sf_dir):
     with map-side combine (the dimension join is a broadcast), then the
     share/HHI algebra on the |nations x suppliers| cell table with a
     |nations|-row totals join. Band cuts compare the ROUNDED hhi on both
-    engines, so the classification is engine-stable."""
+    engines, so the classification is engine-stable. Revenue stays
+    DECIMAL through the per-nation total (money_sum discipline) — the
+    cast to double happens only at the share division, so accumulation
+    order can never move a 6dp share boundary."""
     l = T(spark, sf_dir, "lineitem")
     s = T(spark, sf_dir, "supplier")
     rev = (
@@ -2018,27 +2058,24 @@ def supplier_hhi_concentration(spark, sf_dir):
             # 2dp-quantize the product TERM before DECIMAL accumulation
             # (tpcds_shapes discipline — 4dp products sit on half-cent
             # boundaries where raw decimal casts can split across engines)
-            F.round(
-                F.sum(
-                    F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                        + F.lit(1e-9),
-                        2,
-                    ).cast("decimal(18,2)")
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    + F.lit(1e-9),
+                    2,
+                ).cast("decimal(18,2)")
+            ).alias("revenue")
         )
     )
     tot = rev.groupBy("nationkey").agg(F.sum("revenue").alias("total"))
     shares = rev.join(F.broadcast(tot), "nationkey").select(
         "nationkey",
         "suppkey",
-        F.round(F.col("revenue") / F.col("total") + F.lit(1e-9), 6).alias(
-            "share"
-        ),
+        F.round(
+            F.col("revenue").cast("double") / F.col("total").cast("double")
+            + F.lit(1e-9),
+            6,
+        ).alias("share"),
     )
     hhi = F.round(
         F.sum(F.col("share") * F.col("share")) * 10000.0 + F.lit(1e-9), 2

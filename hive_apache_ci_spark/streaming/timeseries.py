@@ -2491,10 +2491,10 @@ WITH bounds AS (
 ),
 per_user AS (
   SELECT user_id, user_id % 2 AS arm,
-         sum(CASE WHEN epoch(ts) <  (e0 + e1) / 2.0 THEN value ELSE 0.0 END)
-             AS pre,
-         sum(CASE WHEN epoch(ts) >= (e0 + e1) / 2.0 THEN value ELSE 0.0 END)
-             AS post
+         round(sum(CASE WHEN epoch(ts) < (e0 + e1) / 2.0
+                        THEN value ELSE 0.0 END) + 1e-9, 6) AS pre,
+         round(sum(CASE WHEN epoch(ts) >= (e0 + e1) / 2.0
+                        THEN value ELSE 0.0 END) + 1e-9, 6) AS post
   FROM events CROSS JOIN bounds
   GROUP BY user_id, user_id % 2
 ),
@@ -2552,9 +2552,12 @@ def events_ab_cuped(spark, sf_dir):
     time split rides as a conditional sum, not a self-join); theta and
     the means are a handful of pooled moments (map-side partials);
     adjustment is a broadcast scalar attach; the arm readout is a 2-cell
-    aggregate. theta and mu_pre are 6dp-quantized BEFORE the adjustment
-    on both engines so summation-order noise cannot leak into the
-    per-user adjusted values (repo discipline)."""
+    aggregate. The per-user pre/post sums AND theta/mu_pre are all
+    6dp-quantized before the adjustment on both engines (LTV/attribution
+    discipline), so the per-user adjusted values are identical across
+    engines; the remaining double aggregates (arm means/variances, the
+    z readouts) are protected by the standard 6dp+1e-9 output rounding —
+    which makes boundary-straddle noise unlikely, not impossible."""
     e = T(spark, sf_dir, "events").select(
         "user_id", "value", F.col("ts").cast("double").alias("ets")
     )
@@ -2565,11 +2568,21 @@ def events_ab_cuped(spark, sf_dir):
         e.crossJoin(F.broadcast(bounds))
         .groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
         .agg(
-            F.sum(
-                F.when(F.col("ets") < F.col("mid"), F.col("value")).otherwise(0.0)
+            F.round(
+                F.sum(
+                    F.when(F.col("ets") < F.col("mid"), F.col("value"))
+                    .otherwise(0.0)
+                )
+                + F.lit(1e-9),
+                6,
             ).alias("pre"),
-            F.sum(
-                F.when(F.col("ets") >= F.col("mid"), F.col("value")).otherwise(0.0)
+            F.round(
+                F.sum(
+                    F.when(F.col("ets") >= F.col("mid"), F.col("value"))
+                    .otherwise(0.0)
+                )
+                + F.lit(1e-9),
+                6,
             ).alias("post"),
         )
     )

@@ -103,7 +103,15 @@ def compare_one(spark, con, name: str, sf_dir: str) -> dict:
     if oracle is None:
         out["status"] = "ROWS_ONLY"
         return out
-    dres = con.execute(oracle)
+    try:
+        dres = con.execute(oracle)
+    except duckdb.OutOfMemoryException:
+        # Oracle-side resource limit, NOT an engine mismatch: the engine
+        # result was computed fine; DuckDB hit the deliberate memory cap
+        # (duck_connect). Report as a distinct KNOWN-LIMIT status so sweep
+        # artifacts can't conflate it with a correctness failure.
+        out["status"] = "ORACLE_OOM_KNOWN_LIMIT"
+        return out
     dcols = [d[0].lower() for d in dres.description]
     drows = dres.fetchall()
     if sorted(scols) != sorted(dcols):
@@ -151,9 +159,11 @@ def main(argv: list[str]) -> int:
         except Exception as e:  # noqa: BLE001
             res = {"name": name, "status": f"ERROR: {type(e).__name__}: {e}"}
         ok = res["status"] in ("MATCH", "ROWS_ONLY")
-        failures += 0 if ok else 1
-        print(f"{'PASS' if ok else 'FAIL'} {res['name']:34s} {res['status']}"
-              + (f" rows={res.get('rows')}" if ok else f" {res}"))
+        skip = res["status"] == "ORACLE_OOM_KNOWN_LIMIT"
+        failures += 0 if (ok or skip) else 1
+        tag = "PASS" if ok else ("SKIP" if skip else "FAIL")
+        print(f"{tag} {res['name']:34s} {res['status']}"
+              + (f" rows={res.get('rows')}" if ok or skip else f" {res}"))
     print(f"== {len(targets) - failures}/{len(targets)} ok ==")
     return 1 if failures else 0
 

@@ -307,6 +307,19 @@ def test_ntile_scaled_no_global_window(spark):
     assert not re.search(r"windowspecdefinition\(c_acctbal", p), p
 
 
+def test_equi_depth_histogram_no_global_window(spark):
+    """The ANALYZE equi-depth histogram runs over the FACT table, so its
+    NTILE must use the shard-ranked plan: every window partitioned by the
+    shard id, no empty-partition windowspec funneling lineitem through a
+    single reducer."""
+    import re
+
+    p = plan(spark, "analyze_equi_depth_histogram")
+    assert "Window" in p, p
+    assert "hashpartitioning(shard" in p, p
+    assert not re.search(r"windowspecdefinition\(l_quantity", p), p
+
+
 def test_ntile_scaled_equals_global_ntile(spark):
     """Exact-equality on the real table (unique composite sort key =>
     identical ranks => identical buckets, ties included)."""
