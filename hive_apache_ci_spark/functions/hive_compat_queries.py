@@ -313,3 +313,60 @@ def matchpath_hive_error_bursts(spark, sf_dir):
             ("OK", F.col("event_type") != "error"),
         ],
     )
+
+
+_IN_FILE_NATIONS = (
+    "NATION_2", "NATION_7", "NATION_11", "NATION_19", "NATION_23",
+    "NOSUCHNATION",
+)
+
+
+@query(
+    "hive_in_file",
+    oracle="""
+    SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name
+    FROM nation
+    WHERE n_name IN ('NATION_2', 'NATION_7', 'NATION_11', 'NATION_19',
+                     'NATION_23', 'NOSUCHNATION')
+    """,
+)
+def hive_in_file(spark, sf_dir):
+    """in_file(str, filename) shim (GenericUDFInFile, SURVEY §2.8-③): the
+    driver-local file is read once at plan time and folded into an isin
+    literal list (a broadcast set membership — the set ships with the
+    plan, nothing per-row touches the filesystem). The file is written to
+    a per-run scratch path (scratch discipline) with a FIXED literal line
+    set so the DuckDB oracle can mirror it as an IN list."""
+    import os
+
+    from ..helpers import run_scratch
+
+    path = run_scratch("infile", sf_dir, "nations.txt")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(_IN_FILE_NATIONS) + "\n")
+    n = T(spark, sf_dir, "nation")
+    return n.filter(hc.in_file(F.col("n_name"), path)).select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"), "n_name"
+    )
+
+
+@query(
+    "hive_logged_in_user",
+    oracle="""
+    SELECT CAST(r_regionkey AS INT) AS r_regionkey,
+           TRUE AS user_known
+    FROM region
+    """,
+)
+def hive_logged_in_user(spark, sf_dir):
+    """logged_in_user() shim (GenericUDFLoggedInUser → current_user(),
+    SURVEY §2.8-③). The session user is engine-specific, so the oracled
+    contract is the invariant Hive guarantees: the function yields a
+    non-empty user string on every row (constant-folded, never per-row
+    work)."""
+    r = T(spark, sf_dir, "region")
+    return r.select(
+        F.col("r_regionkey").cast("int").alias("r_regionkey"),
+        (F.length(hc.logged_in_user()) > F.lit(0)).alias("user_known"),
+    )

@@ -700,7 +700,8 @@ def stream_upsert_latest_state(spark, sf_dir):
     carried explicitly in the state table (max event-time seconds) instead
     of being re-derived from the packed ordering key. The packed key
     ts*1e7+event_id is used only for latest-event selection and assumes
-    event_id < 1e7 (asserted below).
+    event_id < 1e7 — enforced by an in-plan assert_true on each batch's
+    own rows (r9: no dedicated full-source scan at job setup).
 
     Round-6 hardening (r5 ADVICE): state is published as immutable
     versioned dirs behind an atomically-replaced LATEST pointer file — the
@@ -740,7 +741,25 @@ def stream_upsert_latest_state(spark, sf_dir):
         live = live_state()
         if live is not None and live[1] >= batch_id:
             return  # replayed batch: its merge is already published
-        key = F.col("ts").cast("long") * 10000000 + F.col("event_id")
+        # The packed ordering key is only correct while event_id < 1e7 (the
+        # generator's ids are dense ints, so this holds through sf100).
+        # Enforced IN-PLAN, map-side, on the rows this batch actually reads:
+        # assert_true yields NULL when the invariant holds (so the +0 below
+        # never changes the key) and aborts the batch if it ever breaks —
+        # no dedicated full-source scan at job setup (r8 VERDICT item 9).
+        guard = F.coalesce(
+            F.assert_true(
+                F.col("event_id") < 10_000_000,
+                F.lit(
+                    "event_id >= 1e7 breaks the packed "
+                    "ts*1e7+event_id ordering key"
+                ),
+            ).cast("long"),
+            F.lit(0),
+        )
+        key = (
+            F.col("ts").cast("long") * 10000000 + F.col("event_id") + guard
+        )
         inc = (
             batch_df.groupBy("user_id")
             .agg(
@@ -800,16 +819,6 @@ def stream_upsert_latest_state(spark, sf_dir):
             shutil.rmtree(live[0], ignore_errors=True)
 
     src = events_stream(spark, sf_dir)
-    # The packed ordering key is only correct while event_id < 1e7; the
-    # generator's ids are dense ints, so this holds through sf100 — assert
-    # rather than silently mis-order if the invariant ever breaks.
-    max_id = src.sparkSession.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).agg(F.max("event_id")).first()[0]
-    if max_id is not None and int(max_id) >= 10_000_000:
-        raise ValueError(
-            f"event_id {max_id} >= 1e7 breaks the packed ts*1e7+event_id ordering key"
-        )
     q = (
         src
         .writeStream.foreachBatch(merge_batch)

@@ -440,3 +440,32 @@ def test_resize_stub_consistent_with_decode_stub(spark):
             f"{met[r.doc_id].checksum}#{r.dst_w}x{r.dst_h}".encode()
         ).hexdigest()
         assert r.out_checksum == want
+
+
+def test_parse_image_header_edge_cases():
+    """The real header parser must reject truncated/foreign bytes and walk
+    past leading JPEG segments to the SOF."""
+    from hive_apache_ci_spark.pipeline.multimodal import parse_image_header
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00" + b"\x00\x00\x00\x00"
+    )
+    assert parse_image_header(png) == ("png", 640, 480)
+    # JPEG with an extra COM segment before SOF0 — the walk must skip it
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xfe\x00\x07hello"                       # COM, len 7
+        + b"\xff\xc0\x00\x11\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        + b"\xff\xd9"
+    )
+    assert parse_image_header(jpg) == ("jpeg", 640, 480)
+    assert parse_image_header(b"") == ("unknown", None, None)
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") == (
+        "unknown", None, None)
+    assert parse_image_header(b"\xff\xd8\xff\xd9") == ("unknown", None, None)
+    assert parse_image_header(b"GIF89a" + b"\x00" * 20) == (
+        "unknown", None, None)
