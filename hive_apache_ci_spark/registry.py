@@ -94,6 +94,7 @@ def _ensure_loaded() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         extensions,
+        hiveql_text,
         joins,
         lateral,
         matview,

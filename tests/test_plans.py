@@ -307,6 +307,15 @@ def test_ntile_scaled_no_global_window(spark):
     assert not re.search(r"windowspecdefinition\(c_acctbal", p), p
 
 
+def test_mapjoin_hint_text_broadcasts(spark):
+    """Hive's /*+ MAPJOIN(t) */ hint, given as SQL TEXT, must reach the
+    physical plan as a broadcast join (dialect parity includes the hint
+    names, not just the clauses)."""
+    p = plan(spark, "qtext_mapjoin_hint")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
 def test_equi_depth_histogram_no_global_window(spark):
     """The ANALYZE equi-depth histogram runs over the FACT table, so its
     NTILE must use the shard-ranked plan: every window partitioned by the
