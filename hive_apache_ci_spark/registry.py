@@ -92,6 +92,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from .operators import (  # noqa: F401
+        acid,
         aggregates,
         extensions,
         hiveql_text,

@@ -91,3 +91,87 @@ def test_sorted_layout_files_disjoint(spark):
     ranges.sort()
     for (_, a_hi), (b_lo, _) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo, f"overlapping file ranges: {a_hi} > {b_lo}"
+
+
+# ---- ACID-lite (operators/acid.py) -----------------------------------------
+
+
+def _tiny_acid(spark, tmpdir):
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.operators.acid import AcidTable
+
+    tbl = AcidTable(tmpdir)
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, "S1"), (2, "b", 20.0, "S2"), (3, "c", 30.0, "S1")],
+        "c_custkey long, c_name string, c_acctbal double, c_mktsegment string",
+    )
+    tbl.create(base)
+    tbl.commit_delta(
+        base.filter("c_custkey = 2").select(
+            "c_custkey", "c_name",
+            (F.col("c_acctbal") + 5).alias("c_acctbal"),
+            "c_mktsegment", F.lit("U").alias("_op"),
+        )
+    )
+    tbl.commit_delta(
+        base.filter("c_custkey = 3").select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+            F.lit("D").alias("_op"),
+        )
+    )
+    return tbl
+
+
+def test_acid_merge_on_read_and_time_travel(spark, tmp_path):
+    tbl = _tiny_acid(spark, str(tmp_path / "t"))
+    latest = {r.c_custkey: r.c_acctbal for r in tbl.read(spark).collect()}
+    assert latest == {1: 10.0, 2: 25.0}          # update applied, 3 deleted
+    v0 = {r.c_custkey: r.c_acctbal for r in tbl.read(spark, 0).collect()}
+    assert v0 == {1: 10.0, 2: 20.0, 3: 30.0}     # VERSION AS OF 0
+    v1 = {r.c_custkey: r.c_acctbal for r in tbl.read(spark, 1).collect()}
+    assert v1 == {1: 10.0, 2: 25.0, 3: 30.0}
+
+
+def test_acid_compacted_read_scans_base_only(spark, tmp_path):
+    """After major compaction the LATEST manifest has an empty delta chain
+    and the read plan is a single parquet scan — no delta unions, no
+    merge window."""
+    import contextlib
+    import io
+
+    tbl = _tiny_acid(spark, str(tmp_path / "t"))
+    tbl.compact(spark)
+    m = tbl.manifest()
+    assert m["deltas"] == [] and m["base"] == "base_3"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tbl.read(spark).explain(mode="formatted")
+    p = buf.getvalue()
+    assert "Union" not in p, p
+    assert "Window" not in p, p
+    assert p.count("(1) Scan parquet") == 1 and "(2) Scan" not in p, p
+    # equivalence with the pre-compaction snapshot
+    latest = {r.c_custkey: r.c_acctbal for r in tbl.read(spark).collect()}
+    assert latest == {1: 10.0, 2: 25.0}
+
+
+def test_acid_crash_safety(spark, tmp_path):
+    """A pointer naming a missing manifest, or a data dir without its
+    _SUCCESS marker, must raise — never silently serve a torn snapshot."""
+    import os
+
+    import pytest
+
+    tbl = _tiny_acid(spark, str(tmp_path / "t"))
+    # pointer -> nonexistent version
+    with open(os.path.join(tbl.commits, "LATEST"), "w") as fh:
+        fh.write("v99")
+    with pytest.raises(OSError):
+        tbl.read(spark)
+    with open(os.path.join(tbl.commits, "LATEST"), "w") as fh:
+        fh.write("v2")
+    # torn data dir: remove the commit marker of a delta
+    os.remove(os.path.join(tbl.root, "delta_2", "_SUCCESS"))
+    with pytest.raises(OSError):
+        tbl.read(spark)
