@@ -456,7 +456,11 @@ def resample_cap_per_lang(spark, sf_dir):
 # ---- 7. greedy sequence packing (rows-only + invariant tests) -----------
 
 _PACK_BUDGET = 128
-_N_BUCKETS = 8
+# 64 packing buckets (r9; was 8): packing parallelism = bucket count, so
+# more buckets is the 100 TB-correct shape — AND it bounds the oracle's
+# sequential first-fit replay at max-bucket-size recursion depth (the r8
+# sf1 sweep killed the 8-bucket replay at >30 min; depth shrinks 8x).
+_N_BUCKETS = 64
 
 
 @query(

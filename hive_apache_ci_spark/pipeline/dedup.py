@@ -1942,15 +1942,26 @@ def _ladder_oracle() -> str:
         ON a.band = b.band AND a.band_sig = b.band_sig
        AND a.doc_id < b.doc_id
     ),
-    packed AS (
-      SELECT doc_id, list(shingle) AS s FROM clean GROUP BY doc_id
+    -- Jaccard via pre-aggregated COUNTS, not per-pair shingle LISTS: the
+    -- r8 sf1 sweep OOMed (37 GiB) materializing list(shingle) per doc and
+    -- re-shipping both lists on every candidate pair. clean is referenced
+    -- 3x so DuckDB materializes it once; inter/sizes are plain hash
+    -- aggregates that spill. |A∩B| from the pair×shingle equi-join,
+    -- |A∪B| = |A|+|B|-|A∩B| (shingles are per-doc distinct).
+    sizes AS (SELECT doc_id, count(*) AS ns FROM clean GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ni
+      FROM cand c
+      JOIN clean sa ON sa.doc_id = c.doc_a
+      JOIN clean sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
     ),
     confirmed2 AS (
-      SELECT c.doc_a, c.doc_b FROM cand c
-      JOIN packed pa ON pa.doc_id = c.doc_a
-      JOIN packed pb ON pb.doc_id = c.doc_b
-      WHERE len(list_intersect(pa.s, pb.s)) * 1.0
-            / nullif(len(list_distinct(pa.s || pb.s)), 0)
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE i.ni * 1.0 / nullif(za.ns + zb.ns - i.ni, 0)
             >= {_LADDER_JACC_TH}
     ),
     removed2 AS (SELECT DISTINCT doc_b AS doc_id FROM confirmed2),

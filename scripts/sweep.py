@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Full-registry differential sweep, sharded (r8 VERDICT item 8).
+
+Commits the verification protocol that previously lived only in session
+notes: round-robin the sorted registry across N concurrent shard
+processes, each running ``python -m hive_apache_ci_spark.verify`` over its
+share of query names, then merge the per-query lines name-sorted into one
+artifact (docs/VERIFY_r{ROUND}_sf{X}.txt — identical format to the r3–r8
+artifacts, ending with "== P/T ok ==" and "RC=N").
+
+Usage:
+    python scripts/sweep.py --sf-dir /root/testdata/sf0.01 --round 9
+    python scripts/sweep.py --sf-dir /root/testdata/sf0.1  --round 9 --shards 4
+    python scripts/sweep.py --sf-dir /root/testdata/sf0.01 --names q1,q2  # subset
+
+Shard processes each build a local[$SPARK_GRAFT_CPUS] session; with the
+default 4 shards on the 32-core rig each shard gets CPUS=8 unless
+SPARK_GRAFT_CPUS is already set. Exit code is nonzero iff any query line
+is FAIL (ORACLE_OOM_KNOWN_LIMIT prints as SKIP and does not fail the
+sweep — it is an oracle resource limit, not an engine mismatch).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_LINE = re.compile(r"^(PASS|FAIL|SKIP) (\S+)\s+(.*)$")
+
+
+def run_shard(names: list[str], sf_dir: str, cpus: str) -> list[str]:
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", cpus)
+    proc = subprocess.run(
+        [sys.executable, "-m", "hive_apache_ci_spark.verify",
+         "--sf-dir", sf_dir, *names],
+        cwd=REPO, env=env, capture_output=True, text=True,
+    )
+    return [
+        ln for ln in proc.stdout.splitlines() if _LINE.match(ln)
+    ]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--shards", type=int, default=4)
+    ap.add_argument("--round", type=int, default=None,
+                    help="write docs/VERIFY_r{N}_sf{X}.txt")
+    ap.add_argument("--names", default=None,
+                    help="comma-separated subset (default: full registry)")
+    ap.add_argument("--out", default=None, help="explicit artifact path")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from hive_apache_ci_spark.registry import all_queries
+
+    names = (
+        args.names.split(",") if args.names
+        else sorted(all_queries().keys())
+    )
+    shards = max(1, min(args.shards, len(names)))
+    buckets = [names[i::shards] for i in range(shards)]
+    cpus = os.environ.get(
+        "SPARK_GRAFT_CPUS", str(max(2, (os.cpu_count() or 8) // shards))
+    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=shards) as ex:
+        results = list(
+            ex.map(lambda b: run_shard(b, args.sf_dir, cpus), buckets)
+        )
+
+    lines = sorted(
+        (ln for shard in results for ln in shard),
+        key=lambda ln: _LINE.match(ln).group(2),
+    )
+    got = {_LINE.match(ln).group(2) for ln in lines}
+    missing = [n for n in names if n not in got]
+    for n in missing:
+        lines.append(f"FAIL {n:34s} NO_OUTPUT (shard crashed?)")
+    n_fail = sum(1 for ln in lines if ln.startswith("FAIL"))
+    ok = len(names) - n_fail
+    rc = 1 if n_fail else 0
+    body = "\n".join(lines) + f"\n== {ok}/{len(names)} ok ==\nRC={rc}\n"
+    sys.stdout.write(body)
+
+    out = args.out
+    if out is None and args.round is not None:
+        tag = os.path.basename(os.path.normpath(args.sf_dir))
+        out = os.path.join(REPO, "docs", f"VERIFY_r{args.round}_{tag}.txt")
+    if out:
+        with open(out, "w") as fh:
+            fh.write(body)
+        print(f"wrote {out}", file=sys.stderr)
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
