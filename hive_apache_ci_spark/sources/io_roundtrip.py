@@ -1393,3 +1393,91 @@ def io_drop_partition_retention(spark, sf_dir):
         )
         .select(F.col("yr").cast("int").alias("yr"), "n", "total")
     )
+
+
+# ---- round 9: legacy SequenceFile + JDBC source (VERDICT gaps 3-4) ---------
+
+
+@query(
+    "io_sequencefile_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT)         AS n,
+           round(sum(round(s_acctbal, 2)), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def io_sequencefile_roundtrip(spark, sf_dir):
+    """SequenceFile round-trip (SURVEY §2.2 — Hive's legacy K/V container,
+    ``[jar: io/RCFile.class]`` family): write the supplier dimension as
+    (suppkey, 'nationkey|acctbal') records via saveAsSequenceFile, read
+    back with sc.sequenceFile (splittable Writable decode), re-derive the
+    columns and aggregate. The Python RDD bridge is the documented cost of
+    the legacy format from a non-Hive session and is bounded to the
+    DIMENSION table (fact-scale SequenceFile I/O goes through a
+    Hive-enabled session's ``STORED AS SEQUENCEFILE``, which is pure
+    JVM SerDe — proven by tests/test_legacy_formats.py
+    in a subprocess session). A migration reads these files ONCE and
+    rewrites to parquet; this op is that bridge."""
+    out = _scratch(sf_dir, "supplier_seq")
+    s = T(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("bal")
+    )
+    (
+        s.rdd.map(lambda r: (r.s_suppkey, f"{r.s_nationkey}|{r.bal}"))
+        .saveAsSequenceFile(out)
+    )
+    back = spark.sparkContext.sequenceFile(out).toDF(["k", "v"])
+    parts = F.split(F.col("v"), r"\|")
+    decoded = back.select(
+        parts.getItem(0).cast("int").alias("s_nationkey"),
+        parts.getItem(1).cast("double").alias("bal"),
+    )
+    return decoded.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("bal"), 2).alias("total_bal"),
+    )
+
+
+@query(
+    "io_jdbc_partitioned_read",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(round(c_acctbal, 2)), 2) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def io_jdbc_partitioned_read(spark, sf_dir):
+    """JDBC storage-handler analog (SURVEY §2.2 storage handlers row —
+    previously 'spark.read.jdbc path untested'): round-trip the customer
+    table through an embedded Derby database (the one RDBMS on the Spark
+    classpath — it backs Hive's own metastore), then read it back with a
+    PARTITIONED JDBC scan (partitionColumn/lowerBound/upperBound/
+    numPartitions=4 → 4 parallel range queries, the scale mechanism of
+    spark.read.jdbc) and aggregate. Everything JVM-side; per-run Derby
+    path (scratch discipline). At 100 TB the same options point at a real
+    warehouse and the ranges shard the extraction."""
+    import os
+
+    db = os.path.join(_scratch(sf_dir, "jdbc_derby"), "db")
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
+    )
+    c.write.jdbc(url, "customer_jdbc", mode="overwrite", properties=props)
+    lo, hi = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    back = spark.read.jdbc(
+        url,
+        "customer_jdbc",
+        column="c_custkey",
+        lowerBound=int(lo),
+        upperBound=int(hi) + 1,
+        numPartitions=4,
+        properties=props,
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("bal"), 2).alias("total_bal"),
+    )
