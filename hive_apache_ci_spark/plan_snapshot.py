@@ -62,6 +62,9 @@ SNAPSHOT_QUERIES = (
     "tpcds_q78_channel_ratio",
     "tpcds_q95_multi_supplier",
     "tpcds_q34_basket_bands",
+    # round 9: the de-globalized fact-table NTILE and the text-hint join
+    "analyze_equi_depth_histogram",
+    "qtext_mapjoin_hint",
 )
 
 _RULES: tuple[tuple[re.Pattern[str], str], ...] = (
