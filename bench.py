@@ -102,6 +102,12 @@ EXTRA_HEADLINERS = (
     # r8 session-3: the experimentation suite's heaviest member (per-user
     # covariate aggregate + broadcast-theta adjustment + arm moments)
     "events_ab_cuped",
+    # round-9: the last three distinct TPC-DS plan signatures (GROUPING-
+    # driven hierarchy rank, union-of-ranked-subqueries, composite-key
+    # fact chain + stddev family)
+    "tpcds_q36_hierarchy_rank",
+    "tpcds_q49_worst_return_ratios",
+    "tpcds_q17_fact_chain_stddev",
 )
 
 # BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond

@@ -622,3 +622,168 @@ def tpcds_q34_basket_bands(spark, sf_dir):
     join-back reuse the same orderkey hash; all columns are exact
     BIGINT/string, no float anywhere."""
     return _sql(spark, sf_dir, _Q34_SQL)
+
+
+# --- q36: ROLLUP + GROUPING()-driven hierarchy rank (round 9) ---------------
+
+_Q36_SQL = """
+WITH base AS (
+  SELECT n.n_name AS nation, s.s_suppkey % 10 AS sgrp,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) + 1e-9, 2)
+                  AS DECIMAL(18,2)))                       AS gross,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                        - l.l_quantity * 10.0 + 1e-9, 2)
+                  AS DECIMAL(18,2)))                       AS profit
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, s.s_suppkey % 10
+),
+rolled AS (
+  SELECT coalesce(nation, 'ALL') AS nation,
+         coalesce(CAST(sgrp AS BIGINT), -1) AS sgrp,
+         CAST(GROUPING(nation) + GROUPING(sgrp) AS INT) AS lochierarchy,
+         CASE WHEN GROUPING(sgrp) = 0 THEN coalesce(nation, 'ALL') END
+             AS parent,
+         round(CAST(sum(profit) AS DOUBLE) / CAST(sum(gross) AS DOUBLE)
+               + 1e-9, 6) AS margin
+  FROM base
+  GROUP BY ROLLUP(nation, sgrp)
+)
+SELECT nation, sgrp, lochierarchy,
+       CAST(rank() OVER (PARTITION BY lochierarchy, parent
+                         ORDER BY margin, nation, sgrp) AS INT)
+           AS rank_within_parent,
+       margin
+FROM rolled
+"""
+
+
+@query("tpcds_q36_hierarchy_rank", oracle=_Q36_SQL)
+def tpcds_q36_hierarchy_rank(spark, sf_dir):
+    """TPC-DS q36 plan signature (round 9): gross-margin ROLLUP over a
+    two-level hierarchy with the rank PARTITIONED BY the grouping level
+    itself — GROUPING() outputs feed the window partition keys
+    (lochierarchy = grouping(a)+grouping(b); within-parent rank at the
+    leaf level). Exercises Expand -> two-phase agg -> window where the
+    window keys are GROUPING-derived — a Catalyst path none of the other
+    shapes touch. Margin is DECIMAL-accumulated and 6dp-rounded before
+    ranking; the rank ORDER BY carries a full unique tie-break."""
+    return _sql(spark, sf_dir, _Q36_SQL)
+
+
+# --- q49: union of per-channel ranked return-ratio subqueries (round 9) ----
+
+_Q49_SQL = """
+WITH store_r AS (
+  SELECT l_partkey % 50 AS item,
+         round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity
+                        ELSE 0.0 END)
+               / nullif(sum(l_quantity), 0) + 1e-9, 6)      AS return_ratio,
+         round(sum(CASE WHEN l_returnflag = 'R'
+                        THEN round(l_extendedprice + 1e-9, 2)
+                        ELSE 0.0 END)
+               / nullif(sum(round(l_extendedprice + 1e-9, 2)), 0)
+               + 1e-9, 6)                                    AS currency_ratio
+  FROM lineitem GROUP BY l_partkey % 50
+),
+catalog_r AS (
+  SELECT o_custkey % 50 AS item,
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END)
+               / count(*) + 1e-9, 6)                         AS return_ratio,
+         round(sum(CASE WHEN o_orderstatus = 'F'
+                        THEN round(o_totalprice + 1e-9, 2) ELSE 0.0 END)
+               / nullif(sum(round(o_totalprice + 1e-9, 2)), 0)
+               + 1e-9, 6)                                    AS currency_ratio
+  FROM orders GROUP BY o_custkey % 50
+),
+web_r AS (
+  SELECT user_id % 50 AS item,
+         round(sum(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END)
+               / count(*) + 1e-9, 6)                         AS return_ratio,
+         round(sum(CASE WHEN event_type = 'error'
+                        THEN round(value + 1e-9, 2) ELSE 0.0 END)
+               / nullif(sum(round(value + 1e-9, 2)), 0) + 1e-9, 6)
+                                                             AS currency_ratio
+  FROM events GROUP BY user_id % 50
+),
+ranked AS (
+  SELECT 'store' AS channel, item, return_ratio, currency_ratio,
+         rank() OVER (ORDER BY return_ratio, item)   AS return_rank,
+         rank() OVER (ORDER BY currency_ratio, item) AS currency_rank
+  FROM store_r
+  UNION ALL
+  SELECT 'catalog', item, return_ratio, currency_ratio,
+         rank() OVER (ORDER BY return_ratio, item),
+         rank() OVER (ORDER BY currency_ratio, item)
+  FROM catalog_r
+  UNION ALL
+  SELECT 'web', item, return_ratio, currency_ratio,
+         rank() OVER (ORDER BY return_ratio, item),
+         rank() OVER (ORDER BY currency_ratio, item)
+  FROM web_r
+)
+SELECT channel, CAST(item AS BIGINT) AS item,
+       return_ratio, currency_ratio,
+       CAST(return_rank AS INT)   AS return_rank,
+       CAST(currency_rank AS INT) AS currency_rank
+FROM ranked
+WHERE return_rank <= 10 OR currency_rank <= 10
+"""
+
+
+@query("tpcds_q49_worst_return_ratios", oracle=_Q49_SQL)
+def tpcds_q49_worst_return_ratios(spark, sf_dir):
+    """TPC-DS q49 plan signature (round 9): per-channel return-ratio and
+    currency-ratio aggregates each DOUBLY ranked (two independent windows
+    over the same subquery), three ranked channel branches UNION ALLed,
+    then filtered by an OR of the two ranks — the union-of-ranked-
+    subqueries shape (rank computed BELOW the union and the filter above
+    it, so Catalyst cannot push the filter into the window). Ratios are
+    6dp-rounded BEFORE ranking on both engines; each rank carries the
+    item tie-break. Each channel's windows are tiny (50 buckets) — the
+    heavy work is the three channel aggregates, each one scan."""
+    return _sql(spark, sf_dir, _Q49_SQL)
+
+
+# --- q17: three-fact composite-key chain + stddev family (round 9) ---------
+
+_Q17_SQL = """
+WITH ss AS (
+  SELECT l.l_partkey AS item, o.o_custkey AS cust, l.l_quantity AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'N'
+),
+sr AS (
+  SELECT l.l_partkey AS item, o.o_custkey AS cust, l.l_quantity AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+),
+cs AS (
+  SELECT o_custkey AS cust, count(*) AS cq FROM orders GROUP BY o_custkey
+)
+SELECT ss.item % 25 AS item_class,
+       CAST(count(*) AS BIGINT)                    AS n_chains,
+       round(avg(ss.q) + 1e-9, 4)                  AS sales_avg,
+       round(stddev_samp(ss.q) + 1e-9, 4)          AS sales_stdev,
+       round(avg(sr.q) + 1e-9, 4)                  AS returns_avg,
+       round(stddev_samp(sr.q) + 1e-9, 4)          AS returns_stdev,
+       round(avg(cs.cq) + 1e-9, 4)                 AS catalog_avg
+FROM ss
+JOIN sr ON ss.item = sr.item AND ss.cust = sr.cust
+JOIN cs ON cs.cust = ss.cust
+GROUP BY ss.item % 25
+"""
+
+
+@query("tpcds_q17_fact_chain_stddev", oracle=_Q17_SQL)
+def tpcds_q17_fact_chain_stddev(spark, sf_dir):
+    """TPC-DS q17 plan signature (round 9): a sales fact self-chained to
+    its returns on the COMPOSITE (item, customer) key, then joined to a
+    third aggregate-grain fact, finishing in the stddev-family
+    aggregates. The only shape in the corpus with a fact-fact equi-join
+    on a two-column composite key (both sides shuffle once on the same
+    composite hash) feeding mean/stdev readouts — TPC-DS's classic
+    'quantity consistency across channels' audit. stddev/avg are
+    4dp-rounded; counts exact."""
+    return _sql(spark, sf_dir, _Q17_SQL)
