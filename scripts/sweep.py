@@ -94,7 +94,7 @@ def main() -> int:
     out = args.out
     if out is None and args.round is not None:
         tag = os.path.basename(os.path.normpath(args.sf_dir))
-        out = os.path.join(REPO, "docs", f"VERIFY_r{args.round}_{tag}.txt")
+        out = os.path.join(REPO, "docs", f"VERIFY_r{args.round:02d}_{tag}.txt")
     if out:
         with open(out, "w") as fh:
             fh.write(body)
