@@ -25,7 +25,13 @@ public API only:
 - **compaction** (Hive's major compaction): materialize the current
   snapshot as ``base_{n}``, commit a manifest with an EMPTY delta chain.
   Read-back equivalence is oracled below; post-compaction reads scan one
-  base dir and plan zero delta unions (gated in tests/test_plans.py).
+  base dir and plan zero delta unions (gated in tests/test_plans.py);
+- **optimistic concurrency** (r9): the manifest version file is created
+  O_EXCL, so of two writers racing for version n+1 exactly one commits;
+  the loser raises ConcurrentCommitError and must re-read + retry
+  (Delta's first-writer-wins _delta_log protocol). Losing writers leave
+  only unreferenced data dirs. No lock manager (DbTxnManager stays out
+  of scope) — conflicts are detected at commit, not prevented by locks.
 
 Scale notes: deltas are mutation-sized, not table-sized; the read path is
 UNION ALL + one row_number window partitioned BY KEY (hash-distributed,
@@ -46,6 +52,11 @@ from ..helpers import T, committed, run_scratch
 from ..registry import query
 
 _COLS = ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the version this transaction targeted
+    (optimistic-concurrency conflict — re-read and retry)."""
 
 
 class AcidTable:
@@ -74,13 +85,23 @@ class AcidTable:
             return json.load(fh)
 
     def _commit(self, manifest: dict) -> None:
-        """Manifest file then atomic pointer flip — crash-safe ordering."""
+        """Manifest file then atomic pointer flip — crash-safe ordering,
+        with OPTIMISTIC CONCURRENCY on the manifest slot: the version file
+        is created O_EXCL, so of two writers that both read version n and
+        try to publish n+1, exactly one wins and the loser gets
+        ConcurrentCommitError (re-read, re-derive, retry — the same
+        first-writer-wins protocol as Delta's _delta_log/N.json)."""
         v = manifest["version"]
         mpath = os.path.join(self.commits, f"v{v}.json")
-        tmp = mpath + ".tmp." + uuid.uuid4().hex
-        with open(tmp, "w") as fh:
+        try:
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version v{v} was committed by another writer; "
+                "re-read the table and retry the transaction"
+            ) from None
+        with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh)
-        os.replace(tmp, mpath)
         tmp = self._ptr() + ".tmp." + uuid.uuid4().hex
         with open(tmp, "w") as fh:
             fh.write(f"v{v}")
@@ -102,14 +123,19 @@ class AcidTable:
         Returns the committed version."""
         m = self.manifest()
         v = m["version"] + 1
-        d = os.path.join(self.root, f"delta_{v}")
+        # writer-unique data dir: the manifest O_EXCL slot is the ONLY
+        # commit arbiter — a losing concurrent writer leaves an orphan
+        # data dir that no manifest references (harmless; GC'd with the
+        # table)
+        dname = f"delta_{v}_{uuid.uuid4().hex[:8]}"
+        d = os.path.join(self.root, dname)
         delta_df.select(*_COLS, "_op").write.mode("errorifexists").parquet(d)
         committed(d)
         m = {
             "version": v,
             "base": m["base"],
             "base_seq": m["base_seq"],
-            "deltas": m["deltas"] + [[v, f"delta_{v}"]],
+            "deltas": m["deltas"] + [[v, dname]],
         }
         self._commit(m)
         return v
@@ -121,11 +147,12 @@ class AcidTable:
         m = self.manifest()
         v = m["version"] + 1
         snap = self.read(spark)
-        d = os.path.join(self.root, f"base_{v}")
+        dname = f"base_{v}_{uuid.uuid4().hex[:8]}"
+        d = os.path.join(self.root, dname)
         snap.write.mode("errorifexists").parquet(d)
         committed(d)
         self._commit(
-            {"version": v, "base": f"base_{v}", "base_seq": v, "deltas": []}
+            {"version": v, "base": dname, "base_seq": v, "deltas": []}
         )
         return v
 
