@@ -23,6 +23,9 @@ orders = "catalog", events = "web"):
 - q78 : aggregate-grain LEFT JOIN + IS NULL branch (tpcds_q78_channel_ratio)
 - q95 : fact self-join EXISTS (ws1/ws2) + NOT EXISTS (tpcds_q95_multi_supplier)
 - q34 : HAVING count-band -> join back to dimension   (tpcds_q34_basket_bands)
+- q36 : ROLLUP + GROUPING()-driven hierarchy rank  (tpcds_q36_hierarchy_rank)
+- q49 : union of doubly-ranked channel subqueries  (tpcds_q49_worst_return_ratios)
+- q17 : composite-key fact chain + stddev family   (tpcds_q17_fact_chain_stddev)
 
 Expressed as shared SQL (one text, both engines — the subqueries-module
 pattern): the *syntax* (ROLLUP, EXISTS-OR, INTERSECT, FULL OUTER) is what
