@@ -1873,3 +1873,103 @@ def corpus_shuffle_shards(spark, sf_dir):
 corpus_shuffle_shards.__doc__ = corpus_shuffle_shards.__doc__.replace(
     "{N}", str(_N_SHARDS)
 )
+
+
+# ---- round 9: sentence-aware RAG chunking --------------------------------
+
+_SENT_BUDGET = 48  # target tokens per chunk
+
+
+@query(
+    "doc_chunk_sentences",
+    oracle=rf"""
+    WITH sents AS (
+      SELECT doc_id, s.i - 1 AS pos, s.sent,
+             len(string_split_regex(s.sent, '\s+')) AS toks
+      FROM (
+        SELECT doc_id,
+               string_split(regexp_replace(text, '([.!?]) ', '\1' || chr(1),
+                                           'g'), chr(1)) AS arr
+        FROM documents
+      ),
+      LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i,
+                      unnest(arr) AS sent) s
+      WHERE s.sent <> ''
+    ),
+    cum AS (
+      SELECT doc_id, pos, sent, toks,
+             sum(toks) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS running
+      FROM sents
+    )
+    SELECT doc_id,
+           CAST(floor((running - toks) / {_SENT_BUDGET}) AS INT) AS chunk_id,
+           string_agg(sent, ' ' ORDER BY pos)        AS chunk_text,
+           CAST(sum(toks) AS BIGINT)                 AS n_tokens,
+           CAST(count(*) AS BIGINT)                  AS n_sentences
+    FROM cum
+    GROUP BY doc_id, CAST(floor((running - toks) / {_SENT_BUDGET}) AS INT)
+    """,
+)
+def doc_chunk_sentences(spark, sf_dir):
+    """Sentence-aware RAG chunking (the retrieval-prep twin of
+    doc_chunk_sliding's fixed token windows): sentences never split
+    mid-way — the text is split on sentence boundaries ([.!?] + space via
+    a backreference rewrite to a \\x01 sentinel, no lookbehind so the
+    same regex family works on RE2-based engines), then sentences pack
+    into ~{B}-token chunks by the running-token-count rule chunk =
+    floor((cumsum - toks) / budget) — deterministic, order-preserving,
+    and expressible on both engines as one window + one group-by. The
+    chunk text is rebuilt in sentence order (position-sorted on both
+    sides), so the output is the exact chunk a RAG indexer would embed.
+
+    100 TB shape: the only window partitions BY DOCUMENT (narrow
+    per-doc cumsum, hash-distributed); the reassembly group-by shuffles
+    on (doc, chunk) — both keyed by their natural keys. No driver-side
+    loops, no UDFs."""
+    d = T(spark, sf_dir, "documents")
+    sents = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.split(
+                    F.regexp_replace("text", r"([.!?]) ", "$1\x01"),
+                    "\x01",
+                )
+            ).alias("pos", "sent"),
+        )
+        .filter(F.col("sent") != "")
+        .withColumn("toks", F.size(F.split(F.col("sent"), r"\s+")))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sents.withColumn("running", F.sum("toks").over(w))
+    chunk = F.floor(
+        (F.col("running") - F.col("toks")) / _SENT_BUDGET
+    ).cast("int")
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+            lambda s: s.getField("sent"),
+        ),
+        " ",
+    )
+    return (
+        cum.withColumn("chunk_id", chunk)
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            rebuilt.alias("chunk_text"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+        )
+    )
+
+
+doc_chunk_sentences.__doc__ = doc_chunk_sentences.__doc__.replace(
+    "{B}", str(_SENT_BUDGET)
+)
