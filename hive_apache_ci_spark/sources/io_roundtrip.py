@@ -1461,6 +1461,12 @@ def io_jdbc_partitioned_read(spark, sf_dir):
     import os
 
     db = os.path.join(_scratch(sf_dir, "jdbc_derby"), "db")
+    # Derby writes derby.log into user.dir (the repo checkout!) unless
+    # redirected; the property is read at engine boot, so set it before
+    # the first connection. Harmless no-op if Derby already booted.
+    spark._jvm.System.setProperty(  # noqa: SLF001 (driver-side JVM prop)
+        "derby.stream.error.file", os.path.join(db + ".derby.log")
+    )
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     c = T(spark, sf_dir, "customer").select(
