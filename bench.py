@@ -234,11 +234,15 @@ def _sidecar_path(sf: float | str) -> str:
 
 def _load_prev_value(sf: float | str) -> float | None:
     """The last recorded run-of-record total (cross-process) — the
-    reproducibility comparator for the r9 box-drift refinement."""
+    reproducibility comparator for the r9 box-drift refinement. A prior
+    run that was itself contended or flagged noisy is NOT a valid
+    comparator (two bad runs agreeing is not reproducibility)."""
     try:
         with open(_sidecar_path(sf)) as fh:
             prev = json.load(fh)
-        return prev.get("value") if prev.get("sf") == sf else None
+        if prev.get("sf") != sf or prev.get("contended") or prev.get("noisy"):
+            return None
+        return prev.get("value")
     except (OSError, ValueError):
         return None
 
@@ -376,6 +380,11 @@ def main() -> int:
     # uniform box drift the comparator scales by the drift ratio, so the
     # list names only queries slower than the BOX got slower — the
     # gradeable signal the raw list buried under 20+ drift artifacts.
+    # Honest limit: a code change that slows EVERY headliner by the same
+    # ratio is indistinguishable from box drift by timing alone; the
+    # tiebreaker is which queries' code actually changed (BENCH_TREND.md
+    # records this per round) and the committed best_total, which a real
+    # uniform regression can never improve on.
     cmp_best = (
         {k: v * box_drift for k, v in prev_best.items()}
         if box_drift is not None

@@ -12,13 +12,16 @@ public API only:
 - every commit is an immutable data dir (``base_*`` or ``delta_*``,
   _SUCCESS-gated) plus a ``_commits/v{n}.json`` manifest naming the base
   and the live delta chain;
-- the ``LATEST`` pointer file is flipped with ``os.replace`` AFTER the
-  manifest commits — the same atomic-pointer protocol as the repo's
-  IVF-PQ index (and as Delta/Iceberg metadata): a crash at any point
-  leaves the pointer naming a complete committed version;
-- **snapshot isolation**: a reader resolves the pointer (or an explicit
-  ``VERSION AS OF n``) once, then touches only the immutable dirs that
-  manifest names — concurrent commits cannot tear its view;
+- the manifest file itself is the commit point (Delta's _delta_log
+  protocol): published by hard-linking a complete fsynced temp file into
+  the ``v{n}.json`` slot, so a slot can never hold torn JSON and a crash
+  at any point leaves either no manifest (transaction never happened) or
+  a complete one (transaction committed — the next reader/writer scan
+  picks it up); the latest version is a directory scan, not a pointer,
+  so nothing can wedge;
+- **snapshot isolation**: a reader resolves the latest manifest (or an
+  explicit ``VERSION AS OF n``) once, then touches only the immutable
+  dirs that manifest names — concurrent commits cannot tear its view;
 - **merge-on-read**: base rows carry seq = base's commit, delta rows carry
   their commit's seq; latest-seq-per-key wins, 'D' rows drop out — one
   hash shuffle on the key (Hive's ROW__ID merge, keyed by primary key);
@@ -26,12 +29,12 @@ public API only:
   snapshot as ``base_{n}``, commit a manifest with an EMPTY delta chain.
   Read-back equivalence is oracled below; post-compaction reads scan one
   base dir and plan zero delta unions (gated in tests/test_plans.py);
-- **optimistic concurrency** (r9): the manifest version file is created
-  O_EXCL, so of two writers racing for version n+1 exactly one commits;
-  the loser raises ConcurrentCommitError and must re-read + retry
-  (Delta's first-writer-wins _delta_log protocol). Losing writers leave
-  only unreferenced data dirs. No lock manager (DbTxnManager stays out
-  of scope) — conflicts are detected at commit, not prevented by locks.
+- **optimistic concurrency** (r9): the hard-link publish means of two
+  writers racing for version n+1 exactly one commits; the loser raises
+  ConcurrentCommitError and must re-read + retry (Delta's
+  first-writer-wins protocol). Losing writers leave only unreferenced
+  data dirs. No lock manager (DbTxnManager stays out of scope) —
+  conflicts are detected at commit, not prevented by locks.
 
 Scale notes: deltas are mutation-sized, not table-sized; the read path is
 UNION ALL + one row_number window partitioned BY KEY (hash-distributed,
@@ -43,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import Window
@@ -68,13 +72,27 @@ class AcidTable:
         os.makedirs(self.commits, exist_ok=True)
 
     # -- commit protocol ------------------------------------------------
+    #
+    # The manifest file v{n}.json IS the commit point (exactly Delta's
+    # _delta_log/N.json): it is published by hard-linking a COMPLETE,
+    # fsynced temp file into the slot, so a slot file can never hold torn
+    # JSON, and link(2)'s EEXIST gives first-writer-wins atomically.
+    # latest_version() is a directory scan for the highest complete
+    # manifest — no pointer file is ever the authority, so a writer that
+    # dies right after publishing its manifest has simply COMMITTED
+    # (readers and the next writer see its version; nothing wedges).
 
-    def _ptr(self) -> str:
-        return os.path.join(self.commits, "LATEST")
+    _SLOT = re.compile(r"^v(\d+)\.json$")
 
     def latest_version(self) -> int:
-        with open(self._ptr()) as fh:
-            return int(fh.read().strip().removeprefix("v"))
+        vs = [
+            int(m.group(1))
+            for f in os.listdir(self.commits)
+            if (m := self._SLOT.match(f))
+        ]
+        if not vs:
+            raise OSError(f"no committed version at {self.commits}")
+        return max(vs)
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.latest_version() if version is None else version
@@ -85,27 +103,28 @@ class AcidTable:
             return json.load(fh)
 
     def _commit(self, manifest: dict) -> None:
-        """Manifest file then atomic pointer flip — crash-safe ordering,
-        with OPTIMISTIC CONCURRENCY on the manifest slot: the version file
-        is created O_EXCL, so of two writers that both read version n and
-        try to publish n+1, exactly one wins and the loser gets
-        ConcurrentCommitError (re-read, re-derive, retry — the same
-        first-writer-wins protocol as Delta's _delta_log/N.json)."""
+        """Publish a complete manifest into the version slot with
+        OPTIMISTIC CONCURRENCY: write + fsync a temp file, hard-link it
+        into v{n}.json (atomic create-if-absent of a complete file), then
+        unlink the temp. Of two writers that both read version n and try
+        to publish n+1, exactly one links first; the loser gets
+        ConcurrentCommitError and must re-read + retry."""
         v = manifest["version"]
         mpath = os.path.join(self.commits, f"v{v}.json")
+        tmp = os.path.join(self.commits, f".tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, mpath)
         except FileExistsError:
             raise ConcurrentCommitError(
                 f"version v{v} was committed by another writer; "
                 "re-read the table and retry the transaction"
             ) from None
-        with os.fdopen(fd, "w") as fh:
-            json.dump(manifest, fh)
-        tmp = self._ptr() + ".tmp." + uuid.uuid4().hex
-        with open(tmp, "w") as fh:
-            fh.write(f"v{v}")
-        os.replace(tmp, self._ptr())
+        finally:
+            os.unlink(tmp)
 
     # -- writes ----------------------------------------------------------
 
@@ -120,10 +139,26 @@ class AcidTable:
 
     def commit_delta(self, delta_df) -> int:
         """One transaction: U/D/I event rows (full row image + _op).
-        Returns the committed version."""
+        Returns the committed version. Rejects deltas carrying two events
+        for one key — within a commit all events share the same _seq, so
+        duplicate keys would make the merge-on-read winner arbitrary
+        (nondeterministic snapshots); one event per key per transaction
+        is the contract (Hive MERGE raises the same cardinality error)."""
+        dup = (
+            delta_df.groupBy("c_custkey")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"delta has multiple events for key {dup[0][0]}; "
+                "one event per key per transaction"
+            )
         m = self.manifest()
         v = m["version"] + 1
-        # writer-unique data dir: the manifest O_EXCL slot is the ONLY
+        # writer-unique data dir: the manifest slot link is the ONLY
         # commit arbiter — a losing concurrent writer leaves an orphan
         # data dir that no manifest references (harmless; GC'd with the
         # table)

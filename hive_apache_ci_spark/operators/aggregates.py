@@ -866,44 +866,17 @@ def analyze_equi_depth_histogram(spark, sf_dir):
     Every window partitions by the shard id — no single-partition global
     sort of lineitem anywhere in the plan (gated by
     tests/test_plans.py::test_equi_depth_histogram_no_global_window)."""
-    from pyspark.sql import Window
-
-    from .windows import _value_range_shards
+    from .windows import _global_ranks, _ntile_bucket
 
     li = T(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_orderkey", "l_linenumber"
     )
-    sharded = _value_range_shards(li, "l_quantity", 32)
-    w = Window.partitionBy("shard").orderBy(
-        "l_quantity", "l_orderkey", "l_linenumber"
+    ranked = _global_ranks(
+        li, "l_quantity", ["l_orderkey", "l_linenumber"], 32
     )
-    ranked = sharded.withColumn("rn", F.row_number().over(w))
-    counts = sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
-    earlier = counts.select(
-        F.col("shard").alias("eshard"), F.col("cnt").alias("ecnt")
-    )
-    # prefix offsets via tiny n_shards² self-join, not a global window
-    offs = (
-        counts.join(earlier, F.col("eshard") < F.col("shard"), "left")
-        .groupBy("shard")
-        .agg(F.coalesce(F.sum("ecnt"), F.lit(0)).alias("off"))
-    )
-    total = counts.agg(F.sum("cnt").alias("n_total"))
-    i0 = (F.col("off") + F.col("rn") - 1).cast("bigint")  # 0-based rank
-    n = F.col("n_total").cast("bigint")
-    # ANSI NTILE(10): first (n mod 10) buckets hold ceil(n/10) rows
-    q = (n / 10).cast("bigint")
-    r = n % 10
-    big = r * (q + 1)
-    bucket = (
-        F.when(i0 < big, (i0 / (q + 1)).cast("bigint"))
-        .otherwise(r + ((i0 - big) / q).cast("bigint"))
-        + 1
-    ).cast("int")
+    bucket = _ntile_bucket(F.col("i0"), F.col("n_total"), F.lit(10))
     return (
-        ranked.join(F.broadcast(offs), "shard")
-        .crossJoin(F.broadcast(total))
-        .select("l_quantity", bucket.alias("bucket"))
+        ranked.select("l_quantity", bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.round(F.min("l_quantity"), 2).alias("lo"),

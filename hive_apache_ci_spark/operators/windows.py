@@ -462,45 +462,63 @@ def window_ntile_scaled(spark, sf_dir):
     window here partitions by the shard id; the only exchanges are two
     tiny aggregates (boundaries, shard counts)."""
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    sharded = _value_range_shards(cust, "c_acctbal", 16, descending=True)
-    w = Window.partitionBy("shard").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
+    ranked = _global_ranks(
+        cust, "c_acctbal", ["c_custkey"], 16, descending=True
     )
+    i0, n = F.col("i0"), F.col("n_total")
+    return ranked.select(
+        "c_custkey",
+        _ntile_bucket(i0, n, F.lit(4)).alias("quartile"),
+        _ntile_bucket(i0, n, F.lit(10)).alias("decile"),
+    )
+
+
+
+def _ntile_bucket(i0, n, buckets):
+    """ANSI NTILE arithmetic on (0-based global rank, total): the first
+    (n mod B) buckets hold ceil(n/B) rows. Pure integer math — the ONE
+    place the bucket formula lives (window_ntile_scaled, the RFM scorer
+    and the equi-depth histogram all derive through it)."""
+    q = (n / buckets).cast("bigint")  # floor div on nonneg ints
+    r = n % buckets
+    big = r * (q + 1)
+    return (
+        F.when(i0 < big, (i0 / (q + 1)).cast("bigint"))
+        .otherwise(r + ((i0 - big) / q).cast("bigint"))
+        + 1
+    ).cast("int")
+
+
+def _global_ranks(df, value_col, tiebreaks, n_shards=16, descending=False):
+    """Exact 0-based GLOBAL rank over (value_col [DESC], *tiebreaks)
+    without a single-partition window — the shared scaffold: value-range
+    shards (percentile_approx split, choice never affects the result),
+    per-shard row_number, broadcast prefix-count offsets via the tiny
+    n_shards^2 self-join. Returns the input columns plus ``i0`` (0-based
+    rank) and ``n_total``. Output is exact whenever (value_col,
+    *tiebreaks) is a unique composite key."""
+    sharded = _value_range_shards(df, value_col, n_shards, descending)
+    order = [
+        F.col(value_col).desc() if descending else F.col(value_col)
+    ] + [F.col(c) for c in tiebreaks]
+    w = Window.partitionBy("shard").orderBy(*order)
     ranked = sharded.withColumn("rn", F.row_number().over(w))
     counts = sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
     earlier = counts.select(
         F.col("shard").alias("eshard"), F.col("cnt").alias("ecnt")
     )
-    # prefix offsets via tiny self-join (n_shards² rows), not a global
-    # cumulative window
+    # prefix offsets via tiny n_shards^2 self-join, not a global window
     offs = (
         counts.join(earlier, F.col("eshard") < F.col("shard"), "left")
         .groupBy("shard")
         .agg(F.coalesce(F.sum("ecnt"), F.lit(0)).alias("off"))
     )
-    total = counts.agg(F.sum("cnt").alias("n_total"))
-
-    def ntile_bucket(i, n, buckets):
-        # ANSI NTILE: first (n mod B) buckets hold ceil(n/B) rows
-        q = (n / buckets).cast("bigint")  # floor div on nonneg ints
-        r = n % buckets
-        big = r * (q + 1)
-        return (
-            F.when(i < big, (i / (q + 1)).cast("bigint"))
-            .otherwise(r + ((i - big) / q).cast("bigint"))
-            + 1
-        ).cast("int")
-
-    i0 = (F.col("off") + F.col("rn") - 1).cast("bigint")  # 0-based rank
-    n = F.col("n_total").cast("bigint")
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("n_total"))
     return (
         ranked.join(F.broadcast(offs), "shard")
         .crossJoin(F.broadcast(total))
-        .select(
-            "c_custkey",
-            ntile_bucket(i0, n, F.lit(4)).alias("quartile"),
-            ntile_bucket(i0, n, F.lit(10)).alias("decile"),
-        )
+        .withColumn("i0", (F.col("off") + F.col("rn") - 1).cast("bigint"))
+        .drop("rn", "off")
     )
 
 
@@ -541,34 +559,9 @@ def _scaled_ntile_score(df, value_col, key_col, buckets=4, n_shards=16):
     (key_col, score). Output equals plain NTILE whenever the composite
     sort key is unique (key_col breaks all ties)."""
     src = df.select(key_col, value_col)
-    sharded = _value_range_shards(src, value_col, n_shards)
-    w = Window.partitionBy("shard").orderBy(F.col(value_col), F.col(key_col))
-    ranked = sharded.withColumn("rn", F.row_number().over(w))
-    counts = sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
-    earlier = counts.select(
-        F.col("shard").alias("eshard"), F.col("cnt").alias("ecnt")
-    )
-    offs = (
-        counts.join(earlier, F.col("eshard") < F.col("shard"), "left")
-        .groupBy("shard")
-        .agg(F.coalesce(F.sum("ecnt"), F.lit(0)).alias("off"))
-    )
-    total = counts.agg(F.sum("cnt").alias("n_total"))
-    i0 = (F.col("off") + F.col("rn") - 1).cast("bigint")
-    n = F.col("n_total").cast("bigint")
-    q = (n / buckets).cast("bigint")
-    r = n % buckets
-    big = r * (q + 1)
-    score = (
-        F.when(i0 < big, (i0 / (q + 1)).cast("bigint"))
-        .otherwise(r + ((i0 - big) / q).cast("bigint"))
-        + 1
-    ).cast("int")
-    return (
-        ranked.join(F.broadcast(offs), "shard")
-        .crossJoin(F.broadcast(total))
-        .select(F.col(key_col), score.alias("score"))
-    )
+    ranked = _global_ranks(src, value_col, [key_col], n_shards)
+    score = _ntile_bucket(F.col("i0"), F.col("n_total"), F.lit(buckets))
+    return ranked.select(F.col(key_col), score.alias("score"))
 
 
 @query(

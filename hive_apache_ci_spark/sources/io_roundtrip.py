@@ -1465,7 +1465,7 @@ def io_jdbc_partitioned_read(spark, sf_dir):
     # redirected; the property is read at engine boot, so set it before
     # the first connection. Harmless no-op if Derby already booted.
     spark._jvm.System.setProperty(  # noqa: SLF001 (driver-side JVM prop)
-        "derby.stream.error.file", os.path.join(db + ".derby.log")
+        "derby.stream.error.file", db + ".derby.log"
     )
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}

@@ -105,6 +105,8 @@ def compare_one(spark, con, name: str, sf_dir: str) -> dict:
         return out
     try:
         dres = con.execute(oracle)
+        dcols = [d[0].lower() for d in dres.description]
+        drows = dres.fetchall()
     except duckdb.OutOfMemoryException:
         # Oracle-side resource limit, NOT an engine mismatch: the engine
         # result was computed fine; DuckDB hit the deliberate memory cap
@@ -112,8 +114,6 @@ def compare_one(spark, con, name: str, sf_dir: str) -> dict:
         # artifacts can't conflate it with a correctness failure.
         out["status"] = "ORACLE_OOM_KNOWN_LIMIT"
         return out
-    dcols = [d[0].lower() for d in dres.description]
-    drows = dres.fetchall()
     if sorted(scols) != sorted(dcols):
         out["status"] = "SCHEMA_MISMATCH"
         out["oracle_cols"] = dcols
@@ -153,6 +153,7 @@ def main(argv: list[str]) -> int:
     con = duck_connect(sf_dir)
     targets = names or sorted(all_queries().keys())
     failures = 0
+    skips = 0
     for name in targets:
         try:
             res = compare_one(spark, con, name, sf_dir)
@@ -161,10 +162,16 @@ def main(argv: list[str]) -> int:
         ok = res["status"] in ("MATCH", "ROWS_ONLY")
         skip = res["status"] == "ORACLE_OOM_KNOWN_LIMIT"
         failures += 0 if (ok or skip) else 1
+        skips += 1 if skip else 0
         tag = "PASS" if ok else ("SKIP" if skip else "FAIL")
         print(f"{tag} {res['name']:34s} {res['status']}"
               + (f" rows={res.get('rows')}" if ok or skip else f" {res}"))
-    print(f"== {len(targets) - failures}/{len(targets)} ok ==")
+    passed = len(targets) - failures - skips
+    line = f"== {passed}/{len(targets)} ok =="
+    if skips:
+        line = (f"== {passed} passed, {skips} skipped(oracle-limit), "
+                f"{failures} failed / {len(targets)} ==")
+    print(line)
     return 1 if failures else 0
 
 

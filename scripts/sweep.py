@@ -33,7 +33,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _LINE = re.compile(r"^(PASS|FAIL|SKIP) (\S+)\s+(.*)$")
 
 
-def run_shard(names: list[str], sf_dir: str, cpus: str) -> list[str]:
+def run_shard(
+    names: list[str], sf_dir: str, cpus: str
+) -> tuple[list[str], str, int]:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_CPUS", cpus)
     proc = subprocess.run(
@@ -41,9 +43,8 @@ def run_shard(names: list[str], sf_dir: str, cpus: str) -> list[str]:
          "--sf-dir", sf_dir, *names],
         cwd=REPO, env=env, capture_output=True, text=True,
     )
-    return [
-        ln for ln in proc.stdout.splitlines() if _LINE.match(ln)
-    ]
+    lines = [ln for ln in proc.stdout.splitlines() if _LINE.match(ln)]
+    return lines, proc.stderr, proc.returncode
 
 
 def main() -> int:
@@ -77,18 +78,29 @@ def main() -> int:
             ex.map(lambda b: run_shard(b, args.sf_dir, cpus), buckets)
         )
 
-    lines = sorted(
-        (ln for shard in results for ln in shard),
-        key=lambda ln: _LINE.match(ln).group(2),
-    )
+    lines = [ln for shard, _, _ in results for ln in shard]
     got = {_LINE.match(ln).group(2) for ln in lines}
-    missing = [n for n in names if n not in got]
-    for n in missing:
+    # A shard that crashed mid-run leaves its unprocessed names without
+    # output: add their FAIL lines BEFORE the sort (artifact stays
+    # name-ordered) and surface the shard's stderr tail for diagnosis.
+    for i, (shard_lines, err, rc_i) in enumerate(results):
+        missing_i = [n for n in buckets[i] if n not in got]
+        if missing_i or rc_i not in (0, 1):
+            tail = "\n".join(err.splitlines()[-30:])
+            print(f"-- shard {i} rc={rc_i} stderr tail --\n{tail}",
+                  file=sys.stderr)
+    for n in (n for n in names if n not in got):
         lines.append(f"FAIL {n:34s} NO_OUTPUT (shard crashed?)")
+    lines.sort(key=lambda ln: _LINE.match(ln).group(2))
     n_fail = sum(1 for ln in lines if ln.startswith("FAIL"))
-    ok = len(names) - n_fail
+    n_skip = sum(1 for ln in lines if ln.startswith("SKIP"))
+    passed = len(names) - n_fail - n_skip
     rc = 1 if n_fail else 0
-    body = "\n".join(lines) + f"\n== {ok}/{len(names)} ok ==\nRC={rc}\n"
+    head = f"== {passed}/{len(names)} ok =="
+    if n_skip:
+        head = (f"== {passed} passed, {n_skip} skipped(oracle-limit), "
+                f"{n_fail} failed / {len(names)} ==")
+    body = "\n".join(lines) + f"\n{head}\nRC={rc}\n"
     sys.stdout.write(body)
 
     out = args.out

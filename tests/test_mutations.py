@@ -157,23 +157,42 @@ def test_acid_compacted_read_scans_base_only(spark, tmp_path):
 
 
 def test_acid_crash_safety(spark, tmp_path):
-    """A pointer naming a missing manifest, or a data dir without its
-    _SUCCESS marker, must raise — never silently serve a torn snapshot."""
+    """Crash-model contract of the manifest-is-the-commit protocol:
+    (a) a stray temp file from a writer that died BEFORE publishing is
+    ignored (transaction never happened); (b) a complete manifest from a
+    writer that died right AFTER publishing IS the committed latest
+    (roll-forward — nothing wedges, the next writer targets the slot
+    after it); (c) a data dir without its _SUCCESS marker raises;
+    (d) reading an explicit never-committed version raises."""
+    import glob
+    import json
     import os
 
     import pytest
 
     tbl = _tiny_acid(spark, str(tmp_path / "t"))
-    # pointer -> nonexistent version
-    with open(os.path.join(tbl.commits, "LATEST"), "w") as fh:
-        fh.write("v99")
-    with pytest.raises(OSError):
-        tbl.read(spark)
-    with open(os.path.join(tbl.commits, "LATEST"), "w") as fh:
-        fh.write("v2")
-    # torn data dir: remove the commit marker of a delta
-    import glob
+    # (a) torn pre-publish temp: invisible to the version scan
+    with open(os.path.join(tbl.commits, ".tmp.deadbeef"), "w") as fh:
+        fh.write('{"version": 99')  # torn JSON, never linked
+    assert tbl.latest_version() == 2
+    # (b) died-after-publish: a COMPLETE orphan manifest is committed
+    m3 = dict(tbl.manifest())
+    m3["version"] = 3
+    with open(os.path.join(tbl.commits, "v3.json"), "w") as fh:
+        json.dump(m3, fh)
+    assert tbl.latest_version() == 3
+    assert {r.c_custkey for r in tbl.read(spark).collect()} == {1, 2}
+    # and the next writer does NOT wedge: it targets v4
+    from pyspark.sql import functions as F
 
+    nxt = tbl.read(spark, 0).filter("c_custkey = 1").select(
+        "c_custkey", "c_name", F.lit(1.0).alias("c_acctbal"),
+        "c_mktsegment", F.lit("U").alias("_op"))
+    assert tbl.commit_delta(nxt) == 4
+    # (d) explicit missing version
+    with pytest.raises(OSError):
+        tbl.read(spark, 42)
+    # (c) torn data dir: remove the commit marker of a delta
     d2 = glob.glob(os.path.join(tbl.root, "delta_2_*"))[0]
     os.remove(os.path.join(d2, "_SUCCESS"))
     with pytest.raises(OSError):
@@ -213,3 +232,20 @@ def test_acid_optimistic_concurrency(spark, tmp_path):
     assert b.commit_delta(d_b) == 4
     latest = {r.c_custkey: r.c_acctbal for r in b.read(spark).collect()}
     assert latest == {1: 111.0, 2: 222.0}
+
+
+def test_acid_delta_cardinality_guard(spark, tmp_path):
+    """Two events for one key in one transaction must be rejected (same
+    _seq => arbitrary merge winner)."""
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    tbl = _tiny_acid(spark, str(tmp_path / "t"))
+    base = tbl.read(spark, 0)
+    bad = base.filter("c_custkey = 1").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+        F.lit("U").alias("_op"),
+    )
+    with pytest.raises(ValueError, match="multiple events"):
+        tbl.commit_delta(bad.unionAll(bad))
