@@ -127,7 +127,8 @@ _sql(
     """
     SELECT o_orderstatus,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
-           round(sum(o_totalprice), 2)               AS revenue
+           CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DOUBLE)                           AS revenue
     FROM orders
     GROUP BY o_orderstatus
     HAVING count(*) > 10
@@ -162,11 +163,11 @@ _sql(
            CAST(rank() OVER (PARTITION BY o_custkey
                              ORDER BY o_totalprice DESC, o_orderkey)
                 AS INT) AS rk,
-           round(sum(o_totalprice) OVER (
+           CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) OVER (
                  PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-               AS running_spend
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
     FROM orders
     WHERE o_custkey < 200
     """,
@@ -208,13 +209,15 @@ _sql(
     """
     SELECT /*+ MAPJOIN(nation) */ n_name,
            CAST(count(*) AS BIGINT)  AS n_cust,
-           round(sum(c_acctbal), 2)  AS total_bal
+           CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2)))
+                AS DOUBLE)           AS total_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
     oracle="""
     SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
-           round(sum(c_acctbal), 2) AS total_bal
+           CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2)))
+                AS DOUBLE)          AS total_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,

@@ -680,13 +680,19 @@ def tpcds_q36_hierarchy_rank(spark, sf_dir):
 _Q49_SQL = """
 WITH store_r AS (
   SELECT l_partkey % 50 AS item,
-         round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity
-                        ELSE 0.0 END)
-               / nullif(sum(l_quantity), 0) + 1e-9, 6)      AS return_ratio,
-         round(sum(CASE WHEN l_returnflag = 'R'
-                        THEN round(l_extendedprice + 1e-9, 2)
-                        ELSE 0.0 END)
-               / nullif(sum(round(l_extendedprice + 1e-9, 2)), 0)
+         round(CAST(sum(CASE WHEN l_returnflag = 'R'
+                             THEN CAST(round(l_quantity, 2)
+                                       AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / nullif(CAST(sum(CAST(round(l_quantity, 2)
+                                      AS DECIMAL(18,2))) AS DOUBLE), 0)
+               + 1e-9, 6)                                    AS return_ratio,
+         round(CAST(sum(CASE WHEN l_returnflag = 'R'
+                             THEN CAST(round(l_extendedprice + 1e-9, 2)
+                                       AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / nullif(CAST(sum(CAST(round(l_extendedprice + 1e-9, 2)
+                                      AS DECIMAL(18,2))) AS DOUBLE), 0)
                + 1e-9, 6)                                    AS currency_ratio
   FROM lineitem GROUP BY l_partkey % 50
 ),
@@ -694,9 +700,12 @@ catalog_r AS (
   SELECT o_custkey % 50 AS item,
          round(sum(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END)
                / count(*) + 1e-9, 6)                         AS return_ratio,
-         round(sum(CASE WHEN o_orderstatus = 'F'
-                        THEN round(o_totalprice + 1e-9, 2) ELSE 0.0 END)
-               / nullif(sum(round(o_totalprice + 1e-9, 2)), 0)
+         round(CAST(sum(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(round(o_totalprice + 1e-9, 2)
+                                       AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / nullif(CAST(sum(CAST(round(o_totalprice + 1e-9, 2)
+                                      AS DECIMAL(18,2))) AS DOUBLE), 0)
                + 1e-9, 6)                                    AS currency_ratio
   FROM orders GROUP BY o_custkey % 50
 ),
@@ -704,10 +713,13 @@ web_r AS (
   SELECT user_id % 50 AS item,
          round(sum(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END)
                / count(*) + 1e-9, 6)                         AS return_ratio,
-         round(sum(CASE WHEN event_type = 'error'
-                        THEN round(value + 1e-9, 2) ELSE 0.0 END)
-               / nullif(sum(round(value + 1e-9, 2)), 0) + 1e-9, 6)
-                                                             AS currency_ratio
+         round(CAST(sum(CASE WHEN event_type = 'error'
+                             THEN CAST(round(value + 1e-9, 2)
+                                       AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / nullif(CAST(sum(CAST(round(value + 1e-9, 2)
+                                      AS DECIMAL(18,2))) AS DOUBLE), 0)
+               + 1e-9, 6)                                    AS currency_ratio
   FROM events GROUP BY user_id % 50
 ),
 ranked AS (

@@ -1403,7 +1403,8 @@ def io_drop_partition_retention(spark, sf_dir):
     oracle="""
     SELECT s_nationkey,
            CAST(count(*) AS BIGINT)         AS n,
-           round(sum(round(s_acctbal, 2)), 2) AS total_bal
+           CAST(sum(CAST(round(s_acctbal, 2) AS DECIMAL(18,2)))
+                AS DOUBLE)                  AS total_bal
     FROM supplier GROUP BY s_nationkey
     """,
 )
@@ -1435,7 +1436,9 @@ def io_sequencefile_roundtrip(spark, sf_dir):
     )
     return decoded.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.sum("bal"), 2).alias("total_bal"),
+        F.sum(F.col("bal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_bal"),
     )
 
 
@@ -1444,7 +1447,8 @@ def io_sequencefile_roundtrip(spark, sf_dir):
     oracle="""
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(round(c_acctbal, 2)), 2) AS total_bal
+           CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2)))
+                AS DOUBLE)          AS total_bal
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -1485,5 +1489,7 @@ def io_jdbc_partitioned_read(spark, sf_dir):
     )
     return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.sum("bal"), 2).alias("total_bal"),
+        F.sum(F.col("bal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_bal"),
     )
