@@ -1786,7 +1786,7 @@ _EVAL_TH = 0.2  # ground-truth Jaccard cutoff
              md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
       FROM sig GROUP BY doc_id, 2
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_sig = b.band_sig
@@ -1906,7 +1906,7 @@ _LADDER_JACC_TH = 0.5
 def _ladder_oracle() -> str:
     from .similarity import _cos_sql, lsh_tb_cte_sql
     return f"""
-    WITH k1 AS (
+    WITH k1 AS MATERIALIZED (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
     ),
     sh AS (
@@ -1916,7 +1916,7 @@ def _ladder_oracle() -> str:
       FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
             FROM documents WHERE doc_id IN (SELECT doc_id FROM k1))
     ),
-    clean AS (SELECT * FROM sh WHERE shingle <> ''),
+    clean AS MATERIALIZED (SELECT * FROM sh WHERE shingle <> ''),
     hashed AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS ha,
@@ -1964,21 +1964,29 @@ def _ladder_oracle() -> str:
       WHERE i.ni * 1.0 / nullif(za.ns + zb.ns - i.ni, 0)
             >= {_LADDER_JACC_TH}
     ),
-    removed2 AS (SELECT DISTINCT doc_b AS doc_id FROM confirmed2),
-    k2 AS (SELECT doc_id FROM k1 WHERE doc_id NOT IN
+    removed2 AS MATERIALIZED (
+      SELECT DISTINCT doc_b AS doc_id FROM confirmed2),
+    k2 AS MATERIALIZED (SELECT doc_id FROM k1 WHERE doc_id NOT IN
            (SELECT doc_id FROM removed2)),
     {lsh_tb_cte_sql()},
+    -- pairs-only DISTINCT, embeddings joined back per surviving pair:
+    -- carrying both embedding ARRAYS through the bucket self-join's
+    -- DISTINCT held ~10M pre-distinct pairs x 2 vectors in memory and was
+    -- the residual sf1 OOM after the minhash stage was count-ified
     ecand AS (
-      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
-             a.embedding AS ea, b.embedding AS eb
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
       FROM tb a JOIN tb b
         ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id < a.vec_id
       WHERE a.vec_id IN (SELECT doc_id FROM k2)
         AND b.vec_id IN (SELECT doc_id FROM k2)
     ),
-    confirmed3 AS (
-      SELECT va, vb FROM ecand
-      WHERE round({_cos_sql('ea', 'eb')} + 1e-9, 6) > {_COS_DEDUP_TH}
+    confirmed3 AS MATERIALIZED (
+      SELECT e.va, e.vb
+      FROM ecand e
+      JOIN embeddings pa ON pa.vec_id = e.va
+      JOIN embeddings pb ON pb.vec_id = e.vb
+      WHERE round({_cos_sql('pa.embedding', 'pb.embedding')} + 1e-9, 6)
+            > {_COS_DEDUP_TH}
     ),
     removed3 AS (SELECT DISTINCT va AS doc_id FROM confirmed3),
     n AS (
