@@ -64,10 +64,16 @@ class ConcurrentCommitError(RuntimeError):
 
 
 class AcidTable:
-    """Manifest-dir commit log over immutable parquet data dirs."""
+    """Manifest-dir commit log over immutable parquet data dirs.
 
-    def __init__(self, root: str):
+    ``cols`` is the table schema (column names), ``key`` the merge key
+    (defaults: the customer-shaped demo schema used by the acid_*
+    queries; the streaming-ingest query uses its own)."""
+
+    def __init__(self, root: str, cols=None, key: str | None = None):
         self.root = root
+        self.cols = list(cols) if cols is not None else list(_COLS)
+        self.key = key or self.cols[0]
         self.commits = os.path.join(root, "_commits")
         os.makedirs(self.commits, exist_ok=True)
 
@@ -131,7 +137,7 @@ class AcidTable:
     def create(self, df) -> None:
         """v0: initial base snapshot."""
         d = os.path.join(self.root, "base_0")
-        df.select(*_COLS).write.mode("errorifexists").parquet(d)
+        df.select(*self.cols).write.mode("errorifexists").parquet(d)
         committed(d)
         self._commit(
             {"version": 0, "base": "base_0", "base_seq": 0, "deltas": []}
@@ -145,7 +151,7 @@ class AcidTable:
         (nondeterministic snapshots); one event per key per transaction
         is the contract (Hive MERGE raises the same cardinality error)."""
         dup = (
-            delta_df.groupBy("c_custkey")
+            delta_df.groupBy(self.key)
             .count()
             .filter(F.col("count") > 1)
             .limit(1)
@@ -164,7 +170,7 @@ class AcidTable:
         # table)
         dname = f"delta_{v}_{uuid.uuid4().hex[:8]}"
         d = os.path.join(self.root, dname)
-        delta_df.select(*_COLS, "_op").write.mode("errorifexists").parquet(d)
+        delta_df.select(*self.cols, "_op").write.mode("errorifexists").parquet(d)
         committed(d)
         m = {
             "version": v,
@@ -199,7 +205,7 @@ class AcidTable:
         m = self.manifest(version)
         base = spark.read.parquet(
             committed(os.path.join(self.root, m["base"]))
-        ).select(*_COLS)
+        ).select(*self.cols)
         if not m["deltas"]:
             # compacted (or fresh) snapshot: the base IS the state — plain
             # scan, no merge window (what compaction buys at read time)
@@ -210,15 +216,15 @@ class AcidTable:
         for seq, dname in m["deltas"]:
             d = (
                 spark.read.parquet(committed(os.path.join(self.root, dname)))
-                .select(*_COLS, "_op")
+                .select(*self.cols, "_op")
                 .withColumn("_seq", F.lit(seq))
             )
             cur = cur.unionByName(d)
-        w = Window.partitionBy("c_custkey").orderBy(F.col("_seq").desc())
+        w = Window.partitionBy(self.key).orderBy(F.col("_seq").desc())
         return (
             cur.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (F.col("_op") != "D"))
-            .select(*_COLS)
+            .select(*self.cols)
         )
 
 
@@ -414,3 +420,118 @@ def acid_compaction_equivalence(spark, sf_dir):
 
     shutil.rmtree(tbl.root, ignore_errors=True)
     return out
+
+
+# ---- Hive "streaming" parity: ACID micro-batch ingest ----------------------
+
+
+@query(
+    "stream_acid_ingest_history",
+    oracle="""
+    SELECT CAST(0 AS INT) AS version, CAST(0 AS BIGINT) AS n_users,
+           CAST(0 AS BIGINT) AS n_events
+    UNION ALL
+    SELECT CAST(k AS INT), CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM events, range(1, 5) t(k)
+    WHERE event_id % 4 < k
+    GROUP BY k
+    """,
+)
+def stream_acid_ingest_history(spark, sf_dir):
+    """Hive's actual 'streaming' surface is ACID micro-batch ingest
+    (SURVEY §1.1 — hcatalog/streaming writes delta files into a
+    transactional table; there is no continuous-query engine). Parity:
+    Structured Streaming replays the events table as 4 micro-batches
+    (events.parquet re-staged as 4 chunk files, event_id % 4, ascending
+    mtimes so the file source delivers them in order), and each batch's
+    per-user aggregate commits as ONE AcidTable transaction inside
+    foreachBatch (existing users UPDATE with accumulated counts, new
+    users INSERT; batch replay detected by the manifest version, exactly
+    the stream_upsert idempotence protocol). The commit log then holds
+    the full ingest history: the query time-travels every version and
+    reports (version, n_users, n_events) — which the oracle replays as
+    cumulative filters over the batch-split rule.
+
+    100 TB shape: per-batch work is one map-side-combined aggregate of
+    the BATCH plus a key-hash merge against mutation-sized state; the
+    ACID read path is the key-partitioned merge-on-read window."""
+    import shutil
+    import time
+
+    base = run_scratch("acidstream", sf_dir, "ingest")
+    chunks = os.path.join(base, "chunks")
+    os.makedirs(chunks, exist_ok=True)
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id")
+    t0 = time.time() - 3600
+    for b in range(4):
+        stage = os.path.join(base, f"stage_{b}")
+        (
+            ev.filter(F.col("event_id") % 4 == b)
+            .coalesce(1)
+            .write.mode("errorifexists")
+            .parquet(stage)
+        )
+        part = next(
+            f for f in os.listdir(committed(stage)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(chunks, f"c{b}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (t0 + b * 10, t0 + b * 10))
+
+    tbl = AcidTable(base, cols=["user_id", "n_events"], key="user_id")
+    empty = spark.createDataFrame([], "user_id bigint, n_events bigint")
+    tbl.create(empty)
+
+    def ingest(batch_df, batch_id: int) -> None:
+        if tbl.latest_version() >= batch_id + 1:
+            return  # replayed micro-batch: already committed
+        inc = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("inc_n")
+        )
+        cur = tbl.read(batch_df.sparkSession).select(
+            F.col("user_id").alias("c_user"), F.col("n_events").alias("c_n")
+        )
+        delta = inc.join(cur, inc["user_id"] == cur["c_user"], "left").select(
+            "user_id",
+            (F.coalesce("c_n", F.lit(0)) + F.col("inc_n"))
+            .cast("bigint")
+            .alias("n_events"),
+            F.when(F.col("c_user").isNull(), "I").otherwise("U").alias("_op"),
+        )
+        tbl.commit_delta(delta)
+
+    q = (
+        spark.readStream.schema("event_id bigint, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("acid ingest stream did not finish")
+    finally:
+        q.stop()
+
+    outs = []
+    for v in range(tbl.latest_version() + 1):
+        outs.append(
+            tbl.read(spark, version=v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                F.coalesce(F.sum("n_events"), F.lit(0))
+                .cast("bigint")
+                .alias("n_events"),
+            ).select("version", "n_users", "n_events")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    res = res.localCheckpoint()
+    import shutil as _sh
+
+    _sh.rmtree(base, ignore_errors=True)
+    return res
