@@ -1420,7 +1420,13 @@ def io_sequencefile_roundtrip(spark, sf_dir):
     JVM SerDe — proven by tests/test_legacy_formats.py
     in a subprocess session). A migration reads these files ONCE and
     rewrites to parquet; this op is that bridge."""
+    import shutil
+
     out = _scratch(sf_dir, "supplier_seq")
+    # saveAsSequenceFile has no overwrite mode — clear the per-run scratch
+    # target so repeated invocations in one process (bench warm-ups, the
+    # canary's double timing) stay idempotent like every other io_* op.
+    shutil.rmtree(out, ignore_errors=True)
     s = T(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("bal")
     )
