@@ -197,6 +197,33 @@ class AcidTable:
         )
         return v
 
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """GC unreferenced data dirs (Delta VACUUM / Hive cleaner-thread
+        role): keep every dir referenced by the newest ``retain_versions``
+        manifests, delete the rest — replaced bases, superseded deltas,
+        and orphans from losing concurrent writers. Time travel older
+        than the retention horizon stops working (by design — exactly
+        Delta's contract); the manifests themselves stay, so a
+        too-old read fails with a clear missing-dir error rather than
+        serving partial data. Returns the deleted dir names."""
+        import shutil
+
+        latest = self.latest_version()
+        keep: set[str] = set()
+        for v in range(max(0, latest - retain_versions + 1), latest + 1):
+            m = self.manifest(v)
+            keep.add(m["base"])
+            keep.update(dname for _, dname in m["deltas"])
+        deleted = []
+        for entry in os.listdir(self.root):
+            full = os.path.join(self.root, entry)
+            if entry == "_commits" or not os.path.isdir(full):
+                continue
+            if entry not in keep:
+                shutil.rmtree(full, ignore_errors=True)
+                deleted.append(entry)
+        return sorted(deleted)
+
     # -- merge-on-read ---------------------------------------------------
 
     def read(self, spark, version: int | None = None):

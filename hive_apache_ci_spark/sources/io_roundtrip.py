@@ -1499,3 +1499,49 @@ def io_jdbc_partitioned_read(spark, sf_dir):
         .cast("double")
         .alias("total_bal"),
     )
+
+
+@query(
+    "io_schema_evolution_merge",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                          AS n_rows,
+           CAST(count(CASE WHEN o_orderkey % 2 = 1
+                           THEN 1 END) AS BIGINT)            AS n_with_price,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                         THEN CAST(round(o_totalprice, 2)
+                                   AS DECIMAL(18,2)) END) AS DOUBLE)
+                                                             AS total_price
+    FROM orders
+    """,
+)
+def io_schema_evolution_merge(spark, sf_dir):
+    """Schema evolution on read (Hive ``ALTER TABLE ... ADD COLUMNS`` +
+    schema-on-read, SURVEY §1.2): the table directory holds files written
+    under TWO schemas — an old 2-column layout and a new 3-column layout
+    with an added price column — and ``mergeSchema`` reconciles them into
+    the evolved schema, old rows reading NULL for the new column (exactly
+    Hive's add-columns semantics: no data rewrite, metadata-only DDL).
+    The aggregate proves the NULL-backfill: n_with_price counts only
+    new-layout rows, and the price total matches the oracle's odd-key
+    partition of the source. At 100 TB this is the only sane way to add
+    a column — rewriting the table is not."""
+    out = _scratch(sf_dir, "orders_evolved")
+    o = T(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    old.write.mode("overwrite").parquet(out)
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    new.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(committed(out))
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("price").cast("bigint").alias("n_with_price"),
+        F.sum(F.col("price").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -249,3 +249,40 @@ def test_acid_delta_cardinality_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="multiple events"):
         tbl.commit_delta(bad.unionAll(bad))
+
+
+def test_acid_merge_on_read_window_partitions_by_key(spark, tmp_path):
+    """The merge-on-read window must hash-partition by the merge key —
+    never a single-partition window — so the ACID read path scales with
+    the key space."""
+    import contextlib
+    import io
+
+    tbl = _tiny_acid(spark, str(tmp_path / "t"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tbl.read(spark).explain(mode="formatted")
+    p = buf.getvalue()
+    assert "hashpartitioning(c_custkey" in p, p
+    assert "SinglePartition" not in p, p
+    assert "WindowGroupLimit" in p or "Window" in p, p
+
+
+def test_acid_vacuum_gc_and_retention(spark, tmp_path):
+    """vacuum keeps every dir the retained manifests reference, deletes
+    replaced bases/orphans, and time travel beyond the horizon fails
+    cleanly (missing committed dir) instead of serving partial data."""
+    import os
+
+    import pytest
+
+    tbl = _tiny_acid(spark, str(tmp_path / "t"))
+    tbl.compact(spark)                         # v3: fresh base, old dirs dead
+    before = {r.c_custkey: r.c_acctbal for r in tbl.read(spark).collect()}
+    deleted = tbl.vacuum(retain_versions=1)
+    assert "base_0" in deleted                 # replaced base GC'd
+    assert any(d.startswith("delta_1_") for d in deleted)
+    after = {r.c_custkey: r.c_acctbal for r in tbl.read(spark).collect()}
+    assert after == before                     # latest snapshot untouched
+    with pytest.raises(OSError):               # horizon: v0 is gone
+        tbl.read(spark, 0).collect()
