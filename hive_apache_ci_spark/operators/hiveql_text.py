@@ -262,3 +262,32 @@ _sql(
       AND o_orderkey <= 2000
     """,
 )
+
+
+# --- lateral_view_json_tuple.q: json_tuple UDTF as text ----------------------
+_sql(
+    "qtext_json_tuple",
+    """
+    SELECT event_id, k_val
+    FROM events
+    LATERAL VIEW json_tuple(props, 'k') t AS k_val
+    WHERE event_id < 2000
+    """,
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k') AS k_val
+    FROM events WHERE event_id < 2000
+    """,
+)
+
+# --- date_udf.q idiom: INTERVAL arithmetic in a predicate + projection -------
+_sql(
+    "qtext_interval_arith",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)                    AS d,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS d_plus_q
+    FROM orders
+    WHERE o_orderdate < DATE '1995-01-01' + INTERVAL 6 MONTH
+      AND o_orderkey <= 5000
+    """,
+)
