@@ -131,6 +131,16 @@ class AcidTable:
             ) from None
         finally:
             os.unlink(tmp)
+        # durability of the ACKNOWLEDGED commit (Delta's _delta_log
+        # contract): the manifest bytes are fsynced above, but the new
+        # v{n}.json directory entry lives in the _commits dir — fsync the
+        # directory too, or a power loss after we return success could
+        # make the committed version vanish (r9 ADVICE).
+        dfd = os.open(self.commits, os.O_DIRECTORY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     # -- writes ----------------------------------------------------------
 
@@ -143,13 +153,25 @@ class AcidTable:
             {"version": 0, "base": "base_0", "base_seq": 0, "deltas": []}
         )
 
-    def commit_delta(self, delta_df) -> int:
+    def commit_delta(self, delta_df, read_version: int | None = None) -> int:
         """One transaction: U/D/I event rows (full row image + _op).
         Returns the committed version. Rejects deltas carrying two events
         for one key — within a commit all events share the same _seq, so
         duplicate keys would make the merge-on-read winner arbitrary
         (nondeterministic snapshots); one event per key per transaction
-        is the contract (Hive MERGE raises the same cardinality error)."""
+        is the contract (Hive MERGE raises the same cardinality error).
+
+        ``read_version`` pins the transaction's SNAPSHOT version — the
+        version the delta was derived from (``tbl.read(spark, version=n)``
+        → ``commit_delta(delta, read_version=n)``). The commit targets
+        exactly ``read_version + 1``, so ANY intervening commit forces the
+        hard-link EEXIST path and the writer gets ConcurrentCommitError —
+        the full Delta first-writer-wins contract, closing the
+        read-then-commit race (r9 ADVICE: without pinning, a writer whose
+        read predates a concurrent commit would silently stack its delta
+        on top of state it never saw). ``None`` (single-writer
+        convenience) resolves the latest version at commit time and only
+        detects the narrower publish-slot race."""
         dup = (
             delta_df.groupBy(self.key)
             .count()
@@ -162,7 +184,7 @@ class AcidTable:
                 f"delta has multiple events for key {dup[0][0]}; "
                 "one event per key per transaction"
             )
-        m = self.manifest()
+        m = self.manifest(read_version)
         v = m["version"] + 1
         # writer-unique data dir: the manifest slot link is the ONLY
         # commit arbiter — a losing concurrent writer leaves an orphan
@@ -205,9 +227,20 @@ class AcidTable:
         than the retention horizon stops working (by design — exactly
         Delta's contract); the manifests themselves stay, so a
         too-old read fails with a clear missing-dir error rather than
-        serving partial data. Returns the deleted dir names."""
+        serving partial data. Returns the deleted dir names.
+
+        Safety rails (r9 ADVICE): ``retain_versions >= 1`` is enforced
+        (0 would compute an empty keep-set and delete the CURRENT base),
+        and only dirs matching the ``base_*``/``delta_*`` data-dir naming
+        are eligible — co-located non-table dirs (streaming checkpoints,
+        staged chunks) are never touched."""
         import shutil
 
+        if retain_versions < 1:
+            raise ValueError(
+                f"retain_versions must be >= 1 (got {retain_versions}); "
+                "0 would vacuum the live snapshot itself"
+            )
         latest = self.latest_version()
         keep: set[str] = set()
         for v in range(max(0, latest - retain_versions + 1), latest + 1):
@@ -217,8 +250,10 @@ class AcidTable:
         deleted = []
         for entry in os.listdir(self.root):
             full = os.path.join(self.root, entry)
-            if entry == "_commits" or not os.path.isdir(full):
+            if not os.path.isdir(full):
                 continue
+            if not (entry.startswith("base_") or entry.startswith("delta_")):
+                continue  # not a table data dir — never vacuum's business
             if entry not in keep:
                 shutil.rmtree(full, ignore_errors=True)
                 deleted.append(entry)
@@ -280,7 +315,7 @@ def _build_demo_table(spark, sf_dir: str, name: str) -> AcidTable:
         "c_mktsegment",
         F.lit("U").alias("_op"),
     )
-    tbl.commit_delta(upd)
+    tbl.commit_delta(upd, read_version=0)
     # v2 — DELETE: account closures
     v1 = tbl.read(spark)
     dele = v1.filter(F.col("c_custkey") % 7 == 3).select(
@@ -288,7 +323,7 @@ def _build_demo_table(spark, sf_dir: str, name: str) -> AcidTable:
         F.lit(None).cast("double").alias("c_acctbal"),
         _null_str().alias("c_mktsegment"), F.lit("D").alias("_op"),
     )
-    tbl.commit_delta(dele)
+    tbl.commit_delta(dele, read_version=1)
     # v3 — MERGE: matched keys update to newbal; unmatched (including keys
     # deleted at v2) insert as fresh 'ACID' rows
     src = T(spark, sf_dir, "customer").filter(
@@ -320,7 +355,7 @@ def _build_demo_table(spark, sf_dir: str, name: str) -> AcidTable:
         F.lit("ACID").alias("c_mktsegment"),
         F.lit("I").alias("_op"),
     )
-    tbl.commit_delta(matched.unionByName(inserted))
+    tbl.commit_delta(matched.unionByName(inserted), read_version=2)
     return tbl
 
 
@@ -526,7 +561,7 @@ def stream_acid_ingest_history(spark, sf_dir):
             .alias("n_events"),
             F.when(F.col("c_user").isNull(), "I").otherwise("U").alias("_op"),
         )
-        tbl.commit_delta(delta)
+        tbl.commit_delta(delta, read_version=batch_id)
 
     q = (
         spark.readStream.schema("event_id bigint, user_id bigint")

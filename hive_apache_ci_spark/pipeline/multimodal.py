@@ -526,6 +526,13 @@ def parse_image_header(b: bytes) -> tuple[str, int | None, int | None]:
         while i + 4 <= len(b):
             if b[i] != 0xFF:
                 break
+            # T.81 §B.1.1.2: markers may be preceded by any number of 0xFF
+            # fill bytes — skip the run so a fill byte is never read as a
+            # marker code (r9 ADVICE: padded-but-valid JPEGs misparsed)
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > len(b):
+                break
             marker = b[i + 1]
             if marker == 0xD9:  # EOI
                 break
@@ -533,6 +540,8 @@ def parse_image_header(b: bytes) -> tuple[str, int | None, int | None]:
                 i += 2
                 continue
             seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seglen < 2:  # malformed: would walk backwards/loop forever
+                break
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 if i + 9 <= len(b):
                     height = int.from_bytes(b[i + 5 : i + 7], "big")

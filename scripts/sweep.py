@@ -15,9 +15,11 @@ Usage:
 
 Shard processes each build a local[$SPARK_GRAFT_CPUS] session; with the
 default 4 shards on the 32-core rig each shard gets CPUS=8 unless
-SPARK_GRAFT_CPUS is already set. Exit code is nonzero iff any query line
-is FAIL (ORACLE_OOM_KNOWN_LIMIT prints as SKIP and does not fail the
-sweep — it is an oracle resource limit, not an engine mismatch).
+SPARK_GRAFT_CPUS is already set. Exit codes: 1 if any query line is FAIL;
+2 if the SKIP count (ORACLE_OOM_KNOWN_LIMIT — an oracle resource limit,
+not an engine mismatch) exceeds ``--allow-skips`` (default 0, the
+committed baseline) — so a change that newly pushes an oracle into OOM
+can't silently shrink differential coverage (r9 ADVICE).
 """
 
 from __future__ import annotations
@@ -56,6 +58,13 @@ def main() -> int:
     ap.add_argument("--names", default=None,
                     help="comma-separated subset (default: full registry)")
     ap.add_argument("--out", default=None, help="explicit artifact path")
+    ap.add_argument(
+        "--allow-skips", type=int, default=0,
+        help="max tolerated SKIP lines (ORACLE_OOM_KNOWN_LIMIT) before the "
+        "sweep exits nonzero. The committed baseline is 0 (r9 closed the "
+        "last oracle OOMs), so a change that newly pushes a DuckDB oracle "
+        "into its memory cap is LOUD — the query would otherwise silently "
+        "drop out of differential coverage (r9 ADVICE).")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -96,10 +105,16 @@ def main() -> int:
     n_skip = sum(1 for ln in lines if ln.startswith("SKIP"))
     passed = len(names) - n_fail - n_skip
     rc = 1 if n_fail else 0
+    if n_skip > args.allow_skips:
+        # skips over baseline are a COVERAGE regression, not a pass
+        rc = max(rc, 2)
     head = f"== {passed}/{len(names)} ok =="
     if n_skip:
         head = (f"== {passed} passed, {n_skip} skipped(oracle-limit), "
                 f"{n_fail} failed / {len(names)} ==")
+        if n_skip > args.allow_skips:
+            head += (f" [SKIP COUNT {n_skip} > baseline "
+                     f"{args.allow_skips}: coverage regression]")
     body = "\n".join(lines) + f"\n{head}\nRC={rc}\n"
     sys.stdout.write(body)
 

@@ -222,14 +222,25 @@ def test_acid_optimistic_concurrency(spark, tmp_path):
         "c_custkey", "c_name", F.lit(222.0).alias("c_acctbal"),
         "c_mktsegment", F.lit("U").alias("_op"))
     # both handles observed v2; a wins v3
-    assert a.commit_delta(d_a) == 3
-    # b still believes latest is... manifest() re-reads LATEST, so force
-    # the race: replay the losing slot directly
+    assert a.commit_delta(d_a, read_version=2) == 3
+    # the READ-THEN-COMMIT race (r9 ADVICE): b's delta was derived from
+    # the v2 snapshot, so its commit is pinned to target v3 — which a
+    # already took. Without read_version pinning this would silently
+    # stack b's delta on state b never saw; with it, b must conflict.
+    with pytest.raises(ConcurrentCommitError):
+        b.commit_delta(d_b, read_version=2)
+    # the narrower slot-replay race is still caught at the link itself
     with pytest.raises(ConcurrentCommitError):
         b._commit({"version": 3, "base": "base_0", "base_seq": 0,
                    "deltas": []})
-    # loser retries the normal way: re-read -> next version succeeds
-    assert b.commit_delta(d_b) == 4
+    # loser retries the contract way: re-read the NEW snapshot, re-derive,
+    # commit against the observed version -> succeeds at v4
+    v_seen = b.latest_version()
+    assert v_seen == 3
+    d_b2 = b.read(spark, v_seen).filter("c_custkey = 2").select(
+        "c_custkey", "c_name", F.lit(222.0).alias("c_acctbal"),
+        "c_mktsegment", F.lit("U").alias("_op"))
+    assert b.commit_delta(d_b2, read_version=v_seen) == 4
     latest = {r.c_custkey: r.c_acctbal for r in b.read(spark).collect()}
     assert latest == {1: 111.0, 2: 222.0}
 
@@ -286,3 +297,25 @@ def test_acid_vacuum_gc_and_retention(spark, tmp_path):
     assert after == before                     # latest snapshot untouched
     with pytest.raises(OSError):               # horizon: v0 is gone
         tbl.read(spark, 0).collect()
+
+
+def test_acid_vacuum_guards(spark, tmp_path):
+    """r9 ADVICE rails: retain_versions=0 (would delete the live base) is
+    rejected, and vacuum never touches co-located non-table dirs (the
+    streaming-ingest layout keeps checkpoints/chunks under the same
+    root)."""
+    import os
+
+    import pytest
+
+    tbl = _tiny_acid(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="retain_versions"):
+        tbl.vacuum(retain_versions=0)
+    # co-located stream dirs must survive a vacuum
+    for extra in ("ckpt", "chunks", "stage_0"):
+        os.makedirs(os.path.join(tbl.root, extra), exist_ok=True)
+    tbl.compact(spark)
+    deleted = tbl.vacuum(retain_versions=1)
+    assert all(d.startswith(("base_", "delta_")) for d in deleted)
+    for extra in ("ckpt", "chunks", "stage_0", "_commits"):
+        assert os.path.isdir(os.path.join(tbl.root, extra))

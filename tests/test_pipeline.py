@@ -463,6 +463,20 @@ def test_parse_image_header_edge_cases():
         + b"\xff\xd9"
     )
     assert parse_image_header(jpg) == ("jpeg", 640, 480)
+    # T.81 §B.1.1.2 fill bytes: any run of 0xFF before a marker is padding,
+    # not a marker code (r9 ADVICE — a fill byte was read as seglen bytes)
+    padded = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"                                # fill run
+        + b"\xff\xc0\x00\x11\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        + b"\xff\xd9"
+    )
+    assert parse_image_header(padded) == ("jpeg", 640, 480)
+    # malformed seglen < 2 must bail, never walk backwards/loop
+    bad_len = b"\xff\xd8" + b"\xff\xfe\x00\x01" + b"\x00" * 8
+    assert parse_image_header(bad_len) == ("unknown", None, None)
     assert parse_image_header(b"") == ("unknown", None, None)
     assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") == (
         "unknown", None, None)
