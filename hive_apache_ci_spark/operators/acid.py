@@ -597,3 +597,497 @@ def stream_acid_ingest_history(spark, sf_dir):
 
     _sh.rmtree(base, ignore_errors=True)
     return res
+
+
+# ---- round 10: partitioned ACID + partition-scoped compaction --------------
+
+
+class PartitionedAcidTable(AcidTable):
+    """Partitioned transactional table: Hive keeps a base/delta chain PER
+    PARTITION dir (``tbl/part=val/base_N``, ``tbl/part=val/delta_M_M``)
+    and the compactor runs partition-at-a-time, so a mutation touching 3
+    of 10,000 partitions rewrites 3 — this is the claim at the top of
+    this module ("at 100 TB the base is partitioned and compaction runs
+    partition-at-a-time"), now demonstrated. ``[jar:
+    metadata/Partition.class, txn/compactor/Initiator.class]`` — Hive's
+    Initiator enqueues one compaction task per dirty partition.
+
+    Layout mirrors Hive exactly: data files do NOT carry rows of other
+    partitions; each commit stages ONE ``partitionBy`` write (a single
+    Spark job regardless of how many partitions the delta touches — the
+    dynamic-partition insert path) whose subdirs are then published as
+    per-partition data dirs. The manifest maps partition value →
+    {base, base_seq, deltas}; a delta targeting a brand-new partition
+    value creates the partition (base=None, Hive dynamic-partition
+    semantics). Partition values are dir-name strings, like Hive's.
+
+    ``read(partition=val)`` resolves ONLY that partition's chain, so the
+    scan lists one partition dir — metastore-style partition pruning by
+    construction (gated: every inputFile must live under the partition
+    dir; tests/test_plans.py + the in-query audit below)."""
+
+    def __init__(self, root: str, cols=None, key: str | None = None,
+                 part: str | None = None):
+        super().__init__(root, cols, key)
+        self.part = part or self.cols[-1]
+        if self.part not in self.cols:
+            raise ValueError(f"partition column {self.part} not in schema")
+
+    # -- staging: one partitionBy job per commit --------------------------
+
+    def _stage(self, df, version: int, kind: str, with_op: bool) -> dict:
+        """Write df once with ``partitionBy``, then publish each partition
+        subdir as ``{part}={val}/{kind}_{version}_{uuid}``. The partition
+        column is DUPLICATED into a routing column so the real column
+        stays inside the data files (partitionBy drops only the routing
+        copy) — each published dir is a self-contained plain-parquet dir.
+        Returns {partition_value: dir_relpath}."""
+        import shutil
+        from urllib.parse import unquote
+
+        cols = self.cols + (["_op"] if with_op else [])
+        stage = os.path.join(self.root, f".stage_{uuid.uuid4().hex}")
+        (
+            df.select(*cols)
+            .withColumn("_pv", F.col(self.part))
+            .write.partitionBy("_pv")
+            .mode("errorifexists")
+            .parquet(stage)
+        )
+        committed(stage)
+        out: dict[str, str] = {}
+        for entry in sorted(os.listdir(stage)):
+            if not entry.startswith("_pv="):
+                continue
+            val = unquote(entry[len("_pv="):])
+            pdir = f"{self.part}={val}"
+            os.makedirs(os.path.join(self.root, pdir), exist_ok=True)
+            dname = f"{kind}_{version}_{uuid.uuid4().hex[:8]}"
+            dst = os.path.join(self.root, pdir, dname)
+            shutil.move(os.path.join(stage, entry), dst)
+            # the staging job committed atomically above; re-mark the
+            # published dir so committed() gates each partition dir too
+            open(os.path.join(dst, "_SUCCESS"), "w").close()
+            out[val] = f"{pdir}/{dname}"
+        shutil.rmtree(stage, ignore_errors=True)
+        return out
+
+    # -- commit protocol over per-partition chains ------------------------
+
+    def create(self, df) -> None:
+        dirs = self._stage(df, 0, "base", with_op=False)
+        self._commit({
+            "version": 0,
+            "partitions": {
+                v: {"base": d, "base_seq": 0, "deltas": []}
+                for v, d in dirs.items()
+            },
+        })
+
+    def commit_delta(self, delta_df, read_version: int | None = None) -> int:
+        dup = (
+            delta_df.groupBy(self.key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"delta has multiple events for key {dup[0][0]}; "
+                "one event per key per transaction"
+            )
+        m = self.manifest(read_version)
+        v = m["version"] + 1
+        dirs = self._stage(delta_df, v, "delta", with_op=True)
+        parts = {pv: dict(e) for pv, e in m["partitions"].items()}
+        for val, dname in dirs.items():
+            e = parts.get(val)
+            if e is None:  # dynamic-partition insert: partition is born here
+                e = {"base": None, "base_seq": -1, "deltas": []}
+            e = dict(e)
+            e["deltas"] = list(e["deltas"]) + [[v, dname]]
+            parts[val] = e
+        self._commit({"version": v, "partitions": parts})
+        return v
+
+    def compact(self, spark) -> list[str]:
+        """Partition-scoped major compaction: rewrite ONLY partitions with
+        live deltas (one per-partition job — Hive's compactor queue);
+        clean partitions keep their existing base dir UNREWRITTEN in the
+        new manifest. Returns the compacted partition values."""
+        m = self.manifest()
+        v = m["version"] + 1
+        parts = {pv: dict(e) for pv, e in m["partitions"].items()}
+        compacted = []
+        for pv in sorted(parts):
+            e = parts[pv]
+            if not e["deltas"]:
+                continue  # clean partition: zero I/O, manifest ref carried
+            snap = self._read_partition(spark, e)
+            pdir = f"{self.part}={pv}"
+            dname = f"base_{v}_{uuid.uuid4().hex[:8]}"
+            d = os.path.join(self.root, pdir, dname)
+            snap.write.mode("errorifexists").parquet(d)
+            committed(d)
+            parts[pv] = {"base": f"{pdir}/{dname}", "base_seq": v, "deltas": []}
+            compacted.append(pv)
+        if compacted:
+            self._commit({"version": v, "partitions": parts})
+        return compacted
+
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Per-partition GC with the same rails as the flat table: only
+        ``base_*``/``delta_*`` dirs under ``{part}={val}`` partition dirs
+        are eligible; keep-set is the union over retained manifests."""
+        import shutil
+
+        if retain_versions < 1:
+            raise ValueError(
+                f"retain_versions must be >= 1 (got {retain_versions}); "
+                "0 would vacuum the live snapshot itself"
+            )
+        latest = self.latest_version()
+        keep: set[str] = set()
+        for v in range(max(0, latest - retain_versions + 1), latest + 1):
+            for e in self.manifest(v)["partitions"].values():
+                if e["base"]:
+                    keep.add(e["base"])
+                keep.update(d for _, d in e["deltas"])
+        deleted = []
+        for pdir in os.listdir(self.root):
+            full = os.path.join(self.root, pdir)
+            if not os.path.isdir(full) or "=" not in pdir:
+                continue
+            for entry in os.listdir(full):
+                rel = f"{pdir}/{entry}"
+                sub = os.path.join(full, entry)
+                if not os.path.isdir(sub):
+                    continue
+                if not entry.startswith(("base_", "delta_")):
+                    continue
+                if rel not in keep:
+                    shutil.rmtree(sub, ignore_errors=True)
+                    deleted.append(rel)
+        return sorted(deleted)
+
+    # -- merge-on-read, partition-pruned ----------------------------------
+
+    def _read_partition(self, spark, e):
+        srcs = []
+        if e["base"] is not None:
+            base = spark.read.parquet(
+                committed(os.path.join(self.root, e["base"]))
+            ).select(*self.cols)
+            if not e["deltas"]:
+                return base  # compacted partition: plain scan, no window
+            srcs.append(
+                base.withColumn("_op", F.lit("I")).withColumn(
+                    "_seq", F.lit(e["base_seq"])
+                )
+            )
+        for seq, dname in e["deltas"]:
+            srcs.append(
+                spark.read.parquet(committed(os.path.join(self.root, dname)))
+                .select(*self.cols, "_op")
+                .withColumn("_seq", F.lit(seq))
+            )
+        cur = srcs[0]
+        for s in srcs[1:]:
+            cur = cur.unionByName(s)
+        w = Window.partitionBy(self.key).orderBy(F.col("_seq").desc())
+        return (
+            cur.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("_op") != "D"))
+            .select(*self.cols)
+        )
+
+    def read(self, spark, version: int | None = None,
+             partition: str | None = None):
+        """Snapshot read; ``partition=val`` prunes to ONE partition chain
+        (the scan never lists any other partition dir)."""
+        m = self.manifest(version)
+        parts = m["partitions"]
+        if partition is not None:
+            if partition not in parts:
+                raise KeyError(
+                    f"no partition {self.part}={partition} at v{m['version']}"
+                )
+            sel = [parts[partition]]
+        else:
+            sel = [parts[pv] for pv in sorted(parts)]
+        outs = [self._read_partition(spark, e) for e in sel]
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.unionByName(o)
+        return res
+
+
+#: Segments whose chains receive deltas in the partitioned demo (v1 touches
+#: BUILDING + MACHINERY, v2 inserts into AUTOMOBILE + the brand-new ACIDSEG);
+#: FURNITURE and HOUSEHOLD stay clean — compaction must NOT rewrite them.
+_PACID_DIRTY = ("ACIDSEG", "AUTOMOBILE", "BUILDING", "MACHINERY")
+
+
+def _build_partitioned_table(spark, sf_dir: str, name: str):
+    """v0 create (5 segment partitions) → v1 {UPDATE in BUILDING, DELETE in
+    MACHINERY} → v2 dynamic-partition INSERT into AUTOMOBILE + new ACIDSEG.
+    Delete events carry the REAL partition value (Hive: partition columns
+    are mandatory on every mutation — they route the event to its
+    partition's delta chain)."""
+    tbl = PartitionedAcidTable(
+        run_scratch("pacid", sf_dir, name), part="c_mktsegment"
+    )
+    base = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    tbl.create(base)
+    v0 = tbl.read(spark, version=0)
+    upd = v0.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 3 == 0)
+    ).select(
+        "c_custkey", "c_name",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        "c_mktsegment", F.lit("U").alias("_op"),
+    )
+    dele = v0.filter(
+        (F.col("c_mktsegment") == "MACHINERY") & (F.col("c_custkey") % 4 == 1)
+    ).select(
+        "c_custkey", _null_str().alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        "c_mktsegment", F.lit("D").alias("_op"),
+    )
+    tbl.commit_delta(upd.unionByName(dele), read_version=0)
+    ins = v0.filter(
+        (F.col("c_mktsegment") == "FURNITURE") & (F.col("c_custkey") % 5 == 0)
+    ).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.concat(
+            F.lit("Customer#pacid"),
+            (F.col("c_custkey") + 10000000).cast("string"),
+        ).alias("c_name"),
+        F.round(F.col("c_acctbal") / 2 + F.lit(1e-9), 2).alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 10 == 0, "ACIDSEG")
+        .otherwise("AUTOMOBILE")
+        .alias("c_mktsegment"),
+        F.lit("I").alias("_op"),
+    )
+    tbl.commit_delta(ins, read_version=1)
+    return tbl
+
+
+_PACID_VERSIONS_CTE = """
+pv0 AS (
+  SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+  FROM customer
+),
+pv1 AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 3 = 0
+              THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM pv0
+  WHERE NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 4 = 1)
+),
+pins AS (
+  SELECT c_custkey + 10000000 AS c_custkey,
+         'Customer#pacid' || CAST(c_custkey + 10000000 AS VARCHAR) AS c_name,
+         round(c_acctbal / 2 + 1e-9, 2) AS c_acctbal,
+         CASE WHEN c_custkey % 10 = 0 THEN 'ACIDSEG'
+              ELSE 'AUTOMOBILE' END AS c_mktsegment
+  FROM pv0
+  WHERE c_mktsegment = 'FURNITURE' AND c_custkey % 5 = 0
+),
+pv2 AS (SELECT * FROM pv1 UNION ALL SELECT * FROM pins)
+"""
+
+
+@query(
+    "acid_partitioned_upsert",
+    oracle=f"""
+    WITH {_PACID_VERSIONS_CTE}
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM pv2
+    """,
+)
+def acid_partitioned_upsert(spark, sf_dir):
+    """Partitioned ACID table: per-partition base/delta chains, a delta
+    touching 2 of 5 partitions, then a dynamic-partition insert that
+    CREATES a partition (ACIDSEG, base=None — Hive dynamic-partition
+    semantics). Read back at LATEST through the per-partition
+    merge-on-read; the oracle replays both transactions relationally.
+    In-query audit: a partition-pruned read of the clean FURNITURE
+    partition must list ONLY files under its partition dir (metastore-
+    style pruning by construction)."""
+    import shutil
+
+    tbl = _build_partitioned_table(spark, sf_dir, "partitioned_upsert")
+    pruned = tbl.read(spark, partition="FURNITURE")
+    files = pruned.inputFiles()
+    if not files or not all("c_mktsegment=FURNITURE" in f for f in files):
+        raise AssertionError(
+            f"partition-pruned read escaped its partition dir: {files[:3]}"
+        )
+    out = tbl.read(spark).localCheckpoint()
+    shutil.rmtree(tbl.root, ignore_errors=True)
+    return out
+
+
+@query(
+    "acid_partition_compaction",
+    oracle=f"""
+    WITH {_PACID_VERSIONS_CTE}
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+           c_mktsegment IN
+             ('ACIDSEG', 'AUTOMOBILE', 'BUILDING', 'MACHINERY')
+             AS was_compacted
+    FROM pv2
+    GROUP BY c_mktsegment
+    """,
+)
+def acid_partition_compaction(spark, sf_dir):
+    """Partition-scoped major compaction (the 100 TB claim at the top of
+    this module, demonstrated): after deltas touching 4 of 6 partitions,
+    ``compact`` rewrites EXACTLY those 4 — the clean FURNITURE/HOUSEHOLD
+    partitions keep their original ``base_0_*`` dirs unrewritten (audited
+    against the manifest), every chain is empty afterwards, and a
+    partition-pruned read of a compacted partition is a PLAIN SCAN of one
+    partition dir (no merge window — audited via inputFiles + plan-gated
+    in tests/test_plans.py). Emits per-partition (rows, exact-DECIMAL
+    balance, was_compacted); the oracle recomputes state and re-derives
+    the dirty set from the mutation rules."""
+    import shutil
+
+    tbl = _build_partitioned_table(spark, sf_dir, "partition_compaction")
+    m_before = tbl.manifest()
+    compacted = tbl.compact(spark)
+    if tuple(sorted(compacted)) != _PACID_DIRTY:
+        raise AssertionError(f"compacted wrong partitions: {compacted}")
+    m_after = tbl.manifest()
+    for pv in ("FURNITURE", "HOUSEHOLD"):
+        if m_after["partitions"][pv]["base"] != m_before["partitions"][pv]["base"]:
+            raise AssertionError(f"clean partition {pv} was rewritten")
+    if any(e["deltas"] for e in m_after["partitions"].values()):
+        raise AssertionError("compaction left a live delta chain")
+    pruned = tbl.read(spark, partition="BUILDING")
+    files = pruned.inputFiles()
+    if not files or not all(
+        "c_mktsegment=BUILDING" in f and "/base_" in f for f in files
+    ):
+        raise AssertionError(
+            f"compacted pruned read is not one base dir: {files[:3]}"
+        )
+    dirty = set(_PACID_DIRTY)
+    out = (
+        tbl.read(spark)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .withColumn("was_compacted", F.col("c_mktsegment").isin(*dirty))
+        .select("c_mktsegment", "n_rows", "total_bal", "was_compacted")
+        .localCheckpoint()
+    )
+    shutil.rmtree(tbl.root, ignore_errors=True)
+    return out
+
+
+@query(
+    "acid_concurrent_writers",
+    oracle="""
+    WITH v0 AS (
+      SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+             c_mktsegment
+      FROM customer
+    ),
+    v1 AS (  -- writer A (wins the race): +10 for even keys
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 10
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM v0
+    ),
+    v2 AS (  -- writer B's RETRY, re-derived from the v1 snapshot it lost to
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN round(c_acctbal * 2 + 1e-9, 2)
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM v1
+    )
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM v2
+    """,
+)
+def acid_concurrent_writers(spark, sf_dir):
+    """The user-visible optimistic-concurrency contract, end-to-end: two
+    writers derive deltas from the SAME v0 snapshot; A commits v1; B's
+    pinned commit (read_version=0 → targets v1) hits the taken slot and
+    raises ConcurrentCommitError; B then runs the documented retry loop —
+    re-read the NEW snapshot, RE-DERIVE the delta against state it
+    actually saw, commit against the observed version. Keys divisible by
+    6 get both mutations in commit order ((bal+10)*2 — the oracle replays
+    A then B's re-derived retry, so a lost-update bug breaks the hash).
+    B's failed first attempt leaves an orphan delta dir that no manifest
+    references; vacuum must collect exactly that orphan (audited)."""
+    import shutil
+
+    root = run_scratch("acid", sf_dir, "concurrent_writers")
+    a, b = AcidTable(root), AcidTable(root)
+    base = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    a.create(base)
+
+    def derive_b(snap):
+        return snap.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey", "c_name",
+            F.round(F.col("c_acctbal") * 2 + F.lit(1e-9), 2).alias(
+                "c_acctbal"
+            ),
+            "c_mktsegment", F.lit("U").alias("_op"),
+        )
+
+    d_a = a.read(spark, version=0).filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name",
+        (F.col("c_acctbal") + 10).alias("c_acctbal"),
+        "c_mktsegment", F.lit("U").alias("_op"),
+    )
+    d_b_stale = derive_b(b.read(spark, version=0))
+    if a.commit_delta(d_a, read_version=0) != 1:
+        raise AssertionError("writer A did not commit v1")
+    conflicted = False
+    try:
+        b.commit_delta(d_b_stale, read_version=0)
+    except ConcurrentCommitError:
+        conflicted = True
+    if not conflicted:
+        raise AssertionError("stale writer B committed without conflict")
+    committed_v = None
+    for _ in range(5):  # the documented retry loop
+        seen = b.latest_version()
+        retry = derive_b(b.read(spark, version=seen))
+        try:
+            committed_v = b.commit_delta(retry, read_version=seen)
+            break
+        except ConcurrentCommitError:
+            continue
+    if committed_v != 2:
+        raise AssertionError(f"retry landed at v{committed_v}, expected v2")
+    # B's failed attempt wrote delta_1_* that only A's commit references?
+    # No — A's delta is IN the v2 manifest chain; B's orphan targeted v1
+    # too but was never referenced. vacuum must collect exactly it.
+    deleted = a.vacuum(retain_versions=1)
+    if len(deleted) != 1 or not deleted[0].startswith("delta_1_"):
+        raise AssertionError(f"expected exactly B's orphan GC'd: {deleted}")
+    out = b.read(spark).localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return out

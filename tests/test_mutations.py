@@ -319,3 +319,93 @@ def test_acid_vacuum_guards(spark, tmp_path):
     assert all(d.startswith(("base_", "delta_")) for d in deleted)
     for extra in ("ckpt", "chunks", "stage_0", "_commits"):
         assert os.path.isdir(os.path.join(tbl.root, extra))
+
+
+# ---- partitioned ACID (round 10) -------------------------------------------
+
+
+def _tiny_pacid(spark, tmpdir):
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.operators.acid import PartitionedAcidTable
+
+    tbl = PartitionedAcidTable(tmpdir, part="c_mktsegment")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, "S1"), (2, "b", 20.0, "S2"), (3, "c", 30.0, "S1"),
+         (4, "d", 40.0, "S3")],
+        "c_custkey long, c_name string, c_acctbal double, c_mktsegment string",
+    )
+    tbl.create(base)
+    # v1 touches ONLY S1 (update) — S2/S3 chains stay clean
+    tbl.commit_delta(
+        base.filter("c_custkey = 1").select(
+            "c_custkey", "c_name",
+            (F.col("c_acctbal") + 5).alias("c_acctbal"),
+            "c_mktsegment", F.lit("U").alias("_op"),
+        ),
+        read_version=0,
+    )
+    return tbl
+
+
+def test_pacid_partition_chains_and_dynamic_birth(spark, tmp_path):
+    """Per-partition chains: a delta touching one partition appends to one
+    chain; an insert with a NEW partition value creates the partition
+    (base=None, Hive dynamic-partition insert)."""
+    from pyspark.sql import functions as F
+
+    tbl = _tiny_pacid(spark, str(tmp_path / "t"))
+    m = tbl.manifest()
+    assert set(m["partitions"]) == {"S1", "S2", "S3"}
+    assert len(m["partitions"]["S1"]["deltas"]) == 1
+    assert m["partitions"]["S2"]["deltas"] == []
+    newp = spark.createDataFrame(
+        [(9, "z", 90.0, "S9")],
+        "c_custkey long, c_name string, c_acctbal double, c_mktsegment string",
+    ).withColumn("_op", F.lit("I"))
+    tbl.commit_delta(newp, read_version=1)
+    m = tbl.manifest()
+    assert m["partitions"]["S9"]["base"] is None
+    got = {r.c_custkey: r.c_acctbal for r in tbl.read(spark).collect()}
+    assert got == {1: 15.0, 2: 20.0, 3: 30.0, 4: 40.0, 9: 90.0}
+    # partition-pruned read of the dynamically-born partition
+    only = tbl.read(spark, partition="S9")
+    assert [r.c_custkey for r in only.collect()] == [9]
+    assert all("c_mktsegment=S9" in f for f in only.inputFiles())
+
+
+def test_pacid_partition_scoped_compaction_and_vacuum(spark, tmp_path):
+    """compact() rewrites ONLY dirty partitions; clean partitions keep
+    their base dir identity; post-compaction pruned read is a plain scan
+    (no merge window in the plan — the partition-at-a-time 100 TB claim);
+    vacuum GCs the superseded per-partition delta/base dirs only."""
+    import contextlib
+    import io
+
+    tbl = _tiny_pacid(spark, str(tmp_path / "t"))
+    m0 = tbl.manifest()
+    compacted = tbl.compact(spark)
+    assert compacted == ["S1"]                    # only the dirty partition
+    m1 = tbl.manifest()
+    assert m1["partitions"]["S2"]["base"] == m0["partitions"]["S2"]["base"]
+    assert m1["partitions"]["S3"]["base"] == m0["partitions"]["S3"]["base"]
+    assert m1["partitions"]["S1"]["base"] != m0["partitions"]["S1"]["base"]
+    assert all(not e["deltas"] for e in m1["partitions"].values())
+    # plan gate: pruned read of the compacted partition = one base scan
+    pruned = tbl.read(spark, partition="S1")
+    assert all("c_mktsegment=S1" in f and "/base_" in f
+               for f in pruned.inputFiles())
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain(mode="formatted")
+    assert "Window" not in buf.getvalue()
+    # second compact: nothing dirty -> no-op, no new version
+    v = tbl.latest_version()
+    assert tbl.compact(spark) == []
+    assert tbl.latest_version() == v
+    deleted = tbl.vacuum(retain_versions=1)
+    assert any(d.startswith("c_mktsegment=S1/base_0") for d in deleted)
+    assert any(d.startswith("c_mktsegment=S1/delta_1") for d in deleted)
+    assert not any(d.startswith("c_mktsegment=S2") for d in deleted)
+    got = {r.c_custkey: r.c_acctbal for r in tbl.read(spark).collect()}
+    assert got == {1: 15.0, 2: 20.0, 3: 30.0, 4: 40.0}
