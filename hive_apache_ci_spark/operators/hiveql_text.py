@@ -291,3 +291,133 @@ _sql(
       AND o_orderkey <= 5000
     """,
 )
+
+# --- windowing_windowspec.q: named WINDOW clause (round 10) ------------------
+_sql(
+    "qtext_named_window",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS INT)              AS rk,
+           CAST(lag(o_orderkey) OVER w AS BIGINT)  AS prev_ok
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+
+
+# --- transform_ppr.q idiom: TRANSFORM text with ROW FORMAT DELIMITED ---------
+_sql(
+    "qtext_transform_using",
+    """
+    SELECT TRANSFORM (c_custkey, c_name)
+      ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'
+      USING 'tr a-z A-Z'
+      AS (k string, name_upper string)
+      ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'
+    FROM customer WHERE c_custkey <= 150
+    """,
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS k, upper(c_name) AS name_upper
+    FROM customer WHERE c_custkey <= 150
+    """,
+)
+
+
+# --- multi_insert.q + insert_overwrite_directory.q (round 10) ----------------
+#
+# These two are SIDE-EFFECTING texts (Hive's FROM ... INSERT ... INSERT fans
+# one scan into N sinks; INSERT OVERWRITE DIRECTORY materializes files), so
+# they can't go through the pure-text _sql helper: each runs the literal
+# statement, then reads its sinks back through the committed() gate and
+# returns the verifiable content. The DataFrame twins live in
+# sources/io_roundtrip.py (io_multi_insert, io_insert_overwrite); here the
+# *dialect text itself* drives the sinks.
+
+
+def _qtext_side_effect(name: str, oracle: str):
+    def deco(fn):
+        fn.__name__ = name
+        return query(name, oracle=oracle)(fn)
+
+    return deco
+
+
+@_qtext_side_effect(
+    "qtext_multi_insert",
+    oracle="""
+    SELECT 'hi' AS bucket, o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders WHERE o_totalprice >= 350000
+    UNION ALL
+    SELECT 'lo', o_orderkey, round(o_totalprice, 2)
+    FROM orders WHERE o_totalprice < 1500
+    """,
+)
+def qtext_multi_insert(spark, sf_dir):
+    """multi_insert.q: the Hive ``FROM src INSERT ... INSERT ...`` TEXT —
+    one scan fanned into two directory sinks in a single statement (the
+    multi-insert grammar, not two statements). Sinks are read back
+    _SUCCESS-gated and tagged; the oracle recomputes both branches from
+    the table. Scale: one scan feeds both sinks (Hive's multi-insert
+    optimization — the reason the idiom exists)."""
+    from ..helpers import committed, run_scratch
+
+    base = run_scratch("qtext", sf_dir, "multi_insert")
+    hi, lo = f"{base}/hi", f"{base}/lo"
+    run_sql(
+        spark,
+        f"""
+        FROM orders
+        INSERT OVERWRITE DIRECTORY '{hi}' USING parquet
+          SELECT o_orderkey, round(o_totalprice, 2) AS price
+          WHERE o_totalprice >= 350000
+        INSERT OVERWRITE DIRECTORY '{lo}' USING parquet
+          SELECT o_orderkey, round(o_totalprice, 2) AS price
+          WHERE o_totalprice < 1500
+        """,
+        sf_dir,
+    )
+    from pyspark.sql import functions as F
+
+    out = (
+        spark.read.parquet(committed(hi))
+        .select(F.lit("hi").alias("bucket"), "o_orderkey", "price")
+        .unionByName(
+            spark.read.parquet(committed(lo)).select(
+                F.lit("lo").alias("bucket"), "o_orderkey", "price"
+            )
+        )
+    )
+    return out
+
+
+@_qtext_side_effect(
+    "qtext_insert_overwrite_directory",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey <> 2
+    """,
+)
+def qtext_insert_overwrite_directory(spark, sf_dir):
+    """insert_overwrite_directory.q: ``INSERT OVERWRITE DIRECTORY`` text
+    writing Hive-style delimited TEXT files (the LazySimpleSerDe default
+    ``\\x01`` field delimiter, via the csv source's delimiter option —
+    sources/io_roundtrip.py:212 documents the SerDe mapping), read back
+    with the same codec + explicit schema. A second run of the SAME
+    statement must OVERWRITE, not append (asserted)."""
+    from ..helpers import committed, run_scratch
+
+    d = run_scratch("qtext", sf_dir, "overwrite_dir")
+    stmt = f"""
+        INSERT OVERWRITE DIRECTORY '{d}'
+        USING csv OPTIONS (delimiter '\x01')
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM nation WHERE n_regionkey <> 2
+    """
+    run_sql(spark, stmt, sf_dir)
+    spark.sql(stmt)  # idempotent overwrite: same content, not doubled
+    return (
+        spark.read.schema("n_nationkey long, n_name string, n_regionkey long")
+        .options(delimiter="\x01")
+        .csv(committed(d))
+    )
