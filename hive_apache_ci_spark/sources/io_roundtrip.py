@@ -1545,3 +1545,82 @@ def io_schema_evolution_merge(spark, sf_dir):
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---- round 10: RCFile through the REAL Hive SerDe, oracled -----------------
+
+_RCFILE_SCRIPT = r"""
+import sys
+from pyspark.sql import SparkSession
+
+src_parquet, bridge, tag = sys.argv[1], sys.argv[2], sys.argv[3]
+s = (SparkSession.builder.master("local[4]")
+     .config("spark.sql.warehouse.dir", f"{bridge}_wh")
+     .config("javax.jdo.option.ConnectionURL",
+             f"jdbc:derby:;databaseName={bridge}_ms;create=true")
+     .config("spark.sql.session.timeZone", "UTC")
+     .config("spark.ui.enabled", "false")
+     .enableHiveSupport().getOrCreate())
+(s.read.parquet(src_parquet)
+  .selectExpr("s_suppkey", "s_nationkey", "round(s_acctbal, 2) AS bal")
+  .createOrReplaceTempView("srcv"))
+t = f"sup_rcfile_{tag}"
+s.sql(f"CREATE TABLE {t} STORED AS RCFILE AS SELECT * FROM srcv")
+# read back THROUGH the RCFile ColumnarSerDe and bridge to parquet
+s.table(t).write.mode("errorifexists").parquet(bridge)
+print("RCFILE_BRIDGE_OK")
+"""
+
+
+@query(
+    "io_rcfile_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT)         AS n,
+           CAST(sum(CAST(round(s_acctbal, 2) AS DECIMAL(18,2)))
+                AS DOUBLE)                  AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def io_rcfile_roundtrip(spark, sf_dir):
+    """RCFile round-trip through the REAL Hive ColumnarSerDe (SURVEY §2.2
+    ``[jar: io/RCFile.class, serde2/columnar/ColumnarSerDe.class]``),
+    closing the one §2.2 row that had no oracled registry entry (r9
+    VERDICT item 5). ``STORED AS RCFILE`` needs a Hive-enabled session
+    and catalogImplementation is a STATIC conf, so the write+readback
+    runs in a subprocess Hive session (the tests/test_legacy_formats.py
+    mechanism): supplier → CREATE TABLE STORED AS RCFILE (JVM SerDe
+    encode) → ``s.table(t)`` scan (JVM SerDe decode) → parquet bridge.
+    The engine session aggregates the bridge against an oracle computed
+    from the ORIGINAL table — any corruption in the RCFile encode or
+    decode breaks the hash. Scale: RCFile is a migration-era format; a
+    100 TB migration reads it once through exactly this JVM SerDe path
+    and lands parquet, which is what the bridge models."""
+    import subprocess
+    import sys as _sys
+    import uuid as _uuid
+
+    base = run_scratch("rcfile", sf_dir, "roundtrip")
+    bridge = os.path.join(base, "bridge")
+    if not os.path.isdir(bridge):  # once per run (bench warm-ups reuse)
+        os.makedirs(base, exist_ok=True)
+        proc = subprocess.run(
+            [_sys.executable, "-c", _RCFILE_SCRIPT,
+             os.path.join(sf_dir, "supplier.parquet"), bridge,
+             _uuid.uuid4().hex[:8]],
+            capture_output=True, text=True, timeout=600,
+        )
+        if "RCFILE_BRIDGE_OK" not in proc.stdout:
+            raise RuntimeError(
+                f"RCFile subprocess failed: {proc.stderr[-2000:]}"
+            )
+    return (
+        spark.read.parquet(committed(bridge))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("bal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
