@@ -162,6 +162,7 @@ def window_running_total(spark, sf_dir):
 
 @query(
     "window_ntile",
+    parity_only=True,  # r10: correctness surface only — scale twin below
     oracle="""
     SELECT c_custkey,
            ntile(4)  OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
@@ -347,6 +348,7 @@ def window_range_interval(spark, sf_dir):
 
 @query(
     "window_rfm_segmentation",
+    parity_only=True,  # r10: correctness surface only — scale twin below
     oracle="""
     WITH per_cust AS (
       SELECT o_custkey,

@@ -22,28 +22,52 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+_PARITY_ONLY: set[str] = set()
 
 
-def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+def register(
+    name: str,
+    fn: QueryFn,
+    oracle: str | None = None,
+    parity_only: bool = False,
+) -> None:
     if name in _QUERIES:
         raise ValueError(f"duplicate query name: {name}")
     _QUERIES[name] = fn
     if oracle is not None:
         _ORACLES[name] = oracle
+    if parity_only:
+        _PARITY_ONLY.add(name)
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | None = None, parity_only: bool = False
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: ``@query("join_inner", oracle="SELECT ...")``.
 
     ``oracle=None`` marks a non-SQL-expressible op (streaming, approximate,
     LSH) — the driver then records a weaker rows-only check.
-    """
+
+    ``parity_only=True`` marks a deliberate semantics-parity shape whose
+    PLAN would not be run at scale (e.g. the global-NTILE twins that
+    exist to pin Hive output semantics, each paired with an
+    equality-gated scaled twin). Parity-only queries stay in the
+    correctness surface (sweeps + driver gate) but are EXCLUDED from the
+    performance surface (bench headliners, sf1 canary) — their numbers
+    would grade a plan the docs explicitly say not to ship
+    (docs/SCALE.md §parity-shapes)."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        register(name, fn, oracle)
+        register(name, fn, oracle, parity_only=parity_only)
         return fn
 
     return deco
+
+
+def parity_only_queries() -> frozenset[str]:
+    """Names flagged ``parity_only`` — the bench/canary exclusion set."""
+    _ensure_loaded()
+    return frozenset(_PARITY_ONLY)
 
 
 def _interleaved_names() -> list[str]:

@@ -318,8 +318,22 @@ def main() -> int:
     explicit = [a for a in argv if not a.startswith("--")]
     if explicit:
         names = explicit
+    elif all_mode:
+        # parity-only shapes (registry flag, r10) are correctness-surface
+        # only: their plans are the documented don't-ship-at-scale twins,
+        # so timing them would grade a plan the repo tells you not to run.
+        # Named here, not silently dropped.
+        from hive_apache_ci_spark.registry import parity_only_queries
+
+        parity = parity_only_queries()
+        names = sorted(set(qs.keys()) - parity)
+        if parity:
+            print(
+                f"canary: excluding parity-only shapes: {sorted(parity)}",
+                file=sys.stderr,
+            )
     else:
-        names = sorted(qs.keys()) if all_mode else CANARY_QUERIES
+        names = CANARY_QUERIES
     timeouts = dict(TIMEOUT_S)
     if timeout_sf1 is not None:
         timeouts["sf1"] = timeout_sf1

@@ -148,3 +148,23 @@ def test_measure_merges_running_minima():
     assert timings["q"] == 0.0  # rerun (slower) did not clobber
     assert spread["q"]["best"] == 0.0
     assert calls["n"] >= 2  # cold + warm reps actually ran
+
+
+def test_parity_only_excluded_from_perf_surfaces():
+    """The registry's parity_only flag (r10): the two deliberate
+    global-window parity shapes stay in the CORRECTNESS surface but must
+    never appear in a performance list — bench headliners or the canary's
+    heavy set — and each must have its scaled twin registered."""
+    import bench
+    from hive_apache_ci_spark.registry import all_queries, parity_only_queries
+    from scripts.sf1_canary import CANARY_QUERIES
+
+    parity = parity_only_queries()
+    assert parity == {"window_ntile", "window_rfm_segmentation"}
+    perf = set(bench.BASELINE_COMPARABLE) | set(bench.EXTRA_HEADLINERS) | set(
+        CANARY_QUERIES
+    )
+    assert not (parity & perf), parity & perf
+    qs = all_queries()
+    for twin in ("window_ntile_scaled", "window_rfm_scaled"):
+        assert twin in qs and twin not in parity
