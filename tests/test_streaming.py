@@ -363,3 +363,31 @@ def test_stream_ab_readout_matches_batch(spark):
         assert got[k]["z_welch"] == want[k]["z_welch"]
         assert got[k]["n_control"] == want[k]["n_control"]
         assert got[k]["significant"] == want[k]["significant"]
+
+
+def test_transform_with_state_env_gate(spark):
+    """transformWithStateInPandas (Spark 4's modern stateful API) needs
+    google.protobuf, which is broken in this sandbox (r8-r10 documented
+    env block; SURVEY §7.8) — applyInPandasWithState covers the stateful
+    capability meanwhile. This gate flips the moment the env is fixed:
+    when protobuf imports, the test FAILS loudly as a reminder to add the
+    transformWithStateInPandas twin for the stateful topology in
+    streaming/jobs.py (r9 VERDICT item 8)."""
+    import importlib.util
+
+    import pytest
+
+    try:
+        have = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace at all
+        have = False
+    if not have:
+        pytest.skip(
+            "google.protobuf unavailable in sandbox — "
+            "transformWithStateInPandas blocked (documented env limit); "
+            "applyInPandasWithState covers stateful streaming"
+        )
+    raise AssertionError(
+        "protobuf is now importable: add the transformWithStateInPandas "
+        "twin in streaming/jobs.py and oracle it"
+    )
