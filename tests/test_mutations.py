@@ -409,3 +409,57 @@ def test_pacid_partition_scoped_compaction_and_vacuum(spark, tmp_path):
     assert not any(d.startswith("c_mktsegment=S2") for d in deleted)
     got = {r.c_custkey: r.c_acctbal for r in tbl.read(spark).collect()}
     assert got == {1: 15.0, 2: 20.0, 3: 30.0, 4: 40.0}
+
+
+def test_acid_commit_transaction_auto_retry(spark, tmp_path):
+    """commit_transaction: the automatic read->derive->pinned-commit->
+    re-derive retry loop. A conflicting commit lands between the txn's
+    snapshot read and its commit; the loop must re-derive from the NEW
+    snapshot (the +1 applies on top of the interloper's x2, never on the
+    stale state) and succeed on the second attempt. Inherited by
+    PartitionedAcidTable unchanged. Livelock guard: a txn_fn that always
+    loses raises after max_retries."""
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from hive_apache_ci_spark.operators.acid import (
+        AcidTable, ConcurrentCommitError,
+    )
+
+    root = str(tmp_path / "t")
+    tbl, rival = _tiny_acid(spark, root), AcidTable(root)
+    calls = {"n": 0}
+
+    def txn(snap):
+        calls["n"] += 1
+        if calls["n"] == 1:  # interloper wins the first race
+            rival.commit_delta(
+                rival.read(spark).filter("c_custkey = 1").select(
+                    "c_custkey", "c_name",
+                    F.round(F.col("c_acctbal") * 2, 2).alias("c_acctbal"),
+                    "c_mktsegment", F.lit("U").alias("_op")),
+            )
+        return snap.filter("c_custkey = 1").select(
+            "c_custkey", "c_name",
+            F.round(F.col("c_acctbal") + 1, 2).alias("c_acctbal"),
+            "c_mktsegment", F.lit("U").alias("_op"))
+
+    v = tbl.commit_transaction(spark, txn)
+    assert calls["n"] == 2 and v == 4          # one conflict, one retry
+    got = {r.c_custkey: r.c_acctbal for r in tbl.read(spark).collect()}
+    assert got[1] == 21.0                      # (10*2)+1, never 10+1
+
+    def always_loses(snap):
+        rival.commit_delta(
+            rival.read(spark).filter("c_custkey = 2").select(
+                "c_custkey", "c_name",
+                F.round(F.col("c_acctbal") + 0.5, 2).alias("c_acctbal"),
+                "c_mktsegment", F.lit("U").alias("_op")),
+        )
+        return snap.filter("c_custkey = 1").select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+            F.lit("U").alias("_op"))
+
+    with pytest.raises(ConcurrentCommitError, match="consecutive races"):
+        tbl.commit_transaction(spark, always_loses, max_retries=2)
