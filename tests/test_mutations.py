@@ -463,3 +463,34 @@ def test_acid_commit_transaction_auto_retry(spark, tmp_path):
 
     with pytest.raises(ConcurrentCommitError, match="consecutive races"):
         tbl.commit_transaction(spark, always_loses, max_retries=2)
+
+
+def test_acid_commit_transaction_thread_race(spark, tmp_path):
+    """REAL concurrent writers (4 threads, not scripted interleaving) each
+    run commit_transaction adding +1 to the same row. The link(2)
+    first-writer-wins arbiter serializes them; the retry loop re-derives
+    from each new snapshot, so all 4 increments land exactly once
+    (final = base + 4) and the table ends 4 versions ahead — a lost
+    update or a double-applied delta breaks either check."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    tbl = _tiny_acid(spark, str(tmp_path / "t"))
+    v0 = tbl.latest_version()
+    base_bal = {r.c_custkey: r.c_acctbal for r in tbl.read(spark).collect()}[1]
+
+    def bump(_i):
+        def txn(snap):
+            return snap.filter("c_custkey = 1").select(
+                "c_custkey", "c_name",
+                F.round(F.col("c_acctbal") + 1, 2).alias("c_acctbal"),
+                "c_mktsegment", F.lit("U").alias("_op"))
+
+        return tbl.commit_transaction(spark, txn, max_retries=10)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = sorted(ex.map(bump, range(4)))
+    assert versions == [v0 + 1, v0 + 2, v0 + 3, v0 + 4]
+    got = {r.c_custkey: r.c_acctbal for r in tbl.read(spark).collect()}
+    assert got[1] == base_bal + 4
