@@ -481,5 +481,44 @@ def test_parse_image_header_edge_cases():
     assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") == (
         "unknown", None, None)
     assert parse_image_header(b"\xff\xd8\xff\xd9") == ("unknown", None, None)
-    assert parse_image_header(b"GIF89a" + b"\x00" * 20) == (
-        "unknown", None, None)
+    # r10: GIF logical-screen descriptor (little-endian) + BMP
+    # BITMAPINFOHEADER (signed LE; negative height = top-down, magnitude
+    # reported)
+    gif = b"GIF89a" + (640).to_bytes(2, "little") + (480).to_bytes(2, "little")
+    assert parse_image_header(gif + b"\xf7\x00\x00;") == ("gif", 640, 480)
+    bmp = (
+        b"BM" + (30).to_bytes(4, "little") + b"\x00" * 4
+        + (30).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (640).to_bytes(4, "little")
+        + (-480).to_bytes(4, "little", signed=True)
+        + b"\x01\x00\x18\x00"
+    )
+    assert parse_image_header(bmp) == ("bmp", 640, 480)
+    assert parse_image_header(b"BM\x00\x00") == ("unknown", None, None)
+
+
+def test_parse_wav_header_edge_cases():
+    """RIFF/WAVE chunk walker: fmt+data parse, odd-size chunk padding,
+    unknown leading chunks skipped, torn/foreign containers rejected."""
+    from hive_apache_ci_spark.pipeline.multimodal import parse_wav_header
+
+    def chunk(cid, payload):
+        return cid + len(payload).to_bytes(4, "little") + payload \
+            + (b"\x00" if len(payload) % 2 else b"")
+
+    fmt = (
+        (1).to_bytes(2, "little") + (2).to_bytes(2, "little")      # PCM, 2ch
+        + (16000).to_bytes(4, "little") + (64000).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = chunk(b"LIST", b"junk!")          # odd-size chunk before fmt
+    body += chunk(b"fmt ", fmt)
+    body += chunk(b"data", b"\x00" * 32000)  # 0.5 s at 64000 B/s
+    wav = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    assert parse_wav_header(wav) == ("wav", 2, 16000, 16, 500)
+    assert parse_wav_header(b"RIFF\x00\x00\x00\x00AVI ") == (
+        "unknown", None, None, None, None)
+    assert parse_wav_header(b"") == ("unknown", None, None, None, None)
+    # fmt chunk present but truncated container: no data chunk -> no dur
+    wav2 = b"RIFF" + (100).to_bytes(4, "little") + b"WAVE" + chunk(b"fmt ", fmt)
+    assert parse_wav_header(wav2) == ("wav", 2, 16000, 16, None)
