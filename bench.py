@@ -29,6 +29,17 @@ Bench hygiene:
   the trio is auto-rerun once (minima merge), and the line always carries
   ``best_total`` (sum of the trio's committed bests) plus ``noisy:true``
   when even the rerun stayed outside the band.
+- round 11: box state is MEASURED, not adjudicated. A fixed
+  engine-independent sentinel (pure-CPU hash loop + a pinned synthetic
+  Spark job, neither touching any engine query) runs at bench start AND
+  end; the ratio of its mean to its committed best is the ONE normalizer
+  applied to per-query regression comparisons (replacing r9's trio-keyed
+  box_drift agreement heuristic and r10's median-of-ratios scaling, which
+  could mask a uniform code regression — r10 ADVICE). The sidecar always
+  carries the RAW (unscaled) regression list too, so nothing normalized
+  away is invisible. ``box_drift`` in the grade line is now the measured
+  sentinel ratio (when >1.05), and ``noisy`` means the trio stayed over
+  band even after sentinel normalization — genuinely unexplained.
 """
 
 from __future__ import annotations
@@ -119,6 +130,60 @@ REGRESSION_RATIO = 1.15
 # a code story — auto-rerun the trio once; if still above, the grade line
 # carries noisy:true so the judge reads best_total as the converged number.
 NOISY_RATIO = 1.15
+
+
+#: Sentinel workload sizes — FIXED forever (changing them invalidates the
+#: committed sentinel bests; bump only with a simultaneous best reset).
+_SENT_CPU_BYTES = 1 << 20
+_SENT_CPU_REPS = 48
+_SENT_SPARK_ROWS = 4_000_000
+
+
+def _sentinel_probe(spark) -> dict[str, float]:
+    """Engine-independent box-state probe (r11, judge task: measure drift,
+    don't adjudicate it): a pure-CPU sha256 loop (CPU/GIL contention +
+    clock throttling) and a pinned synthetic Spark job (JVM/scheduler
+    health — range→xxhash64→sum, 8 fixed partitions, no shuffle beyond the
+    final 1-row agg, no engine code). Both best-of-3 after a warm run;
+    neither touches the engine's queries or data, so their drift can ONLY
+    be the box."""
+    import hashlib
+
+    buf = b"\xa5" * _SENT_CPU_BYTES
+
+    def cpu_once() -> float:
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(_SENT_CPU_REPS):
+            h.update(buf)
+        h.digest()
+        return time.perf_counter() - t0
+
+    def spark_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, _SENT_SPARK_ROWS, 1, 8).selectExpr(
+            "sum(xxhash64(id)) AS s"
+        ).collect()
+        return time.perf_counter() - t0
+
+    spark_once()  # warm the probe's own plan/codegen out of the timing
+    return {
+        "cpu_s": round(min(cpu_once() for _ in range(3)), 4),
+        "spark_s": round(min(spark_once() for _ in range(3)), 4),
+    }
+
+
+def _load_sentinel_best(sf: float | str) -> dict[str, float]:
+    """Committed sentinel minima (the box's best observed state) — the
+    denominator of the normalization ratio."""
+    try:
+        with open(_sidecar_path(sf)) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") != sf:
+            return {}
+        return (prev.get("sentinel") or {}).get("best") or {}
+    except (OSError, ValueError):
+        return {}
 
 
 def _foreign_jvms() -> list[int]:
@@ -232,21 +297,6 @@ def _sidecar_path(sf: float | str) -> str:
     return _SIDECAR.replace(".json", f"_sf{sf}.json")
 
 
-def _load_prev_value(sf: float | str) -> float | None:
-    """The last recorded run-of-record total (cross-process) — the
-    reproducibility comparator for the r9 box-drift refinement. A prior
-    run that was itself contended or flagged noisy is NOT a valid
-    comparator (two bad runs agreeing is not reproducibility)."""
-    try:
-        with open(_sidecar_path(sf)) as fh:
-            prev = json.load(fh)
-        if prev.get("sf") != sf or prev.get("contended") or prev.get("noisy"):
-            return None
-        return prev.get("value")
-    except (OSError, ValueError):
-        return None
-
-
 def _load_prev_best(sf: float | str) -> dict[str, float]:
     """The regression comparator: the sidecar's `best` dict (running
     per-query minima across runs). Falls back to `queries` for sidecars
@@ -318,6 +368,7 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+    sent_start = _sentinel_probe(spark)
     timings: dict[str, float | None] = {}
     spread: dict[str, dict[str, float]] = {}
     _measure(
@@ -328,7 +379,6 @@ def main() -> int:
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     sf = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
     prev_best = _load_prev_best(sf)
-    prev_value = _load_prev_value(sf)
     # Noisy-run convergence (r6 verdict #2): if the graded trio came in
     # >NOISY_RATIO over its committed converged best, the artifact is
     # telling a machine-load story — rerun JUST the trio once (minima
@@ -339,78 +389,55 @@ def main() -> int:
         if all(n in prev_best for n in BASELINE_COMPARABLE)
         else None
     )
-    noisy = False
-    box_drift = None
     if total is not None and conv is not None and total > conv * NOISY_RATIO:
         print(
             f"bench: headline {total} > {NOISY_RATIO}x committed best {conv}"
             " — auto-rerunning the graded trio once",
             file=sys.stderr,
         )
-        total_first = total
         _measure(spark, sf_dir, queries, BASELINE_COMPARABLE, timings, spread)
         total = _trio_total(timings)
-        noisy = total is not None and total > conv * NOISY_RATIO
-        # r9 refinement: `noisy` means UNRELIABLE, not merely above the
-        # historic best. Two AGREEING measurements on an uncontended box
-        # are exactly BENCH_TREND.md's record-worthy bar: agreement is
-        # checked against the previous recorded run-of-record (cross-
-        # process; independent JVM + page cache) first, falling back to
-        # this process's first pass. When agreement holds, report the
-        # uniform drift ratio instead of crying noise (the r8 artifact
-        # flagged all 35 headliners over a reproducible ~1.3x drift and
-        # left the round without a gradeable per-query signal).
-        # 10% band: scheduler jitter on a ~2 s trio of sub-second
-        # queries is ±5% run-to-run (r9: four idle-box runs spanned
-        # 1.78-1.93 s), while genuine contention inflates 20-60%
-        # (round-4 measurement) — the band separates the regimes.
-        def _agrees(a: float | None, b: float | None) -> bool:
-            return (
-                a is not None
-                and b is not None
-                and abs(a - b) <= 0.10 * max(a, b)
-            )
+    # Box state: MEASURED by the sentinel pair bracketing the run (r11 —
+    # replaces the r9 agreement heuristic and the r10 median-of-ratios
+    # scaling, which could reclassify a uniform code regression as box
+    # drift; r10 ADVICE). The normalizer is the spark probe's mean-of-
+    # (start, end) over its committed best: the probe runs the same JVM/
+    # scheduler path as the queries but none of the engine's code, so its
+    # drift can only be the box. Mid-run drift (the r10 failure mode) is
+    # bracketed by the start/end pair — a linear ramp averages out; a
+    # start/end spread >2x would still be visible in the sidecar. The CPU
+    # probe is recorded for diagnosis (GIL/clock vs JVM contention).
+    sent_end = _sentinel_probe(spark)
+    sent_best_prev = _load_sentinel_best(sf)
+    sent_best = dict(sent_best_prev)
+    for k in ("cpu_s", "spark_s"):
+        lo = min(sent_start[k], sent_end[k])
+        sent_best[k] = min(lo, sent_best[k]) if k in sent_best else lo
 
-        if noisy and not foreign and (
-            _agrees(total, prev_value) or _agrees(total, total_first)
-        ):
-            noisy = False
-            box_drift = round(total / conv, 3)
-    # Per-query regression signal, drift-normalized: under a recognized
-    # uniform box drift the comparator scales by the drift ratio, so the
-    # list names only queries slower than the BOX got slower — the
-    # gradeable signal the raw list buried under 20+ drift artifacts.
-    # Honest limit: a code change that slows EVERY headliner by the same
-    # ratio is indistinguishable from box drift by timing alone; the
-    # tiebreaker is which queries' code actually changed (BENCH_TREND.md
-    # records this per round) and the committed best_total, which a real
-    # uniform regression can never improve on.
-    # r10 refinement: drift can develop MID-RUN — the round-10 close run
-    # measured the trio (first, fast window) 2% under best while the tail
-    # (minutes later) inflated uniformly 1.15-1.35x, so the trio-keyed
-    # box_drift stayed None and 19 code-untouched queries flagged raw.
-    # The robust census statistic is the MEDIAN per-query now/prev ratio
-    # across all comparable headliners: uniform box drift moves the
-    # median; a genuine single-query regression cannot (it would need
-    # >half the suite to regress together — which the committed
-    # best_total tiebreaker already covers, per BENCH_TREND.md). The
-    # comparator scales by max(box_drift, median when >1.05); it never
-    # scales below 1.0 (a faster box just updates the minima).
-    ratios = [
-        timings[k] / prev_best[k]
-        for k in timings
-        if k in prev_best and timings[k] is not None and prev_best[k] > 0
-    ]
-    median_drift = (
-        round(statistics.median(ratios), 3) if len(ratios) >= 8 else None
+    def _sent_ratio(k: str) -> float:
+        base = sent_best.get(k)
+        if not base:
+            return 1.0
+        return round((sent_start[k] + sent_end[k]) / 2 / base, 3)
+
+    sentinel_ratio = max(1.0, _sent_ratio("spark_s"))
+    cpu_ratio = _sent_ratio("cpu_s")
+    # noisy = the trio stayed over band even after the MEASURED box-state
+    # normalization — genuinely unexplained, grade best_total instead.
+    noisy = (
+        total is not None
+        and conv is not None
+        and total / sentinel_ratio > conv * NOISY_RATIO
     )
-    eff_drift = max(
-        box_drift or 1.0,
-        median_drift if (median_drift or 0) > 1.05 else 1.0,
-    )
+    box_drift = sentinel_ratio if sentinel_ratio > 1.05 else None
+    # Per-query regression signal: the comparator scales committed bests
+    # by the sentinel ratio ONLY — a query flags iff it moved relative to
+    # what the box itself measured. The RAW list is always emitted in the
+    # sidecar so nothing normalized away is invisible (r10 ADVICE).
+    regressions_raw = find_regressions(prev_best, timings)
     cmp_best = (
-        {k: v * eff_drift for k, v in prev_best.items()}
-        if eff_drift > 1.0
+        {k: v * sentinel_ratio for k, v in prev_best.items()}
+        if sentinel_ratio > 1.0
         else prev_best
     )
     regressions = find_regressions(cmp_best, timings)
@@ -445,9 +472,16 @@ def main() -> int:
                     "contended": bool(foreign),
                     "foreign_jvms": len(foreign),
                     "regressions": regressions,
+                    "regressions_raw": regressions_raw,
                     "noisy": noisy,
                     "box_drift": box_drift,
-                    "median_drift": median_drift,
+                    "sentinel": {
+                        "start": sent_start,
+                        "end": sent_end,
+                        "best": sent_best,
+                        "ratio": sentinel_ratio,
+                        "cpu_ratio": cpu_ratio,
+                    },
                     "best_total": best_total,
                 },
                 fh,

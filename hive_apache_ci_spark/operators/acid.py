@@ -63,6 +63,50 @@ class ConcurrentCommitError(RuntimeError):
     (optimistic-concurrency conflict — re-read and retry)."""
 
 
+def _fsync_dir_entries(d: str) -> None:
+    """fsync every regular file in ``d`` (one level — published data dirs
+    are flat parquet dirs), then ``d`` itself. Called on a data dir BEFORE
+    the manifest that references it is published, so an acknowledged
+    commit can never be a durable manifest pointing at vanished data
+    (r10 ADVICE: the commit-dir fsync alone only made the MANIFEST
+    durable). Local-filesystem fidelity; on HDFS/S3 the store's own
+    close/PUT visibility semantics provide the equivalent."""
+    for name in os.listdir(d):
+        p = os.path.join(d, name)
+        if os.path.isfile(p):
+            fd = os.open(p, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+    fd = os.open(d, os.O_DIRECTORY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+#: Characters Spark/Hive percent-escape in partition dir names
+#: (Hive FileUtils.escapePathName clone used by Spark's
+#: ExternalCatalogUtils): ASCII controls, DEL, and the path/glob/quote
+#: metacharacters.
+_PART_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(1, 32)} | {
+    "\x7f"
+}
+
+
+def escape_partition_value(v: str) -> str:
+    """Spark's partition-dir escaping (``%XX`` uppercase hex), applied to
+    a RAW partition value to obtain its dir-name form. PartitionedAcidTable
+    keys its manifests by this ESCAPED form — the same string that appears
+    on disk as ``{part}={escaped}`` — so a value containing ``/`` or other
+    metacharacters can never corrupt the published layout or the
+    inputFiles pruning audit (r10 ADVICE)."""
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PART_ESCAPE else ch for ch in v
+    )
+
+
 class AcidTable:
     """Manifest-dir commit log over immutable parquet data dirs.
 
@@ -135,7 +179,10 @@ class AcidTable:
         # contract): the manifest bytes are fsynced above, but the new
         # v{n}.json directory entry lives in the _commits dir — fsync the
         # directory too, or a power loss after we return success could
-        # make the committed version vanish (r9 ADVICE).
+        # make the committed version vanish (r9 ADVICE). The DATA dirs
+        # this manifest references were fsynced at their write sites
+        # (_fsync_dir_entries, r10 ADVICE) BEFORE this publish, so the
+        # durable manifest never points at non-durable data.
         dfd = os.open(self.commits, os.O_DIRECTORY)
         try:
             os.fsync(dfd)
@@ -175,7 +222,7 @@ class AcidTable:
         """v0: initial base snapshot."""
         d = os.path.join(self.root, "base_0")
         df.select(*self.cols).write.mode("errorifexists").parquet(d)
-        committed(d)
+        _fsync_dir_entries(committed(d))
         self._commit(
             {"version": 0, "base": "base_0", "base_seq": 0, "deltas": []}
         )
@@ -220,7 +267,7 @@ class AcidTable:
         dname = f"delta_{v}_{uuid.uuid4().hex[:8]}"
         d = os.path.join(self.root, dname)
         delta_df.select(*self.cols, "_op").write.mode("errorifexists").parquet(d)
-        committed(d)
+        _fsync_dir_entries(committed(d))
         m = {
             "version": v,
             "base": m["base"],
@@ -240,7 +287,7 @@ class AcidTable:
         dname = f"base_{v}_{uuid.uuid4().hex[:8]}"
         d = os.path.join(self.root, dname)
         snap.write.mode("errorifexists").parquet(d)
-        committed(d)
+        _fsync_dir_entries(committed(d))
         self._commit(
             {"version": v, "base": dname, "base_seq": v, "deltas": []}
         )
@@ -668,36 +715,47 @@ class PartitionedAcidTable(AcidTable):
         column is DUPLICATED into a routing column so the real column
         stays inside the data files (partitionBy drops only the routing
         copy) — each published dir is a self-contained plain-parquet dir.
-        Returns {partition_value: dir_relpath}."""
+
+        Partition keys are Spark's ESCAPED dir-name form, kept VERBATIM
+        (r10 ADVICE: unquoting and re-using the raw value let a value
+        containing ``/`` corrupt the published layout, the manifest
+        relpaths, and the inputFiles pruning audit). The escaped form IS
+        the on-disk name, so manifest relpaths never need re-quoting;
+        raw-value lookups go through ``escape_partition_value``.
+        Returns {escaped_partition_value: dir_relpath}."""
         import shutil
-        from urllib.parse import unquote
 
         cols = self.cols + (["_op"] if with_op else [])
         stage = os.path.join(self.root, f".stage_{uuid.uuid4().hex}")
-        (
-            df.select(*cols)
-            .withColumn("_pv", F.col(self.part))
-            .write.partitionBy("_pv")
-            .mode("errorifexists")
-            .parquet(stage)
-        )
-        committed(stage)
-        out: dict[str, str] = {}
-        for entry in sorted(os.listdir(stage)):
-            if not entry.startswith("_pv="):
-                continue
-            val = unquote(entry[len("_pv="):])
-            pdir = f"{self.part}={val}"
-            os.makedirs(os.path.join(self.root, pdir), exist_ok=True)
-            dname = f"{kind}_{version}_{uuid.uuid4().hex[:8]}"
-            dst = os.path.join(self.root, pdir, dname)
-            shutil.move(os.path.join(stage, entry), dst)
-            # the staging job committed atomically above; re-mark the
-            # published dir so committed() gates each partition dir too
-            open(os.path.join(dst, "_SUCCESS"), "w").close()
-            out[val] = f"{pdir}/{dname}"
-        shutil.rmtree(stage, ignore_errors=True)
-        return out
+        try:
+            (
+                df.select(*cols)
+                .withColumn("_pv", F.col(self.part))
+                .write.partitionBy("_pv")
+                .mode("errorifexists")
+                .parquet(stage)
+            )
+            committed(stage)
+            out: dict[str, str] = {}
+            for entry in sorted(os.listdir(stage)):
+                if not entry.startswith("_pv="):
+                    continue
+                val = entry[len("_pv="):]  # Spark-escaped, kept verbatim
+                pdir = f"{self.part}={val}"
+                os.makedirs(os.path.join(self.root, pdir), exist_ok=True)
+                dname = f"{kind}_{version}_{uuid.uuid4().hex[:8]}"
+                dst = os.path.join(self.root, pdir, dname)
+                shutil.move(os.path.join(stage, entry), dst)
+                # the staging job committed atomically above; re-mark the
+                # published dir so committed() gates each partition dir too
+                open(os.path.join(dst, "_SUCCESS"), "w").close()
+                _fsync_dir_entries(dst)
+                out[val] = f"{pdir}/{dname}"
+            return out
+        finally:
+            # self-clean on success AND on a failed staging job; a hard
+            # crash mid-stage still leaks, which vacuum() GCs (r10 ADVICE)
+            shutil.rmtree(stage, ignore_errors=True)
 
     # -- commit protocol over per-partition chains ------------------------
 
@@ -756,7 +814,7 @@ class PartitionedAcidTable(AcidTable):
             dname = f"base_{v}_{uuid.uuid4().hex[:8]}"
             d = os.path.join(self.root, pdir, dname)
             snap.write.mode("errorifexists").parquet(d)
-            committed(d)
+            _fsync_dir_entries(committed(d))
             parts[pv] = {"base": f"{pdir}/{dname}", "base_seq": v, "deltas": []}
             compacted.append(pv)
         if compacted:
@@ -784,7 +842,18 @@ class PartitionedAcidTable(AcidTable):
         deleted = []
         for pdir in os.listdir(self.root):
             full = os.path.join(self.root, pdir)
-            if not os.path.isdir(full) or "=" not in pdir:
+            if not os.path.isdir(full):
+                continue
+            if pdir.startswith(".stage_"):
+                # orphaned staging dir from a writer that crashed mid-
+                # _stage (r10 ADVICE: these have no '=' so the partition
+                # walk never collected them). Same caveat as vacuuming an
+                # in-flight writer's un-published base_*: vacuum assumes
+                # no concurrent in-flight commit on this table.
+                shutil.rmtree(full, ignore_errors=True)
+                deleted.append(pdir)
+                continue
+            if "=" not in pdir:
                 continue
             for entry in os.listdir(full):
                 rel = f"{pdir}/{entry}"
@@ -832,15 +901,18 @@ class PartitionedAcidTable(AcidTable):
     def read(self, spark, version: int | None = None,
              partition: str | None = None):
         """Snapshot read; ``partition=val`` prunes to ONE partition chain
-        (the scan never lists any other partition dir)."""
+        (the scan never lists any other partition dir). ``partition`` is
+        the RAW value; the lookup escapes it to the manifest's dir-name
+        key form."""
         m = self.manifest(version)
         parts = m["partitions"]
         if partition is not None:
-            if partition not in parts:
+            esc = escape_partition_value(str(partition))
+            if esc not in parts:
                 raise KeyError(
                     f"no partition {self.part}={partition} at v{m['version']}"
                 )
-            sel = [parts[partition]]
+            sel = [parts[esc]]
         else:
             sel = [parts[pv] for pv in sorted(parts)]
         outs = [self._read_partition(spark, e) for e in sel]

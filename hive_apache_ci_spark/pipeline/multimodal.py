@@ -526,11 +526,25 @@ def parse_image_header(b: bytes) -> tuple[str, int | None, int | None]:
             int.from_bytes(b[8:10], "little"),
         )
     if len(b) >= 26 and b[:2] == b"BM":
-        return (
-            "bmp",
-            int.from_bytes(b[18:22], "little", signed=True),
-            abs(int.from_bytes(b[22:26], "little", signed=True)),
-        )
+        # The DIB header size at offset 14 discriminates the layout
+        # (r10 ADVICE: assuming BITMAPINFOHEADER misparsed 12-byte
+        # BITMAPCOREHEADER files into garbage): 40/52/56/108/124 all share
+        # the signed-i32 width/height pair at 18/22 (INFO/V2/V3/V4/V5);
+        # 12 is the OS/2 core header with an UNSIGNED u16 pair at 18/20.
+        dib = int.from_bytes(b[14:18], "little")
+        if dib in (40, 52, 56, 108, 124):
+            width = int.from_bytes(b[18:22], "little", signed=True)
+            height = int.from_bytes(b[22:26], "little", signed=True)
+        elif dib == 12:
+            width = int.from_bytes(b[18:20], "little")
+            height = int.from_bytes(b[20:22], "little")
+        else:
+            return ("unknown", None, None)
+        # width must be positive (no top-down analog exists for width);
+        # negative height = top-down row order, magnitude is pixel height
+        if width <= 0 or height == 0:
+            return ("unknown", None, None)
+        return ("bmp", width, abs(height))
     if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
         return (
             "png",

@@ -168,3 +168,36 @@ def test_parity_only_excluded_from_perf_surfaces():
     qs = all_queries()
     for twin in ("window_ntile_scaled", "window_rfm_scaled"):
         assert twin in qs and twin not in parity
+
+
+def test_sentinel_normalizer_contract(tmp_path, monkeypatch):
+    """r11: the sentinel is the ONE comparator normalizer. Pin the math
+    without a Spark session: ratio = mean(start, end)/best, floor 1.0;
+    sentinel best is a running minimum; a missing historical best (first
+    run) yields ratio vs this run's own min (>= 1.0, ~1.0)."""
+    monkeypatch.setattr(bench, "_SIDECAR", str(tmp_path / "BENCH_LAST.json"))
+    # first run: no sidecar -> no sentinel best
+    assert bench._load_sentinel_best(0.1) == {}
+    with open(bench._sidecar_path(0.1), "w") as fh:
+        json.dump(
+            {"sf": 0.1, "sentinel": {"best": {"cpu_s": 0.1, "spark_s": 0.2}}},
+            fh,
+        )
+    assert bench._load_sentinel_best(0.1) == {"cpu_s": 0.1, "spark_s": 0.2}
+    # a slow-box run (1.5x sentinel) scales the comparator: a query at
+    # 1.4x its best does NOT flag normalized but DOES flag raw
+    prev_best = {"q": 1.0}
+    timings = {"q": 1.4}
+    ratio = 1.5
+    scaled = {k: v * ratio for k, v in prev_best.items()}
+    assert bench.find_regressions(scaled, timings) == []
+    raw = bench.find_regressions(prev_best, timings)
+    assert [r["q"] for r in raw] == ["q"]
+
+
+def test_sentinel_probe_shape_and_workload_pins():
+    """The probe's workload constants are frozen (changing them silently
+    invalidates committed sentinel bests)."""
+    assert bench._SENT_CPU_BYTES == 1 << 20
+    assert bench._SENT_CPU_REPS == 48
+    assert bench._SENT_SPARK_ROWS == 4_000_000

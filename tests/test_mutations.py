@@ -411,6 +411,56 @@ def test_pacid_partition_scoped_compaction_and_vacuum(spark, tmp_path):
     assert got == {1: 15.0, 2: 20.0, 3: 30.0, 4: 40.0}
 
 
+def test_pacid_metachar_partition_values_and_stage_gc(spark, tmp_path):
+    """r10 ADVICE pair: (1) a partition value containing '/' (or ':')
+    must NOT corrupt the on-disk layout — the manifest keys by Spark's
+    escaped dir-name form verbatim, and raw-value reads escape on lookup;
+    (2) vacuum GCs orphaned .stage_* dirs left by a crashed writer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.operators.acid import (
+        PartitionedAcidTable, escape_partition_value,
+    )
+
+    assert escape_partition_value("A/B:C") == "A%2FB%3AC"
+    root = str(tmp_path / "t")
+    tbl = PartitionedAcidTable(root, part="c_mktsegment")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, "A/B"), (2, "b", 20.0, "plain")],
+        "c_custkey long, c_name string, c_acctbal double, c_mktsegment string",
+    )
+    tbl.create(base)
+    m = tbl.manifest()
+    assert set(m["partitions"]) == {"A%2FB", "plain"}
+    # no nested 'A' dir was ever created — the layout is flat
+    assert os.path.isdir(os.path.join(root, "c_mktsegment=A%2FB"))
+    assert not os.path.exists(os.path.join(root, "c_mktsegment=A"))
+    # raw-value pruned read resolves through the escaped key
+    got = tbl.read(spark, partition="A/B")
+    assert [r.c_custkey for r in got.collect()] == [1]
+    # inputFiles are URIs: the on-disk '%' is itself URI-encoded to %25
+    assert all("c_mktsegment=A%252FB" in f for f in got.inputFiles())
+    # delta into the metachar partition lands on the same chain
+    tbl.commit_delta(
+        base.filter("c_custkey = 1").select(
+            "c_custkey", "c_name",
+            (F.col("c_acctbal") + 5).alias("c_acctbal"),
+            "c_mktsegment", F.lit("U").alias("_op"),
+        ),
+        read_version=0,
+    )
+    assert len(tbl.manifest()["partitions"]["A%2FB"]["deltas"]) == 1
+    assert tbl.read(spark, partition="A/B").collect()[0].c_acctbal == 15.0
+    # orphaned staging dir (crashed writer) is vacuum's business now
+    orphan = os.path.join(root, ".stage_deadbeef")
+    os.makedirs(orphan)
+    deleted = tbl.vacuum(retain_versions=2)
+    assert ".stage_deadbeef" in deleted
+    assert not os.path.exists(orphan)
+
+
 def test_acid_commit_transaction_auto_retry(spark, tmp_path):
     """commit_transaction: the automatic read->derive->pinned-commit->
     re-derive retry loop. A conflicting commit lands between the txn's

@@ -495,6 +495,32 @@ def test_parse_image_header_edge_cases():
     )
     assert parse_image_header(bmp) == ("bmp", 640, 480)
     assert parse_image_header(b"BM\x00\x00") == ("unknown", None, None)
+    # r10 ADVICE: the DIB size field at 14 discriminates the layout —
+    # a 12-byte BITMAPCOREHEADER stores an UNSIGNED u16 pair at 18/20
+    core = (
+        b"BM" + (26).to_bytes(4, "little") + b"\x00" * 4
+        + (26).to_bytes(4, "little") + (12).to_bytes(4, "little")
+        + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+        + b"\x01\x00\x18\x00"
+    )
+    assert parse_image_header(core) == ("bmp", 320, 200)
+    # unknown DIB size -> reject, never emit garbage dims
+    alien = (
+        b"BM" + (30).to_bytes(4, "little") + b"\x00" * 4
+        + (30).to_bytes(4, "little") + (64).to_bytes(4, "little")
+        + (640).to_bytes(4, "little") + (480).to_bytes(4, "little")
+        + b"\x01\x00\x18\x00"
+    )
+    assert parse_image_header(alien) == ("unknown", None, None)
+    # negative WIDTH has no top-down analog: malformed, reject
+    negw = (
+        b"BM" + (30).to_bytes(4, "little") + b"\x00" * 4
+        + (30).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (-640).to_bytes(4, "little", signed=True)
+        + (480).to_bytes(4, "little")
+        + b"\x01\x00\x18\x00"
+    )
+    assert parse_image_header(negw) == ("unknown", None, None)
 
 
 def test_parse_wav_header_edge_cases():
