@@ -119,6 +119,25 @@ EXTRA_HEADLINERS = (
     "tpcds_q36_hierarchy_rank",
     "tpcds_q49_worst_return_ratios",
     "tpcds_q17_fact_chain_stddev",
+    # round-11 (r10 verdict task 1): corpus widened 17 -> 30 shapes — the
+    # q72 mega-join with a non-equi residual, the q4/q74 YoY families,
+    # q93 returns netting, q54 segmentation, and eight more distinct plan
+    # signatures (correlated scalar, dow pivot self-join, quarter share
+    # chains, stddev-derived join predicate, dimension-derived threshold,
+    # decline diff, channel parity bands, grouped lag bands)
+    "tpcds_q72_lagged_fulfillment",
+    "tpcds_q4_yoy_preference",
+    "tpcds_q74_max_yoy_topk",
+    "tpcds_q93_net_after_returns",
+    "tpcds_q54_revenue_segments",
+    "tpcds_q1_returns_above_avg",
+    "tpcds_q2_weekly_dow_ratio",
+    "tpcds_q31_share_growth",
+    "tpcds_q39_inventory_cov",
+    "tpcds_q6_oversized_buyers",
+    "tpcds_q75_yoy_decline",
+    "tpcds_q58_channel_parity_items",
+    "tpcds_q99_ship_lag_bands",
 )
 
 # BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond

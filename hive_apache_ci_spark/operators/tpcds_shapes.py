@@ -27,6 +27,22 @@ orders = "catalog", events = "web"):
 - q49 : union of doubly-ranked channel subqueries  (tpcds_q49_worst_return_ratios)
 - q17 : composite-key fact chain + stddev family   (tpcds_q17_fact_chain_stddev)
 
+Round-11 widening (17 -> 30 shapes; r10 verdict task 1):
+
+- q72 : mega-join + non-equi date-range residual   (tpcds_q72_lagged_fulfillment)
+- q4  : 3-channel CTEs x 2 years, triple ratio     (tpcds_q4_yoy_preference)
+- q74 : union-CTE instantiated 4x, MAX, top-k      (tpcds_q74_max_yoy_topk)
+- q93 : returns-netting LEFT JOIN, composite key   (tpcds_q93_net_after_returns)
+- q54 : cohort semi-join -> revenue segmentation   (tpcds_q54_revenue_segments)
+- q1  : correlated scalar subquery vs group avg    (tpcds_q1_returns_above_avg)
+- q2  : weekly dow CASE-pivot, YoY self-join       (tpcds_q2_weekly_dow_ratio)
+- q31 : 2 channels x 3 quarters share growth       (tpcds_q31_share_growth)
+- q39 : stddev/mean cov, month+1 self-join         (tpcds_q39_inventory_cov)
+- q6  : dimension-derived threshold + HAVING floor (tpcds_q6_oversized_buyers)
+- q75 : returns-netted grain, steepest YoY decline (tpcds_q75_yoy_decline)
+- q58 : 3-channel parity bands on shared average   (tpcds_q58_channel_parity_items)
+- q99 : grouped fulfillment-lag CASE bands         (tpcds_q99_ship_lag_bands)
+
 Expressed as shared SQL (one text, both engines — the subqueries-module
 pattern): the *syntax* (ROLLUP, EXISTS-OR, INTERSECT, FULL OUTER) is what
 exercises Catalyst's rewrites (RewritePredicateSubquery / ExistenceJoin,
@@ -802,3 +818,628 @@ def tpcds_q17_fact_chain_stddev(spark, sf_dir):
     'quantity consistency across channels' audit. stddev/avg are
     4dp-rounded; counts exact."""
     return _sql(spark, sf_dir, _Q17_SQL)
+
+
+# ============================ round 11 widening ==============================
+# r10 VERDICT task 1: broaden the signature corpus from 17 toward ~30 —
+# prioritizing the plan features the corpus didn't yet exercise: the q72
+# mega-join with a non-equi date-range residual, the q4/q74 multi-CTE YoY
+# families (3-channel triple-ratio / union-CTE-instantiated-4x + global
+# top-k), the q93 returns-netting left join, and the q54 revenue-window
+# segmentation. Same determinism discipline as above (2dp pre-quantized
+# DECIMAL money, 6dp ratio cuts, exact BIGINT counts, unique tie-breaks).
+
+
+# --- q72: mega-join with a date-offset non-equi residual --------------------
+
+_Q72_SQL = """
+WITH returns AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_ret
+  FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY l_orderkey
+)
+SELECT /*+ BROADCAST(p, n) */ p.p_brand, n.n_name,
+       CAST(count(*) AS BIGINT) AS n_lagged,
+       CAST(sum(CASE WHEN r.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_no_returns,
+       CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 + 1e-9, 2) AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS lagged_revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+               AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+LEFT JOIN returns r ON l.l_orderkey = r.l_orderkey
+WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY p.p_brand, n.n_name
+"""
+
+
+@query("tpcds_q72_lagged_fulfillment", oracle=_Q72_SQL)
+def tpcds_q72_lagged_fulfillment(spark, sf_dir):
+    """TPC-DS q72 plan signature: the inventory x date-range MEGA-JOIN —
+    a fact-fact equi join (lineitem x orders on orderkey) carrying a
+    NON-EQUI date-offset residual (shipped >30 days after ordering; q72's
+    d3.d_date > d1.d_date + 5), three dimension joins, and a LEFT OUTER
+    to an aggregate-grain returns set whose null branch is counted
+    (q72's promotion left join). The residual stays a post-join predicate
+    on the orderkey hash join — no range-join explosion; the dims are
+    broadcast. At 100 TB the single fact-fact exchange on orderkey is
+    the only big shuffle, exactly the shape AQE skew-splits if order
+    sizes skew. Scale: the returns CTE is mutation-sized, broadcast-able
+    by AQE after its own pre-aggregation."""
+    return _sql(spark, sf_dir, _Q72_SQL)
+
+
+# --- q4: 3-channel multi-CTE YoY with triple ratio comparison ---------------
+
+_Q4_SQL = """
+WITH store_t AS (
+  SELECT o_custkey AS cust, CAST(year(o_orderdate) AS INT) AS yr,
+         round(sum(round(o_totalprice + 1e-9, 2)), 2) AS total
+  FROM orders GROUP BY o_custkey, CAST(year(o_orderdate) AS INT)
+),
+ship_t AS (
+  SELECT o.o_custkey AS cust, CAST(year(l.l_shipdate) AS INT) AS yr,
+         round(sum(round(l.l_extendedprice * (1 - l.l_discount) + 1e-9, 2)),
+               2) AS total
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, CAST(year(l.l_shipdate) AS INT)
+),
+web_t AS (
+  SELECT o.o_custkey AS cust, CAST(year(l.l_shipdate) AS INT) AS yr,
+         round(sum(round(l.l_extendedprice * (1 - l.l_discount) + 1e-9, 2)),
+               2) AS total
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'N'
+  GROUP BY o.o_custkey, CAST(year(l.l_shipdate) AS INT)
+)
+SELECT s1.cust AS c_custkey,
+       round(s2.total / s1.total + 1e-9, 6) AS store_growth,
+       round(h2.total / h1.total + 1e-9, 6) AS ship_growth,
+       round(w2.total / w1.total + 1e-9, 6) AS web_growth
+FROM store_t s1
+JOIN store_t s2 ON s1.cust = s2.cust
+JOIN ship_t  h1 ON s1.cust = h1.cust
+JOIN ship_t  h2 ON s1.cust = h2.cust
+JOIN web_t   w1 ON s1.cust = w1.cust
+JOIN web_t   w2 ON s1.cust = w2.cust
+WHERE s1.yr = 1996 AND s2.yr = 1997 AND h1.yr = 1996 AND h2.yr = 1997
+  AND w1.yr = 1996 AND w2.yr = 1997
+  AND s1.total > 0 AND h1.total > 0 AND w1.total > 0
+  AND round(h2.total / h1.total + 1e-9, 6) > round(s2.total / s1.total + 1e-9, 6)
+  AND round(h2.total / h1.total + 1e-9, 6) > round(w2.total / w1.total + 1e-9, 6)
+"""
+
+
+@query("tpcds_q4_yoy_preference", oracle=_Q4_SQL)
+def tpcds_q4_yoy_preference(spark, sf_dir):
+    """TPC-DS q4 plan signature: THREE per-(customer, year) channel CTEs,
+    each instantiated TWICE (six join instances over three aggregates) —
+    customers whose ship-channel growth beat BOTH other channels. The
+    q11 shape widened to q4's triple-ratio form: one extra channel adds
+    two more self-join arms on the same cust hash, so all six arms reuse
+    one exchange layout (Catalyst plans 5 hash joins, every one keyed
+    cust). Growth cuts are 6dp-rounded ratios of 2dp-quantized sums on
+    both engines. Scale: each CTE is customer-grain (small vs the fact);
+    the join tree never re-shuffles — the 1000-executor plan is six
+    co-partitioned map-side-ish joins after one agg shuffle each."""
+    return _sql(spark, sf_dir, _Q4_SQL)
+
+
+# --- q74: union-CTE instantiated 4x, MAX year-totals, global top-k ----------
+
+_Q74_SQL = """
+WITH year_total AS (
+  SELECT o_custkey AS cust, CAST(year(o_orderdate) AS INT) AS yr,
+         'store' AS channel,
+         round(max(round(o_totalprice + 1e-9, 2)), 2) AS year_total
+  FROM orders
+  GROUP BY o_custkey, CAST(year(o_orderdate) AS INT)
+  UNION ALL
+  SELECT o.o_custkey AS cust, CAST(year(l.l_shipdate) AS INT) AS yr,
+         'ship' AS channel,
+         round(max(round(l.l_extendedprice * (1 - l.l_discount) + 1e-9, 2)),
+               2) AS year_total
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, CAST(year(l.l_shipdate) AS INT)
+)
+SELECT s1.cust AS c_custkey,
+       s1.year_total AS store_1996, s2.year_total AS store_1997,
+       w1.year_total AS ship_1996,  w2.year_total AS ship_1997,
+       round(w2.year_total / w1.year_total + 1e-9, 6) AS ship_ratio
+FROM year_total s1
+JOIN year_total s2 ON s1.cust = s2.cust
+JOIN year_total w1 ON s1.cust = w1.cust
+JOIN year_total w2 ON s1.cust = w2.cust
+WHERE s1.channel = 'store' AND s2.channel = 'store'
+  AND w1.channel = 'ship'  AND w2.channel = 'ship'
+  AND s1.yr = 1996 AND s2.yr = 1997 AND w1.yr = 1996 AND w2.yr = 1997
+  AND s1.year_total > 0 AND w1.year_total > 0
+  AND round(w2.year_total / w1.year_total + 1e-9, 6)
+      > round(s2.year_total / s1.year_total + 1e-9, 6)
+ORDER BY ship_ratio DESC, c_custkey
+LIMIT 100
+"""
+
+
+@query("tpcds_q74_max_yoy_topk", oracle=_Q74_SQL)
+def tpcds_q74_max_yoy_topk(spark, sf_dir):
+    """TPC-DS q74 plan signature: ONE union-of-channels CTE instantiated
+    FOUR times with per-instance channel/year predicates (the literal q74
+    structure — q4/q11 keep channels in separate CTEs; q74 unions them
+    first and lets predicate pushdown split the instances), MAX-based
+    year totals (q74 is the max/sum variant pair), and a GLOBAL top-k
+    (ORDER BY ratio DESC LIMIT 100, unique cust tie-break) — the only
+    YoY shape in the corpus finishing in TakeOrderedAndProject rather
+    than a full sort. Scale: top-k is per-partition heaps + one k-row
+    driver merge, never a global sort."""
+    return _sql(spark, sf_dir, _Q74_SQL)
+
+
+# --- q93: returns-netting left join (net sales after returns) ---------------
+
+_Q93_SQL = """
+WITH returns AS (
+  SELECT l_orderkey, l_linenumber,
+         floor(l_quantity / 2) AS ret_qty
+  FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT o.o_custkey AS c_custkey,
+       CAST(round(sum(CAST(round((l.l_quantity - coalesce(r.ret_qty, 0.0))
+                                 * (l.l_extendedprice / l.l_quantity)
+                                 + 1e-9, 2) AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS net_paid
+FROM lineitem l
+LEFT JOIN returns r ON l.l_orderkey = r.l_orderkey
+                   AND l.l_linenumber = r.l_linenumber
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_custkey
+ORDER BY net_paid, c_custkey
+LIMIT 100
+"""
+
+
+@query("tpcds_q93_net_after_returns", oracle=_Q93_SQL)
+def tpcds_q93_net_after_returns(spark, sf_dir):
+    """TPC-DS q93 plan signature: the returns-netting anti-pattern — the
+    full sales fact LEFT JOINed to its returns slice on the COMPOSITE
+    (order, line) key, quantity netted through a coalesce(NULL branch)
+    before pricing, per-customer sum, ascending top-100 (q93 reports the
+    LOWEST net spenders). floor(qty/2) keeps the synthetic returned
+    quantity off engine-specific .5 rounding. Scale: both join sides are
+    the same fact — one composite-key exchange each, and the returns
+    side is pre-filtered to the 'R' slice so the left join's build side
+    is returns-sized, not table-sized."""
+    return _sql(spark, sf_dir, _Q93_SQL)
+
+
+# --- q54: cohort -> revenue-window segmentation ------------------------------
+
+_Q54_SQL = """
+WITH target_users AS (
+  SELECT DISTINCT o.o_custkey AS cust
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p   ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+),
+spend AS (
+  SELECT o.o_custkey AS cust,
+         sum(CAST(round(o.o_totalprice + 1e-9, 2) AS DECIMAL(18,2)))
+             AS revenue
+  FROM orders o
+  WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+    AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    AND o.o_custkey IN (SELECT cust FROM target_users)
+  GROUP BY o.o_custkey
+)
+SELECT CAST(floor((CAST(revenue AS DOUBLE) + 1e-9) / 5000.0) AS BIGINT)
+           AS segment,
+       CAST(count(*) AS BIGINT) AS num_customers
+FROM spend
+GROUP BY CAST(floor((CAST(revenue AS DOUBLE) + 1e-9) / 5000.0) AS BIGINT)
+"""
+
+
+@query("tpcds_q54_revenue_segments", oracle=_Q54_SQL)
+def tpcds_q54_revenue_segments(spark, sf_dir):
+    """TPC-DS q54 plan signature: revenue-window segmentation — a cohort
+    of customers who bought target brands in H1 (DISTINCT over a 3-way
+    join, lowered to a semi join feeder), their H2 revenue aggregated,
+    then BUCKETED (floor(revenue/5000), q54's $50 segments) and counted
+    per segment: two stacked aggregation grains (customer, then segment)
+    behind a semi join. The bucket edge is deterministic: revenue is an
+    exact DECIMAL sum of 2dp-quantized values, cast to DOUBLE and
+    1e-9-shifted before the floor, so an exact segment-boundary total
+    lands the same side on both engines. Scale: the second agg's input
+    is customer-grain; the segment agg is a ~100-row shuffle."""
+    return _sql(spark, sf_dir, _Q54_SQL)
+
+
+# --- q1: correlated scalar subquery vs per-group average ---------------------
+
+_Q1_SQL = """
+WITH customer_returns AS (
+  SELECT o.o_custkey AS cust, c.c_nationkey AS nat,
+         sum(CAST(round(l.l_extendedprice + 1e-9, 2) AS DECIMAL(18,2)))
+             AS ret_total
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey, c.c_nationkey
+)
+SELECT ctr.cust AS c_custkey, n.n_name,
+       CAST(ctr.ret_total AS DOUBLE) AS ret_total
+FROM customer_returns ctr
+JOIN nation n ON ctr.nat = n.n_nationkey
+WHERE CAST(ctr.ret_total AS DOUBLE) > (
+  SELECT round(avg(CAST(ctr2.ret_total AS DOUBLE)) * 1.2 + 1e-9, 4)
+  FROM customer_returns ctr2
+  WHERE ctr2.nat = ctr.nat
+)
+"""
+
+
+@query("tpcds_q1_returns_above_avg", oracle=_Q1_SQL)
+def tpcds_q1_returns_above_avg(spark, sf_dir):
+    """TPC-DS q1 plan signature: a per-customer returns CTE referenced
+    TWICE — once as the driving relation, once inside a CORRELATED SCALAR
+    subquery computing the 1.2x per-nation average threshold. Catalyst
+    decorrelates into an aggregate-over-the-CTE joined back on the nation
+    key (RewriteCorrelatedScalarSubquery); DuckDB does the equivalent
+    flattening — the semantics gate is that both agree on the rewrite.
+    Threshold is a 4dp-rounded, 1e-9-shifted double against exact-DECIMAL
+    totals. Scale: the correlated side aggregates to |nations| rows —
+    broadcast-joined back, no per-row re-aggregation anywhere."""
+    return _sql(spark, sf_dir, _Q1_SQL)
+
+
+# --- q2: weekly day-of-week pivot, year-over-year ratio ----------------------
+
+# one template, two dialect keywords: Spark's ISO day-of-week extract field
+# is DAYOFWEEK_ISO, DuckDB's is ISODOW (both Mon=1..Sun=7); everything else
+# is shared text.
+_Q2_TEMPLATE = """
+WITH wk AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(weekofyear(o_orderdate) AS INT) AS wk,
+         CAST(extract({DOW} FROM o_orderdate) AS INT) AS dow,
+         sum(CAST(round(o_totalprice + 1e-9, 2) AS DECIMAL(18,2))) AS total
+  FROM orders
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY CAST(year(o_orderdate) AS INT),
+           CAST(weekofyear(o_orderdate) AS INT),
+           CAST(extract({DOW} FROM o_orderdate) AS INT)
+),
+pivoted AS (
+  SELECT yr, wk,
+         CAST(sum(CASE WHEN dow = 1 THEN total END) AS DOUBLE) AS mon,
+         CAST(sum(CASE WHEN dow = 2 THEN total END) AS DOUBLE) AS tue,
+         CAST(sum(CASE WHEN dow = 3 THEN total END) AS DOUBLE) AS wed,
+         CAST(sum(CASE WHEN dow = 4 THEN total END) AS DOUBLE) AS thu,
+         CAST(sum(CASE WHEN dow = 5 THEN total END) AS DOUBLE) AS fri,
+         CAST(sum(CASE WHEN dow = 6 THEN total END) AS DOUBLE) AS sat,
+         CAST(sum(CASE WHEN dow = 7 THEN total END) AS DOUBLE) AS sun
+  FROM wk GROUP BY yr, wk
+)
+SELECT a.wk AS wk,
+       round(b.mon / a.mon + 1e-9, 6) AS mon_ratio,
+       round(b.tue / a.tue + 1e-9, 6) AS tue_ratio,
+       round(b.wed / a.wed + 1e-9, 6) AS wed_ratio,
+       round(b.thu / a.thu + 1e-9, 6) AS thu_ratio,
+       round(b.fri / a.fri + 1e-9, 6) AS fri_ratio,
+       round(b.sat / a.sat + 1e-9, 6) AS sat_ratio,
+       round(b.sun / a.sun + 1e-9, 6) AS sun_ratio
+FROM pivoted a
+JOIN pivoted b ON a.wk = b.wk AND a.yr = 1996 AND b.yr = 1997
+"""
+
+_Q2_SPARK = _Q2_TEMPLATE.replace("{DOW}", "DAYOFWEEK_ISO")
+_Q2_ORACLE = _Q2_TEMPLATE.replace("{DOW}", "ISODOW")
+
+
+@query("tpcds_q2_weekly_dow_ratio", oracle=_Q2_ORACLE)
+def tpcds_q2_weekly_dow_ratio(spark, sf_dir):
+    """TPC-DS q2 plan signature: weekly sales pivoted to day-of-week
+    columns (CASE pivot over the (year, week, dow) aggregate), then the
+    SAME pivoted relation self-joined on week with a year-offset — the
+    week-over-week 7-ratio report. ISO week + ISO dow on both engines
+    (Spark extract field DAYOFWEEK_ISO = DuckDB ISODOW, Mon=1..Sun=7;
+    plain DOW disagrees: Spark 1..7, DuckDB 0..6 — measured, hence the
+    one-keyword template). Missing (week, dow) cells are NULL — both
+    engines see the same data, so NULL ratios are themselves
+    deterministic outputs (no cell gate; at tiny SFs a 14-cell
+    requirement empties the result).
+    Scale: the pivot grain is |weeks x 7| rows — the self-join is a
+    driver-sized broadcast at any SF."""
+    return _sql(spark, sf_dir, _Q2_SPARK)
+
+
+# --- q31: quarter-over-quarter share growth, two channels x 3 quarters ------
+
+_Q31_SQL = """
+WITH ss AS (
+  SELECT n.n_name AS nation, CAST(quarter(o.o_orderdate) AS INT) AS q,
+         sum(CAST(round(o.o_totalprice + 1e-9, 2) AS DECIMAL(18,2))) AS total
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  WHERE year(o.o_orderdate) = 1996 AND quarter(o.o_orderdate) <= 3
+  GROUP BY n.n_name, CAST(quarter(o.o_orderdate) AS INT)
+),
+ws AS (
+  SELECT n.n_name AS nation, CAST(quarter(l.l_shipdate) AS INT) AS q,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) + 1e-9, 2)
+                  AS DECIMAL(18,2))) AS total
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  WHERE year(l.l_shipdate) = 1996 AND quarter(l.l_shipdate) <= 3
+  GROUP BY n.n_name, CAST(quarter(l.l_shipdate) AS INT)
+)
+SELECT ss1.nation,
+       round(CAST(ws2.total AS DOUBLE) / CAST(ws1.total AS DOUBLE) + 1e-9, 6)
+           AS web_q1_q2,
+       round(CAST(ws3.total AS DOUBLE) / CAST(ws2.total AS DOUBLE) + 1e-9, 6)
+           AS web_q2_q3,
+       round(CAST(ss2.total AS DOUBLE) / CAST(ss1.total AS DOUBLE) + 1e-9, 6)
+           AS store_q1_q2,
+       round(CAST(ss3.total AS DOUBLE) / CAST(ss2.total AS DOUBLE) + 1e-9, 6)
+           AS store_q2_q3
+FROM ss ss1 JOIN ss ss2 ON ss1.nation = ss2.nation
+JOIN ss ss3 ON ss1.nation = ss3.nation
+JOIN ws ws1 ON ss1.nation = ws1.nation
+JOIN ws ws2 ON ss1.nation = ws2.nation
+JOIN ws ws3 ON ss1.nation = ws3.nation
+WHERE ss1.q = 1 AND ss2.q = 2 AND ss3.q = 3
+  AND ws1.q = 1 AND ws2.q = 2 AND ws3.q = 3
+  AND round(CAST(ws2.total AS DOUBLE) / CAST(ws1.total AS DOUBLE) + 1e-9, 6)
+      > round(CAST(ss2.total AS DOUBLE) / CAST(ss1.total AS DOUBLE) + 1e-9, 6)
+  AND round(CAST(ws3.total AS DOUBLE) / CAST(ws2.total AS DOUBLE) + 1e-9, 6)
+      > round(CAST(ss3.total AS DOUBLE) / CAST(ss2.total AS DOUBLE) + 1e-9, 6)
+"""
+
+
+@query("tpcds_q31_share_growth", oracle=_Q31_SQL)
+def tpcds_q31_share_growth(spark, sf_dir):
+    """TPC-DS q31 plan signature: two channel CTEs at (nation, quarter)
+    grain, each instantiated THREE times (six join arms on the nation
+    key) — nations whose web-channel growth beat the store channel in
+    BOTH consecutive quarter transitions. The chained double-ratio
+    comparison is q31's distinct feature vs q4/q11's single-cut.
+    Scale: both CTEs aggregate to |nations x 3| rows before the 6-way
+    join — the join tree is a driver-sized broadcast chain at any SF;
+    the cost is the two fact aggregations, each one shuffle."""
+    return _sql(spark, sf_dir, _Q31_SQL)
+
+
+# --- q39: per-(supplier, month) coefficient of variation, month+1 self-join -
+
+_Q39_SQL = """
+WITH inv AS (
+  SELECT l_suppkey AS supp, CAST(month(l_shipdate) AS INT) AS mon,
+         round(avg(l_quantity) + 1e-9, 4) AS mean_q,
+         round(stddev_samp(l_quantity) + 1e-9, 4) AS std_q,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+  WHERE year(l_shipdate) = 1996
+  GROUP BY l_suppkey, CAST(month(l_shipdate) AS INT)
+  HAVING count(*) > 1
+),
+cov AS (
+  SELECT supp, mon, mean_q, std_q,
+         round(std_q / mean_q + 1e-9, 6) AS cov
+  FROM inv WHERE mean_q > 0
+)
+SELECT c1.supp AS s_suppkey, c1.mon AS mon1,
+       c1.cov AS cov1, c2.mon AS mon2, c2.cov AS cov2
+FROM cov c1
+JOIN cov c2 ON c1.supp = c2.supp AND c2.mon = c1.mon + 1
+WHERE c1.cov > 0.5 AND c2.cov > 0.5
+"""
+
+
+@query("tpcds_q39_inventory_cov", oracle=_Q39_SQL)
+def tpcds_q39_inventory_cov(spark, sf_dir):
+    """TPC-DS q39 plan signature: per-(supplier, month) quantity mean and
+    sample stddev -> coefficient of variation, the aggregate SELF-JOINED
+    on (supplier, month+1) keeping supplier-month pairs where BOTH
+    consecutive months are high-variance (q39's inventory consistency
+    audit; the corpus's only stddev-derived join predicate). mean/stddev
+    4dp-rounded with the 1e-9 shift before the 6dp cov cut, so the 0.5
+    threshold reads identical rounded values on both engines. Scale: the
+    self-join input is (supplier x 12)-grain; both arms share one
+    supplier-keyed exchange."""
+    return _sql(spark, sf_dir, _Q39_SQL)
+
+
+# --- q6: dimension-derived price threshold + HAVING floor --------------------
+
+_Q6_SQL = """
+WITH cat_avg AS (
+  SELECT p_type, round(avg(CAST(p_size AS DOUBLE)) + 1e-9, 4) AS avg_size
+  FROM part GROUP BY p_type
+)
+SELECT /*+ BROADCAST(n, a) */ n.n_name,
+       CAST(count(*) AS BIGINT) AS n_oversized_buys
+FROM customer c
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN cat_avg a  ON p.p_type = a.p_type
+WHERE CAST(p.p_size AS DOUBLE) > round(1.2 * a.avg_size + 1e-9, 4)
+GROUP BY n.n_name
+HAVING count(*) >= 10
+"""
+
+
+@query("tpcds_q6_oversized_buyers", oracle=_Q6_SQL)
+def tpcds_q6_oversized_buyers(spark, sf_dir):
+    """TPC-DS q6 plan signature: buyers of items >1.2x their CATEGORY
+    average — the threshold comes from a dimension-derived aggregate
+    (per-type average SIZE; the testdata's retail prices are near-
+    uniform within a type, max 1.2% over average at every SF, so q6's
+    price threshold would be vacuously empty — p_size spans 1..50 and
+    keeps the selectivity real) joined back onto the item dimension
+    before the fact join, finished by a HAVING count floor (q6's 'at
+    least 10 customers'). Distinct from q1: the comparison aggregate is
+    over the DIMENSION, not the fact, so the whole threshold side is a
+    broadcast at any scale. Both round(...,4) sides carry the 1e-9
+    shift, so the 1.2x boundary reads identically."""
+    return _sql(spark, sf_dir, _Q6_SQL)
+
+
+# --- q75: year-over-year decline with returns netted into the grain ---------
+
+_Q75_SQL = """
+WITH sales AS (
+  SELECT p.p_brand AS brand, CAST(year(l.l_shipdate) AS INT) AS yr,
+         CAST(round(sum(CASE WHEN l.l_returnflag = 'R' THEN -l.l_quantity
+                             ELSE l.l_quantity END)) AS BIGINT) AS sales_cnt,
+         sum(CAST(round(CASE WHEN l.l_returnflag = 'R'
+                             THEN -l.l_extendedprice
+                             ELSE l.l_extendedprice END + 1e-9, 2)
+                  AS DECIMAL(18,2))) AS sales_amt
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE year(l.l_shipdate) IN (1996, 1997)
+  GROUP BY p.p_brand, CAST(year(l.l_shipdate) AS INT)
+)
+SELECT curr.brand, curr.yr,
+       prev.sales_cnt AS prev_cnt, curr.sales_cnt AS curr_cnt,
+       CAST(prev.sales_cnt - curr.sales_cnt AS BIGINT) AS cnt_decline,
+       CAST(round(prev.sales_amt - curr.sales_amt, 2) AS DOUBLE)
+           AS amt_decline,
+       round(CAST(curr.sales_cnt AS DOUBLE) / prev.sales_cnt + 1e-9, 6)
+           AS cnt_ratio
+FROM sales curr
+JOIN sales prev ON curr.brand = prev.brand AND curr.yr = prev.yr + 1
+WHERE prev.sales_cnt > 0
+ORDER BY cnt_ratio, curr.brand, curr.yr
+LIMIT 50
+"""
+
+
+@query("tpcds_q75_yoy_decline", oracle=_Q75_SQL)
+def tpcds_q75_yoy_decline(spark, sf_dir):
+    """TPC-DS q75 plan signature: the year-over-year DECLINE report —
+    per-(brand, year) sales with RETURNS NETTED INTO THE GRAIN (returned
+    rows contribute negative quantity/amount — q75 subtracts cr/sr/wr
+    before aggregating), the aggregate self-joined on (brand, year+1),
+    keeping brands whose unit count fell below 0.9x. Two measures
+    (count + DECIMAL amount) flow through the same join — q75's
+    multi-measure diff columns, reported as the 50 STEEPEST declines
+    (ascending ratio top-k with full tie-break; a fixed <0.9 cut goes
+    vacuously empty at sf>=0.1 as per-brand counts concentrate).
+    Scale: the self-join input is (brand x years)-grain; one
+    brand-keyed exchange feeds both arms; the top-k is
+    TakeOrderedAndProject, never a global sort."""
+    return _sql(spark, sf_dir, _Q75_SQL)
+
+
+# --- q58: cross-channel parity items (revenue within band of 3-way avg) -----
+
+_Q58_SQL = """
+WITH ss AS (
+  SELECT l_partkey AS item,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) + 1e-9, 2)
+                  AS DECIMAL(18,2))) AS rev
+  FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_partkey
+),
+cs AS (
+  SELECT l_partkey AS item,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) + 1e-9, 2)
+                  AS DECIMAL(18,2))) AS rev
+  FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_partkey
+),
+ws AS (
+  SELECT l_partkey AS item,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) + 1e-9, 2)
+                  AS DECIMAL(18,2))) AS rev
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey
+)
+SELECT ss.item AS p_partkey,
+       CAST(ss.rev AS DOUBLE) AS ss_rev,
+       CAST(cs.rev AS DOUBLE) AS cs_rev,
+       CAST(ws.rev AS DOUBLE) AS ws_rev,
+       round((CAST(ss.rev AS DOUBLE) + CAST(cs.rev AS DOUBLE)
+              + CAST(ws.rev AS DOUBLE)) / 3 + 1e-9, 4) AS avg_rev
+FROM ss
+JOIN cs ON ss.item = cs.item
+JOIN ws ON ss.item = ws.item
+WHERE round(CAST(ss.rev AS DOUBLE)
+            / ((CAST(ss.rev AS DOUBLE) + CAST(cs.rev AS DOUBLE)
+                + CAST(ws.rev AS DOUBLE)) / 3) + 1e-9, 6)
+          BETWEEN 0.9 AND 1.1
+  AND round(CAST(cs.rev AS DOUBLE)
+            / ((CAST(ss.rev AS DOUBLE) + CAST(cs.rev AS DOUBLE)
+                + CAST(ws.rev AS DOUBLE)) / 3) + 1e-9, 6)
+          BETWEEN 0.9 AND 1.1
+  AND round(CAST(ws.rev AS DOUBLE)
+            / ((CAST(ss.rev AS DOUBLE) + CAST(cs.rev AS DOUBLE)
+                + CAST(ws.rev AS DOUBLE)) / 3) + 1e-9, 6)
+          BETWEEN 0.9 AND 1.1
+"""
+
+
+@query("tpcds_q58_channel_parity_items", oracle=_Q58_SQL)
+def tpcds_q58_channel_parity_items(spark, sf_dir):
+    """TPC-DS q58 plan signature: items whose revenue is in PARITY across
+    all three channels — three per-item channel aggregates 3-way
+    inner-joined on the item key, each channel's share of the 3-way
+    average band-checked (within 10%). The triple BETWEEN over a shared
+    denominator is q58's feature: every band cut goes through a
+    6dp-rounded ratio so the 0.9/1.1 edges read identically on both
+    engines. Scale: three item-grain aggregates off ONE fact scan
+    (Catalyst shares the scan via plan dedup at best, or 3 pushed-filter
+    scans at worst); the 3-way join reuses the item-key exchange."""
+    return _sql(spark, sf_dir, _Q58_SQL)
+
+
+# --- q99: fulfillment-lag bands per priority (grouped CASE bands) -----------
+
+# one template, two dialect day-difference spellings: Spark datediff(end,
+# start), DuckDB date_diff('day', start, end).
+_Q99_TEMPLATE = """
+SELECT o.o_orderpriority,
+       CAST(sum(CASE WHEN {LAG} <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d30,
+       CAST(sum(CASE WHEN {LAG} > 30 AND {LAG} <= 60 THEN 1 ELSE 0 END)
+            AS BIGINT) AS d60,
+       CAST(sum(CASE WHEN {LAG} > 60 AND {LAG} <= 90 THEN 1 ELSE 0 END)
+            AS BIGINT) AS d90,
+       CAST(sum(CASE WHEN {LAG} > 90 AND {LAG} <= 120 THEN 1 ELSE 0 END)
+            AS BIGINT) AS d120,
+       CAST(sum(CASE WHEN {LAG} > 120 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dmore
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+_Q99_SPARK = _Q99_TEMPLATE.replace("{LAG}", "datediff(l.l_shipdate, o.o_orderdate)")
+_Q99_ORACLE = _Q99_TEMPLATE.replace(
+    "{LAG}", "date_diff('day', o.o_orderdate, l.l_shipdate)"
+)
+
+
+@query("tpcds_q99_ship_lag_bands", oracle=_Q99_ORACLE)
+def tpcds_q99_ship_lag_bands(spark, sf_dir):
+    """TPC-DS q99 plan signature: fulfillment-lag BANDS — every line's
+    ship lag (days between order and ship date, whole-day integer on
+    both engines; Spark datediff vs DuckDB date_diff spelling is the
+    only dialect split) bucketed 30/60/90/120 by CASE inside conditional
+    sums, grouped per priority. Distinct from q88's scalar fan: ONE scan
+    and ONE grouped aggregate produce all five bands as columns — the
+    banding is in the aggregate expressions, not in per-band subqueries.
+    Scale: single fact-fact join on orderkey + one ~5-row aggregate;
+    nothing else."""
+    return _sql(spark, sf_dir, _Q99_SPARK)

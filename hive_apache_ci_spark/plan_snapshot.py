@@ -62,6 +62,21 @@ SNAPSHOT_QUERIES = (
     "tpcds_q78_channel_ratio",
     "tpcds_q95_multi_supplier",
     "tpcds_q34_basket_bands",
+    # round 11 corpus widening (r10 verdict task 1): each new TPC-DS
+    # shape is plan-snapshot-pinned alongside its oracle + bench entries
+    "tpcds_q72_lagged_fulfillment",
+    "tpcds_q4_yoy_preference",
+    "tpcds_q74_max_yoy_topk",
+    "tpcds_q93_net_after_returns",
+    "tpcds_q54_revenue_segments",
+    "tpcds_q1_returns_above_avg",
+    "tpcds_q2_weekly_dow_ratio",
+    "tpcds_q31_share_growth",
+    "tpcds_q39_inventory_cov",
+    "tpcds_q6_oversized_buyers",
+    "tpcds_q75_yoy_decline",
+    "tpcds_q58_channel_parity_items",
+    "tpcds_q99_ship_lag_bands",
     # round 9: the text-hint join. (analyze_equi_depth_histogram is NOT
     # snapshot-pinned: its _value_range_shards localCheckpoint embeds a
     # session-state-dependent RDD scan in the plan text; the invariant
