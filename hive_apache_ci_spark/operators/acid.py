@@ -33,8 +33,12 @@ public API only:
   writers racing for version n+1 exactly one commits; the loser raises
   ConcurrentCommitError and must re-read + retry (Delta's
   first-writer-wins protocol). Losing writers leave only unreferenced
-  data dirs. No lock manager (DbTxnManager stays out of scope) —
-  conflicts are detected at commit, not prevented by locks.
+  data dirs;
+- **writer lease** (r11): WriterLease adds Hive DbTxnManager's QUEUEING
+  behavior on top — a blocking lock file with heartbeat TTL and
+  one-winner takeover of expired leases. The lease is an optimization
+  (writers wait instead of burning retries); the hard-link publish
+  remains the only commit arbiter, so correctness never depends on it.
 
 Scale notes: deltas are mutation-sized, not table-sized; the read path is
 UNION ALL + one row_number window partitioned BY KEY (hash-distributed,
@@ -93,6 +97,135 @@ def _fsync_dir_entries(d: str) -> None:
 _PART_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(1, 32)} | {
     "\x7f"
 }
+
+
+class LeaseTimeoutError(RuntimeError):
+    """Could not acquire the writer lease before the timeout (another
+    writer holds it and keeps heartbeating)."""
+
+
+class WriterLease:
+    """Minimal BLOCKING writer lease over a table's ``_commits`` dir —
+    the DbTxnManager queueing analog (SURVEY §1.1 row 6 / §7.8; Hive's
+    lock manager makes concurrent writers WAIT where our optimistic
+    protocol makes them retry). r10 VERDICT task 4 asked for the explicit
+    decision; this is the lock side of it:
+
+    - the lease is a lock FILE (``_writer.lock``) created with O_EXCL —
+      atomic create-if-absent, same primitive as the manifest publish;
+    - the payload names the holder and an EXPIRY; the holder extends it
+      by ``heartbeat()`` (atomic tmp+rename replace);
+    - a waiter polls; on finding an EXPIRED lease (crashed holder) it
+      breaks it by renaming the lock to a unique tombstone — rename(2)
+      succeeds for exactly ONE breaker (the loser gets ENOENT and
+      re-polls), so takeover can never go double;
+    - correctness does NOT depend on the lease: the hard-link manifest
+      publish stays the one commit arbiter, so even a broken-lease race
+      (old holder wakes after expiry, new holder acquired) degrades to
+      an ordinary OCC conflict, not a lost update. The lease only buys
+      Hive's QUEUEING behavior — writers wait instead of burning retry
+      work — which is the operational win at 100 TB where a losing
+      retry means re-staging a partition-sized delta.
+    """
+
+    def __init__(self, commits_dir: str, ttl_s: float = 30.0,
+                 holder: str | None = None):
+        self.path = os.path.join(commits_dir, "_writer.lock")
+        self.ttl_s = float(ttl_s)
+        self.holder = holder or f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        self._held = False
+
+    # -- internals ---------------------------------------------------------
+
+    def _payload(self) -> bytes:
+        import time
+
+        return json.dumps(
+            {"holder": self.holder, "expires": time.time() + self.ttl_s}
+        ).encode()
+
+    def _try_create(self) -> bool:
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, self._payload())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return True
+
+    def _read(self) -> dict | None:
+        try:
+            with open(self.path) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None  # vanished or mid-replace: re-poll
+
+    def _break_expired(self) -> None:
+        tomb = self.path + f".broken.{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(self.path, tomb)  # exactly one breaker wins
+        except OSError:
+            return
+        try:
+            os.unlink(tomb)
+        except OSError:
+            pass
+
+    # -- API ----------------------------------------------------------------
+
+    def acquire(self, timeout_s: float = 60.0,
+                poll_s: float = 0.05) -> "WriterLease":
+        import time
+
+        deadline = time.monotonic() + timeout_s
+        while True:
+            if self._try_create():
+                self._held = True
+                return self
+            cur = self._read()
+            if cur is not None and time.time() > cur.get("expires", 0):
+                self._break_expired()
+                continue  # immediately recontend for the freed slot
+            if time.monotonic() >= deadline:
+                who = (cur or {}).get("holder", "unknown")
+                raise LeaseTimeoutError(
+                    f"writer lease held by {who}; gave up after {timeout_s}s"
+                )
+            time.sleep(poll_s)
+
+    def heartbeat(self) -> None:
+        """Extend the expiry (long transactions call this periodically —
+        Hive's lock heartbeat). Atomic replace so a waiter never reads a
+        torn payload. Only valid while held."""
+        if not self._held:
+            raise RuntimeError("heartbeat on a lease not held")
+        tmp = self.path + f".hb.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(self._payload().decode())
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, self.path)
+
+    def release(self) -> None:
+        if self._held:
+            cur = self._read()
+            # only unlink our OWN lock: if we expired and were broken +
+            # re-acquired by someone else, their lease must survive
+            if cur is not None and cur.get("holder") == self.holder:
+                try:
+                    os.unlink(self.path)
+                except OSError:
+                    pass
+            self._held = False
+
+    def __enter__(self) -> "WriterLease":
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
 def escape_partition_value(v: str) -> str:
@@ -191,7 +324,10 @@ class AcidTable:
 
     # -- transactions: automatic retry loop (round 10) --------------------
 
-    def commit_transaction(self, spark, txn_fn, max_retries: int = 5) -> int:
+    def commit_transaction(self, spark, txn_fn, max_retries: int = 5,
+                           use_lease: bool = False,
+                           lease_ttl_s: float = 30.0,
+                           lease_timeout_s: float = 60.0) -> int:
         """Run ``txn_fn(snapshot_df) -> delta_df`` as one optimistic
         transaction with the AUTOMATIC retry loop (the user-facing
         contract Hive/Delta wrap around first-writer-wins; r9 VERDICT
@@ -202,19 +338,42 @@ class AcidTable:
         state it wasn't computed from. Returns the committed version;
         raises after ``max_retries`` consecutive conflicts (livelock
         guard — at that point the caller is racing a hotter writer and
-        should back off)."""
-        last: ConcurrentCommitError | None = None
-        for _ in range(max_retries):
-            v = self.latest_version()
-            delta = txn_fn(self.read(spark, version=v))
-            try:
-                return self.commit_delta(delta, read_version=v)
-            except ConcurrentCommitError as exc:
-                last = exc
-                continue
-        raise ConcurrentCommitError(
-            f"transaction lost {max_retries} consecutive races; backing off"
-        ) from last
+        should back off).
+
+        ``use_lease=True`` (r11, VERDICT task 4) takes the blocking
+        WriterLease for the whole read-derive-commit span — Hive
+        DbTxnManager's queueing behavior: concurrent lease-holding
+        writers WAIT instead of burning a staged-and-discarded retry.
+        The OCC retry loop stays active underneath (a non-lease writer,
+        or a broken-lease straggler, still just causes one retry) — the
+        lease is a throughput optimization, never the correctness
+        arbiter."""
+        lease = (
+            WriterLease(self.commits, ttl_s=lease_ttl_s).acquire(
+                timeout_s=lease_timeout_s
+            )
+            if use_lease
+            else None
+        )
+        try:
+            last: ConcurrentCommitError | None = None
+            for _ in range(max_retries):
+                v = self.latest_version()
+                delta = txn_fn(self.read(spark, version=v))
+                if lease is not None:
+                    lease.heartbeat()  # long derive: keep the TTL fresh
+                try:
+                    return self.commit_delta(delta, read_version=v)
+                except ConcurrentCommitError as exc:
+                    last = exc
+                    continue
+            raise ConcurrentCommitError(
+                f"transaction lost {max_retries} consecutive races; "
+                "backing off"
+            ) from last
+        finally:
+            if lease is not None:
+                lease.release()
 
     # -- writes ----------------------------------------------------------
 
@@ -1187,6 +1346,113 @@ def acid_concurrent_writers(spark, sf_dir):
     deleted = a.vacuum(retain_versions=1)
     if len(deleted) != 1 or not deleted[0].startswith("delta_1_"):
         raise AssertionError(f"expected exactly B's orphan GC'd: {deleted}")
+    out = b.read(spark).localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
+    "acid_lease_writers",
+    oracle="""
+    WITH v0 AS (
+      SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+             c_mktsegment
+      FROM customer
+    ),
+    v1 AS (  -- writer A, under the lease: +10 for even keys
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 10
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM v0
+    ),
+    v2 AS (  -- writer B, QUEUED behind A (never conflicted, never retried)
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN round(c_acctbal * 2 + 1e-9, 2)
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM v1
+    )
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM v2
+    """,
+)
+def acid_lease_writers(spark, sf_dir):
+    """The BLOCKING writer-lease contract end-to-end (r11, VERDICT task 4
+    — Hive DbTxnManager's queueing vs the OCC retry of
+    acid_concurrent_writers): writer A takes the lease and commits; while
+    A holds it, writer B's acquire() times out (queued, never conflicts);
+    after A releases, B commits through commit_transaction(use_lease=True).
+    The oracle replays A then B in lease order. Post-conditions audited
+    in-query: B never saw ConcurrentCommitError, and the table has ZERO
+    orphan data dirs (queueing means no staged-and-discarded work —
+    vacuum retaining every version deletes nothing), the operational win
+    over OCC at 100 TB where a discarded retry is a partition-sized
+    re-stage. Reference parity: lockmgr/DbTxnManager.class (SURVEY §1.1
+    row 6)."""
+    import shutil
+
+    root = run_scratch("acid", sf_dir, "lease_writers")
+    a, b = AcidTable(root), AcidTable(root)
+    base = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    a.create(base)
+    lease_a = WriterLease(a.commits, ttl_s=60.0).acquire(timeout_s=5)
+    try:
+        blocked = False
+        try:
+            WriterLease(b.commits, ttl_s=60.0).acquire(timeout_s=0.2)
+        except LeaseTimeoutError:
+            blocked = True
+        if not blocked:
+            raise AssertionError("writer B acquired a HELD lease")
+        d_a = a.read(spark, version=0).filter(
+            F.col("c_custkey") % 2 == 0
+        ).select(
+            "c_custkey", "c_name",
+            (F.col("c_acctbal") + 10).alias("c_acctbal"),
+            "c_mktsegment", F.lit("U").alias("_op"),
+        )
+        lease_a.heartbeat()
+        if a.commit_delta(d_a, read_version=0) != 1:
+            raise AssertionError("writer A did not commit v1")
+    finally:
+        lease_a.release()
+
+    def derive_b(snap):
+        return snap.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey", "c_name",
+            F.round(F.col("c_acctbal") * 2 + F.lit(1e-9), 2).alias(
+                "c_acctbal"
+            ),
+            "c_mktsegment", F.lit("U").alias("_op"),
+        )
+
+    conflicts = []
+    orig_commit = b.commit_delta
+
+    def counting_commit(delta_df, read_version=None):
+        try:
+            return orig_commit(delta_df, read_version=read_version)
+        except ConcurrentCommitError:
+            conflicts.append(1)
+            raise
+
+    b.commit_delta = counting_commit
+    v = b.commit_transaction(spark, derive_b, use_lease=True)
+    if v != 2:
+        raise AssertionError(f"queued writer B landed at v{v}, expected v2")
+    if conflicts:
+        raise AssertionError("lease-queued writer B hit an OCC conflict")
+    # queueing leaves NO discarded work: retaining every version, vacuum
+    # finds nothing to collect
+    deleted = a.vacuum(retain_versions=3)
+    if deleted:
+        raise AssertionError(f"unexpected orphan data dirs: {deleted}")
     out = b.read(spark).localCheckpoint()
     shutil.rmtree(root, ignore_errors=True)
     return out

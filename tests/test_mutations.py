@@ -544,3 +544,124 @@ def test_acid_commit_transaction_thread_race(spark, tmp_path):
     assert versions == [v0 + 1, v0 + 2, v0 + 3, v0 + 4]
     got = {r.c_custkey: r.c_acctbal for r in tbl.read(spark).collect()}
     assert got[1] == base_bal + 4
+
+
+# ---- writer lease (round 11: the DbTxnManager queueing analog) -------------
+
+
+def test_writer_lease_mutual_exclusion_and_takeover(tmp_path):
+    """O_EXCL lock file: second acquirer blocks then times out while held;
+    an EXPIRED lease is broken by exactly one waiter; release only unlinks
+    the holder's own lock."""
+    import os
+    import threading
+
+    import pytest
+
+    from hive_apache_ci_spark.operators.acid import (
+        LeaseTimeoutError, WriterLease,
+    )
+
+    commits = str(tmp_path)
+    a = WriterLease(commits, ttl_s=30.0).acquire(timeout_s=1)
+    b = WriterLease(commits, ttl_s=30.0)
+    with pytest.raises(LeaseTimeoutError):
+        b.acquire(timeout_s=0.3)
+    a.release()
+    assert not os.path.exists(a.path)
+    b.acquire(timeout_s=1)
+    # releasing the STALE handle 'a' must not unlink b's live lease
+    a._held = True
+    a.release()
+    assert os.path.exists(b.path)
+    b.release()
+    # expired lease (crashed holder): ttl elapses, waiters race to break
+    # it; exactly one wins the rename and the slot is re-acquired
+    WriterLease(commits, ttl_s=0.05).acquire(timeout_s=1)  # never released
+    import time
+
+    time.sleep(0.1)
+    winners = []
+    def contend():
+        try:
+            lk = WriterLease(commits, ttl_s=5.0).acquire(timeout_s=2)
+            winners.append(lk)
+        except LeaseTimeoutError:
+            pass
+    ts = [threading.Thread(target=contend) for _ in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert len(winners) == 1, "exactly one waiter takes over an expired lease"
+    winners[0].release()
+
+
+def test_writer_lease_heartbeat_extends(tmp_path):
+    """heartbeat() pushes the expiry out: a short-TTL lease that keeps
+    heartbeating is never broken by a waiter."""
+    import time
+
+    from hive_apache_ci_spark.operators.acid import (
+        LeaseTimeoutError, WriterLease,
+    )
+
+    lk = WriterLease(str(tmp_path), ttl_s=0.3).acquire(timeout_s=1)
+    w = WriterLease(str(tmp_path), ttl_s=0.3)
+    t_end = time.monotonic() + 0.8
+    broken = False
+    while time.monotonic() < t_end:
+        lk.heartbeat()
+        try:
+            w.acquire(timeout_s=0.05)
+            broken = True
+            break
+        except LeaseTimeoutError:
+            pass
+    assert not broken, "heartbeating lease was stolen"
+    lk.release()
+
+
+def test_acid_commit_transaction_with_lease_serializes(spark, tmp_path):
+    """use_lease=True: four threads commit through the lease and NONE of
+    them ever hits a ConcurrentCommitError (Hive's queueing behavior —
+    writers wait, not retry). Final state = all four deltas applied."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from hive_apache_ci_spark.operators.acid import AcidTable
+
+    tbl = AcidTable(str(tmp_path / "t"), cols=["k", "v"], key="k")
+    tbl.create(spark.createDataFrame([(1, 0.0)], "k long, v double"))
+    conflicts = []
+    orig = tbl.commit_delta
+
+    def counting_commit(delta_df, read_version=None):
+        from hive_apache_ci_spark.operators.acid import ConcurrentCommitError
+        try:
+            return orig(delta_df, read_version=read_version)
+        except ConcurrentCommitError:
+            conflicts.append(1)
+            raise
+
+    tbl.commit_delta = counting_commit
+    errs = []
+
+    def writer(i):
+        def txn(snap):
+            return snap.filter(F.col("k") == 1).select(
+                "k", (F.col("v") + 1).alias("v"), F.lit("U").alias("_op")
+            )
+        try:
+            tbl.commit_transaction(
+                spark, txn, use_lease=True, lease_timeout_s=300
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert errs == []
+    assert conflicts == [], "lease-holding writers must never conflict"
+    assert tbl.latest_version() == 4
+    assert tbl.read(spark).collect()[0].v == 4.0
