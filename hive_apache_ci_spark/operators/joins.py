@@ -209,24 +209,31 @@ def join_nonequi(spark, sf_dir):
 )
 def join_nullsafe(spark, sf_dir):
     """Null-safe equality join ``<=>`` (GenericUDFOPEqualNS): NULL keys on
-    both sides pair up instead of dropping."""
+    both sides pair up instead of dropping.
+
+    Scale rewrite (r11 canary-ratio audit): the join key has ~|nations|
+    distinct values, so the row-level many-to-many join materializes
+    |customers/key| x |suppliers/key| pairs — output QUADRATIC in SF
+    (100x pairs per data decade; the sf1 canary's 6.5x ratio was the
+    fixed-cost-masked onset of that curve) only to count them. The
+    aggregate is pushed BELOW the join: count each side per key first,
+    then null-safe-join the two key-grain aggregates and multiply — same
+    result, linear I/O, and the <=> comparison still drives the join.
+    The classic partial-aggregation-through-join transform Catalyst does
+    not apply automatically across a join."""
     c = T(spark, sf_dir, "customer").select(
-        "c_custkey",
         F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
         .otherwise(F.col("c_nationkey"))
         .alias("nkey"),
-    )
+    ).groupBy("nkey").agg(F.count(F.lit(1)).alias("n_c"))
     s = T(spark, sf_dir, "supplier").select(
-        "s_suppkey",
         F.when(F.col("s_suppkey") % 5 == 0, F.lit(None))
         .otherwise(F.col("s_nationkey"))
         .alias("nkey"),
-    )
-    return (
-        c.join(s, c["nkey"].eqNullSafe(s["nkey"]), "inner")
-        .select(c["nkey"].alias("nkey"))
-        .groupBy("nkey")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    ).groupBy("nkey").agg(F.count(F.lit(1)).alias("n_s"))
+    return c.join(s, c["nkey"].eqNullSafe(s["nkey"]), "inner").select(
+        c["nkey"].alias("nkey"),
+        (F.col("n_c") * F.col("n_s")).alias("n_pairs"),
     )
 
 

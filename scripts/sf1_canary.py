@@ -392,18 +392,26 @@ def main() -> int:
     # entries they measured — a spot-check run must not shrink the sidecar)
     try:
         os.makedirs(os.path.dirname(RATIO_SIDECAR), exist_ok=True)
+        # r11 fix: the merge-don't-shrink rule applies to EVERY field, not
+        # just best_ratio — a spot-check run used to clobber last_ratio
+        # down to the measured subset and drop extra keys (e.g. the r10
+        # `rebased` annotation). Read the previous sidecar verbatim and
+        # overwrite only what this run measured.
+        try:
+            with open(RATIO_SIDECAR) as fh:
+                sidecar = json.load(fh)
+        except (OSError, ValueError):
+            sidecar = {}
+        if sidecar.get("copies") not in (None, COPIES):
+            sidecar = {}  # different replication factor: start fresh
+        sidecar["copies"] = COPIES
+        sidecar["best_ratio"] = merge_best_ratios(prev_best, ratios)
+        sidecar["last_ratio"] = {
+            **(sidecar.get("last_ratio") or {}), **ratios
+        }
+        sidecar["creep_rule"] = f">{CREEP_RATIO}x best"
         with open(RATIO_SIDECAR, "w") as fh:
-            json.dump(
-                {
-                    "copies": COPIES,
-                    "best_ratio": merge_best_ratios(prev_best, ratios),
-                    "last_ratio": ratios,
-                    "creep_rule": f">{CREEP_RATIO}x best",
-                },
-                fh,
-                indent=1,
-                sort_keys=True,
-            )
+            json.dump(sidecar, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError as exc:
         print(f"canary: ratio sidecar write failed: {exc}", file=sys.stderr)
