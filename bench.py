@@ -434,7 +434,11 @@ def main() -> int:
         sent_best[k] = min(lo, sent_best[k]) if k in sent_best else lo
 
     def _sent_ratio(k: str) -> float:
-        base = sent_best.get(k)
+        # Ratio against the COMMITTED best only. On the first sentinel run
+        # (no committed best) the ratio is 1.0 — comparing against this
+        # run's own minimum would scale the comparator off intra-run probe
+        # jitter and could suppress a real regression exactly once.
+        base = sent_best_prev.get(k)
         if not base:
             return 1.0
         return round((sent_start[k] + sent_end[k]) / 2 / base, 3)

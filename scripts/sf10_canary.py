@@ -234,7 +234,17 @@ def main() -> int:
                 row["verdict"] = "VACUOUS-AT-SF10"
         out[name] = row
         print(f"  {name}: {row}", file=sys.stderr)
-    payload = {"copies": COPIES, "queries": out}
+    # merge-don't-shrink (same rule as CANARY_RATIOS.json): a chunked or
+    # spot run overwrites only the queries it measured
+    try:
+        with open(OUT) as fh:
+            prev = json.load(fh)
+        if prev.get("copies") != COPIES:
+            prev = {}
+    except (OSError, ValueError):
+        prev = {}
+    merged = {**(prev.get("queries") or {}), **out}
+    payload = {"copies": COPIES, "queries": merged}
     with open(OUT, "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")

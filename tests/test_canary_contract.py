@@ -63,3 +63,18 @@ def test_ratio_sidecar_is_committed_and_covers_registry():
     best = side["best_ratio"]
     assert len(best) >= 250  # seeded from the r05+r06 full sweeps
     assert all(isinstance(v, (int, float)) and v > 0 for v in best.values())
+
+
+def test_sf10_canary_names_are_registered():
+    """scripts/sf10_canary.py (r11): every scale-sensitive query it
+    measures must exist in the registry, and none may be parity_only
+    (perf-surface exclusion rule)."""
+    import scripts.sf10_canary as sf10
+
+    from hive_apache_ci_spark.registry import all_queries, parity_only_queries
+
+    qs = all_queries()
+    for name in sf10.SF10_QUERIES:
+        assert name in qs, name
+    assert not (set(sf10.SF10_QUERIES) & parity_only_queries())
+    assert sf10.COPIES == 100  # one decade over the sf1 canary
