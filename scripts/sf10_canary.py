@@ -18,7 +18,9 @@ artifact instead of the engine):
   sf1 recipe's chr(64+i) runs out of printable ASCII at 26 copies); same
   char-length, same position, so per-copy fuzzy-join block structure is
   identical to the original while copies land in disjoint blocks;
-- documents: 'c<i> ' tag prepended (near- but not exact-duplicates);
+- documents: copy-unique marker interleaved every 3 tokens (see the
+  sf1_canary docstring — a prepended tag left cross-copy Jaccard ~0.99
+  and the LSH dedup output quadratic in copies);
 - embeddings: cyclic rotation by 1 + (i-1) % 63 (distance distribution
   preserved) PLUS a +i*1e-6 perturbation so copies whose rotation amount
   collides (i and i+63) are still not bitwise-equal vectors.
@@ -159,13 +161,16 @@ def generate(force: bool = False) -> None:
     )
     copy_out(
         "documents",
-        f"""SELECT doc_id + i*{dk} AS doc_id,
-                   CASE WHEN i = 0 THEN text
-                        ELSE 'c' || i || ' ' || text END AS text,
-                   lang, source,
-                   n_chars + CASE WHEN i = 0 THEN 0
-                                  ELSE length('c' || i || ' ') END AS n_chars
-            FROM documents, range({COPIES}) r(i)""",
+        f"""SELECT doc_id + i*{dk} AS doc_id, txt AS text, lang, source,
+                   length(txt) AS n_chars
+            FROM (
+              SELECT doc_id, lang, source, i,
+                     CASE WHEN i = 0 THEN text
+                          ELSE regexp_replace(text, '((\\S+\\s+){{3}})',
+                                              '\\1c' || i || ' ', 'g') END
+                         AS txt
+              FROM documents, range({COPIES}) r(i)
+            )""",
     )
     copy_out(
         "embeddings",

@@ -9,9 +9,15 @@ replication with DuckDB:
 
 - TPC-H tables: 10 copies with key offsets (o_orderkey/o_custkey/... keep
   join integrity; nation/region stay fixed dimensions);
-- documents: copy tag prepended to the text, so copies are near- but not
-  exact-duplicates (an exact 10x dup corpus would quadratically inflate
-  every dedup operator and measure the DATA, not the engine);
+- documents: a copy-unique marker token is INTERLEAVED every 3 tokens
+  (r11 — the old prepended tag left copies at Jaccard ~0.99, so the
+  shingle-LSH dedup caught every cross-copy pair and the output grew
+  QUADRATICALLY in copies: the sf10 canary measured 1.09e9 pairs from a
+  99x output blow-up. Interleaving perturbs ~half the shingles, dropping
+  cross-copy Jaccard below the LSH threshold — copies land in disjoint
+  near-dup cliques, same discipline as the customer-name blocks — while
+  within-copy near-dup structure is preserved because both members of an
+  original near-dup pair receive markers at similar positions);
 - embeddings: each copy is a cyclic rotation of the vector (norms and
   pairwise-distance distribution preserved, no artificial duplicate pairs);
 - events: user_id offset per copy (sessions/windows scale linearly).
@@ -234,13 +240,16 @@ def generate(force: bool = False) -> None:
     )
     copy_out(
         "documents",
-        f"""SELECT doc_id + i*{dk} AS doc_id,
-                   CASE WHEN i = 0 THEN text
-                        ELSE 'c' || i || ' ' || text END AS text,
-                   lang, source,
-                   n_chars + CASE WHEN i = 0 THEN 0
-                                  ELSE length('c' || i || ' ') END AS n_chars
-            FROM documents, range({COPIES}) r(i)""",
+        f"""SELECT doc_id + i*{dk} AS doc_id, txt AS text, lang, source,
+                   length(txt) AS n_chars
+            FROM (
+              SELECT doc_id, lang, source, i,
+                     CASE WHEN i = 0 THEN text
+                          ELSE regexp_replace(text, '((\\S+\\s+){{3}})',
+                                              '\\1c' || i || ' ', 'g') END
+                         AS txt
+              FROM documents, range({COPIES}) r(i)
+            )""",
     )
     copy_out(
         "embeddings",
