@@ -18,9 +18,11 @@ artifact instead of the engine):
   sf1 recipe's chr(64+i) runs out of printable ASCII at 26 copies); same
   char-length, same position, so per-copy fuzzy-join block structure is
   identical to the original while copies land in disjoint blocks;
-- documents: copy-unique marker interleaved every 3 tokens (see the
-  sf1_canary docstring — a prepended tag left cross-copy Jaccard ~0.99
-  and the LSH dedup output quadratic in copies);
+- documents: per-copy vocabulary bijection — every token suffixed with
+  the copy id (see the sf1_canary docstring: prepended tags and
+  interleaved markers both left cross-copy Jaccard above the LSH
+  banding curve; renaming the vocabulary makes it exactly 0 while
+  within-copy planted near-dup pairs keep their Jaccard exactly);
 - embeddings: cyclic rotation by 1 + (i-1) % 63 (distance distribution
   preserved) PLUS a +i*1e-6 perturbation so copies whose rotation amount
   collides (i and i+63) are still not bitwise-equal vectors.
@@ -166,9 +168,8 @@ def generate(force: bool = False) -> None:
             FROM (
               SELECT doc_id, lang, source, i,
                      CASE WHEN i = 0 THEN text
-                          ELSE regexp_replace(text, '((\\S+\\s+){{3}})',
-                                              '\\1c' || i || ' ', 'g') END
-                         AS txt
+                          ELSE regexp_replace(text, '(\\S+)',
+                                              '\\1c' || i, 'g') END AS txt
               FROM documents, range({COPIES}) r(i)
             )""",
     )

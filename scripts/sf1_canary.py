@@ -9,15 +9,16 @@ replication with DuckDB:
 
 - TPC-H tables: 10 copies with key offsets (o_orderkey/o_custkey/... keep
   join integrity; nation/region stay fixed dimensions);
-- documents: a copy-unique marker token is INTERLEAVED every 3 tokens
-  (r11 — the old prepended tag left copies at Jaccard ~0.99, so the
-  shingle-LSH dedup caught every cross-copy pair and the output grew
-  QUADRATICALLY in copies: the sf10 canary measured 1.09e9 pairs from a
-  99x output blow-up. Interleaving perturbs ~half the shingles, dropping
-  cross-copy Jaccard below the LSH threshold — copies land in disjoint
-  near-dup cliques, same discipline as the customer-name blocks — while
-  within-copy near-dup structure is preserved because both members of an
-  original near-dup pair receive markers at similar positions);
+- documents: each copy applies a VOCABULARY BIJECTION — every token gets
+  a copy-unique suffix (r11. History: a prepended tag left copies at
+  Jaccard ~0.99, so shingle-LSH caught every cross-copy pair and output
+  grew QUADRATICALLY in copies — the sf10 canary measured 1.09e9 pairs,
+  a 99x output blow-up; a marker interleaved every 3 tokens only got
+  cross-copy J down to ~0.47, which 2-row/8-band LSH still catches 86%
+  of the time. Renaming the vocabulary per copy makes cross-copy J
+  EXACTLY 0 while every within-copy planted near-dup pair keeps its
+  original Jaccard exactly — the same disjoint-blocks discipline as the
+  customer names, with zero banding-curve dependence);
 - embeddings: each copy is a cyclic rotation of the vector (norms and
   pairwise-distance distribution preserved, no artificial duplicate pairs);
 - events: user_id offset per copy (sessions/windows scale linearly).
@@ -245,9 +246,8 @@ def generate(force: bool = False) -> None:
             FROM (
               SELECT doc_id, lang, source, i,
                      CASE WHEN i = 0 THEN text
-                          ELSE regexp_replace(text, '((\\S+\\s+){{3}})',
-                                              '\\1c' || i || ' ', 'g') END
-                         AS txt
+                          ELSE regexp_replace(text, '(\\S+)',
+                                              '\\1c' || i, 'g') END AS txt
               FROM documents, range({COPIES}) r(i)
             )""",
     )
