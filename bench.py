@@ -428,20 +428,32 @@ def main() -> int:
     # probe is recorded for diagnosis (GIL/clock vs JVM contention).
     sent_end = _sentinel_probe(spark)
     sent_best_prev = _load_sentinel_best(sf)
-    sent_best = dict(sent_best_prev)
-    for k in ("cpu_s", "spark_s"):
-        lo = min(sent_start[k], sent_end[k])
-        sent_best[k] = min(lo, sent_best[k]) if k in sent_best else lo
+    # Bests are PER PHASE (start vs end), not pooled: the start probe runs
+    # on a freshly-started JVM and is systematically JIT-colder than the
+    # end probe (measured r11 run 1: spark_s 0.159 start vs 0.044 end).
+    # Pooling would compare every future start probe against the warm
+    # minimum and read a permanent ~2x "drift" that scales the comparator
+    # and masks real regressions. Cold-to-cold and warm-to-warm.
+    sent_best: dict[str, dict[str, float]] = {
+        ph: dict(sent_best_prev.get(ph) or {}) for ph in ("start", "end")
+    }
+    for ph, cur in (("start", sent_start), ("end", sent_end)):
+        for k in ("cpu_s", "spark_s"):
+            old = sent_best[ph].get(k)
+            sent_best[ph][k] = min(cur[k], old) if old else cur[k]
 
     def _sent_ratio(k: str) -> float:
-        # Ratio against the COMMITTED best only. On the first sentinel run
-        # (no committed best) the ratio is 1.0 — comparing against this
-        # run's own minimum would scale the comparator off intra-run probe
-        # jitter and could suppress a real regression exactly once.
-        base = sent_best_prev.get(k)
-        if not base:
-            return 1.0
-        return round((sent_start[k] + sent_end[k]) / 2 / base, 3)
+        # Mean of the per-phase ratios against COMMITTED bests only. On
+        # the first sentinel run (no committed best) the ratio is 1.0 —
+        # comparing against this run's own values would scale the
+        # comparator off intra-run jitter and could suppress a real
+        # regression exactly once.
+        rs = []
+        for ph, cur in (("start", sent_start), ("end", sent_end)):
+            base = (sent_best_prev.get(ph) or {}).get(k)
+            if base:
+                rs.append(cur[k] / base)
+        return round(sum(rs) / len(rs), 3) if rs else 1.0
 
     sentinel_ratio = max(1.0, _sent_ratio("spark_s"))
     cpu_ratio = _sent_ratio("cpu_s")

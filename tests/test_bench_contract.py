@@ -178,12 +178,15 @@ def test_sentinel_normalizer_contract(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "_SIDECAR", str(tmp_path / "BENCH_LAST.json"))
     # first run: no sidecar -> no sentinel best
     assert bench._load_sentinel_best(0.1) == {}
+    # bests are PER PHASE (start is JIT-cold, end warm — r11 run-1 measured
+    # spark_s 0.159 vs 0.044; pooling would read a permanent fake drift)
+    best = {
+        "start": {"cpu_s": 0.04, "spark_s": 0.16},
+        "end": {"cpu_s": 0.04, "spark_s": 0.045},
+    }
     with open(bench._sidecar_path(0.1), "w") as fh:
-        json.dump(
-            {"sf": 0.1, "sentinel": {"best": {"cpu_s": 0.1, "spark_s": 0.2}}},
-            fh,
-        )
-    assert bench._load_sentinel_best(0.1) == {"cpu_s": 0.1, "spark_s": 0.2}
+        json.dump({"sf": 0.1, "sentinel": {"best": best}}, fh)
+    assert bench._load_sentinel_best(0.1) == best
     # a slow-box run (1.5x sentinel) scales the comparator: a query at
     # 1.4x its best does NOT flag normalized but DOES flag raw
     prev_best = {"q": 1.0}
