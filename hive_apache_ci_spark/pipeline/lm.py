@@ -539,7 +539,7 @@ ratio AS (
 SELECT o.doc_id,
        any_value(o.lang) AS lang,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       round(sum(r.lr) / count(*) + 1e-12, 6) AS logw
+       round(sum(r.lr) / count(*) + 1e-9, 6) + 0.0 AS logw
 FROM occ o JOIN ratio r ON o.b = r.b
 GROUP BY o.doc_id
 """
@@ -605,8 +605,17 @@ def dsir_importance_weights(spark, sf_dir):
         .agg(
             F.any_value("lang").alias("lang"),
             F.sum("c").cast("bigint").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("c") * F.col("lr")) / F.sum("c") + 1e-12, 6
+            # + 0.0 after the round (r11): a mean lr in (-5e-7, 0) —
+            # produced by the bijected sf1 corpus — rounds to -0.0 in
+            # DuckDB (sign-preserving) but +0.0 in Spark (BigDecimal
+            # HALF_UP drops the sign), and the value hash distinguishes
+            # them. IEEE -0.0 + 0.0 = +0.0 normalizes BOTH engines; the
+            # 1e-9 shift stays for ordinary boundary noise.
+            (
+                F.round(
+                    F.sum(F.col("c") * F.col("lr")) / F.sum("c") + 1e-9, 6
+                )
+                + F.lit(0.0)
             ).alias("logw"),
         )
     )
