@@ -138,6 +138,12 @@ EXTRA_HEADLINERS = (
     "tpcds_q75_yoy_decline",
     "tpcds_q58_channel_parity_items",
     "tpcds_q99_ship_lag_bands",
+    # round-11 late widening (30 -> 33): global count-distinct behind
+    # semi/anti joins, the EXCEPT-chain twin of q14's INTERSECT, and the
+    # scalar-over-scalar ratio readout
+    "tpcds_q16_distinct_shippers",
+    "tpcds_q87_channel_except_chain",
+    "tpcds_q90_am_pm_ratio",
 )
 
 # BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond

@@ -42,6 +42,9 @@ Round-11 widening (17 -> 30 shapes; r10 verdict task 1):
 - q75 : returns-netted grain, steepest YoY decline (tpcds_q75_yoy_decline)
 - q58 : 3-channel parity bands on shared average   (tpcds_q58_channel_parity_items)
 - q99 : grouped fulfillment-lag CASE bands         (tpcds_q99_ship_lag_bands)
+- q16 : global COUNT(DISTINCT) over semi/anti      (tpcds_q16_distinct_shippers)
+- q87 : EXCEPT chain across channel cust sets      (tpcds_q87_channel_except_chain)
+- q90 : scalar-over-scalar ratio readout           (tpcds_q90_am_pm_ratio)
 
 Expressed as shared SQL (one text, both engines — the subqueries-module
 pattern): the *syntax* (ROLLUP, EXISTS-OR, INTERSECT, FULL OUTER) is what
@@ -1443,3 +1446,110 @@ def tpcds_q99_ship_lag_bands(spark, sf_dir):
     Scale: single fact-fact join on orderkey + one ~5-row aggregate;
     nothing else."""
     return _sql(spark, sf_dir, _Q99_SPARK)
+
+
+# --- q16: global COUNT(DISTINCT) readout behind EXISTS + NOT EXISTS ---------
+
+_Q16_SQL = """
+SELECT CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS distinct_customers,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(round(o.o_totalprice + 1e-9, 2)
+                           AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_suppkey <> l2.l_suppkey
+              WHERE l1.l_orderkey = o.o_orderkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = o.o_orderkey
+                    AND l3.l_returnflag = 'R')
+"""
+
+
+@query("tpcds_q16_distinct_shippers", oracle=_Q16_SQL)
+def tpcds_q16_distinct_shippers(spark, sf_dir):
+    """TPC-DS q16 plan signature: a GLOBAL one-row readout mixing
+    count(DISTINCT customer) with plain count/sum over an EXISTS
+    (multi-supplier order, fact self-join) + NOT EXISTS (no returns)
+    filtered slice — q16's 'order count / total shipping cost' report.
+    Distinct from q95 (which groups per priority): the single-row global
+    aggregate forces Catalyst's two-phase distinct expansion (Expand +
+    re-aggregate) stacked ON TOP of semi/anti joins. Scale: the distinct
+    expansion is keyed by custkey — partial aggregation bounds the
+    exchange at distinct-customers grain, never row grain."""
+    return _sql(spark, sf_dir, _Q16_SQL)
+
+
+# --- q87: EXCEPT chain across three channel customer sets -------------------
+
+_Q87_SQL = """
+WITH store_c AS (
+  SELECT DISTINCT o_custkey AS cust FROM orders
+  WHERE year(o_orderdate) = 1996
+),
+ship_c AS (
+  SELECT DISTINCT o.o_custkey AS cust
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE year(l.l_shipdate) = 1996 AND l.l_returnflag = 'R'
+),
+web_c AS (
+  SELECT DISTINCT o_custkey AS cust FROM orders
+  WHERE year(o_orderdate) = 1996 AND o_orderpriority = '1-URGENT'
+),
+only_store AS (
+  SELECT cust FROM store_c
+  EXCEPT
+  SELECT cust FROM ship_c
+  EXCEPT
+  SELECT cust FROM web_c
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_store_only
+FROM only_store s JOIN customer c ON s.cust = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("tpcds_q87_channel_except_chain", oracle=_Q87_SQL)
+def tpcds_q87_channel_except_chain(spark, sf_dir):
+    """TPC-DS q87/q38 plan signature: a chained EXCEPT across three
+    channel customer sets (store minus returns-channel minus
+    urgent-channel) — Catalyst lowers each EXCEPT to a left ANTI join
+    after ReplaceExceptWithAntiJoin, stacked two deep over the DISTINCT
+    aggregates, then the surviving set joins back to the dimension for
+    segment counts. The corpus's q14 covers INTERSECT; this is the EXCEPT
+    twin. Scale: all three sets and both anti joins share the custkey
+    hash; the join-back is |survivors|-sized."""
+    return _sql(spark, sf_dir, _Q87_SQL)
+
+
+# --- q90: scalar-over-scalar ratio readout (am/pm) ---------------------------
+
+_Q90_SQL = """
+WITH am AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM events
+  WHERE CAST(extract(HOUR FROM ts) AS INT) BETWEEN 6 AND 11
+),
+pm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM events
+  WHERE CAST(extract(HOUR FROM ts) AS INT) BETWEEN 18 AND 23
+)
+SELECT am.n AS am_events, pm.n AS pm_events,
+       round(am.n * 1.0 / pm.n + 1e-9, 6) AS am_pm_ratio
+FROM am, pm
+"""
+
+
+@query("tpcds_q90_am_pm_ratio", oracle=_Q90_SQL)
+def tpcds_q90_am_pm_ratio(spark, sf_dir):
+    """TPC-DS q90 plan signature: the scalar-over-scalar RATIO readout —
+    two independent one-row aggregates (morning vs evening event counts,
+    hour extracted from the timestamp) cross-joined into a single-row
+    division. Distinct from q88 (which fans 8 scalar COLUMNS): q90's
+    shape is two separate subquery scans whose 1-row results meet in a
+    BroadcastNestedLoopJoin — the minimal legal cross join, both sides
+    scalar. Scale: two pushed-predicate scans + 1-row broadcasts;
+    nothing shuffles."""
+    return _sql(spark, sf_dir, _Q90_SQL)

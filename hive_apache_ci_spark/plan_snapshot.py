@@ -77,6 +77,9 @@ SNAPSHOT_QUERIES = (
     "tpcds_q75_yoy_decline",
     "tpcds_q58_channel_parity_items",
     "tpcds_q99_ship_lag_bands",
+    "tpcds_q16_distinct_shippers",
+    "tpcds_q87_channel_except_chain",
+    "tpcds_q90_am_pm_ratio",
     # round 9: the text-hint join. (analyze_equi_depth_histogram is NOT
     # snapshot-pinned: its _value_range_shards localCheckpoint embeds a
     # session-state-dependent RDD scan in the plan text; the invariant
