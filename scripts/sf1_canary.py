@@ -247,7 +247,7 @@ def generate(force: bool = False) -> None:
               SELECT doc_id, lang, source, i,
                      CASE WHEN i = 0 THEN text
                           ELSE regexp_replace(text, '(\\S+)',
-                                              '\\1c' || i, 'g') END AS txt
+                                              '\\1§' || i, 'g') END AS txt
               FROM documents, range({COPIES}) r(i)
             )""",
     )

@@ -620,6 +620,53 @@ def test_writer_lease_heartbeat_extends(tmp_path):
     lk.release()
 
 
+def test_writer_lease_heartbeat_after_takeover_raises(tmp_path):
+    """r11 ADVICE: an expired holder whose lease was broken + re-acquired
+    must NOT clobber the new holder's lock on heartbeat — it gets
+    LeaseLostError and the new lease survives; and its release() must
+    leave the new holder's lock in place (rename-tombstone path)."""
+    import json
+    import os
+    import time
+
+    import pytest
+
+    from hive_apache_ci_spark.operators.acid import (
+        LeaseLostError, WriterLease,
+    )
+
+    old = WriterLease(str(tmp_path), ttl_s=0.05).acquire(timeout_s=1)
+    time.sleep(0.1)  # let it expire
+    new = WriterLease(str(tmp_path), ttl_s=30.0).acquire(timeout_s=1)
+    with pytest.raises(LeaseLostError):
+        old.heartbeat()
+    # the failed heartbeat marks the stale handle un-held; the new lock
+    # is intact and still names the new holder
+    with open(new.path) as fh:
+        assert json.load(fh)["holder"] == new.holder
+    # a stale handle that goes straight to release() (no heartbeat) must
+    # also leave the new holder's lock behind
+    old2 = WriterLease(str(tmp_path), ttl_s=30.0)
+    old2._held = True  # simulate: believes it holds, but `new` does
+    old2.release()
+    assert os.path.exists(new.path)
+    with open(new.path) as fh:
+        assert json.load(fh)["holder"] == new.holder
+    new.release()
+    assert not os.path.exists(new.path)
+
+
+def test_escape_partition_value_null_and_empty():
+    """r11 ADVICE: null/empty partition values key by Spark's
+    __HIVE_DEFAULT_PARTITION__ sentinel (ExternalCatalogUtils), so the
+    manifest key written for them is reachable by lookup."""
+    from hive_apache_ci_spark.operators.acid import escape_partition_value
+
+    assert escape_partition_value(None) == "__HIVE_DEFAULT_PARTITION__"
+    assert escape_partition_value("") == "__HIVE_DEFAULT_PARTITION__"
+    assert escape_partition_value("BUILDING") == "BUILDING"
+
+
 def test_acid_commit_transaction_with_lease_serializes(spark, tmp_path):
     """use_lease=True: four threads commit through the lease and NONE of
     them ever hits a ConcurrentCommitError (Hive's queueing behavior —
