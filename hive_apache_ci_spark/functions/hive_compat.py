@@ -212,13 +212,27 @@ def ngram_array(tokens: Column, n: int) -> Column:
     return F.when(sz >= n, acc).otherwise(F.array().cast("array<string>"))
 
 
+def _spread_text(df: DataFrame, text_col: str) -> DataFrame:
+    """Column-prune to the text column, then round-robin repartition to the
+    configured shuffle-partition count BEFORE the gram explode. A small
+    corpus parquet arrives as 1-2 input splits, which serializes the
+    CPU-heavy split + zip_with + explode on 1-2 of 32 cores (measured:
+    hive_ngrams_top at the sf1 canary ran 5.8 s on 2 tasks; spread it runs
+    on all cores). The exchange moves only the pruned text bytes; the
+    explicit count pins the fan-out against AQE coalescing (same lesson as
+    pipeline/dedup.minhash_signatures and helpers.spread)."""
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.select(text_col).repartition(n_parts)
+
+
 def ngrams(df: DataFrame, text_col: str, n: int, k: int) -> DataFrame:
     """Top-k n-grams by frequency over a text column (Hive ``ngrams``
     UDAF semantics, exact rather than estimated). Returns
     (ngram string, estfrequency double) like Hive's struct output."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     return (
-        df.select(F.explode(ngram_array(toks, n)).alias("ngram"))
+        _spread_text(df, text_col)
+        .select(F.explode(ngram_array(toks, n)).alias("ngram"))
         .filter(F.col("ngram") != "")
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).cast("double").alias("estfrequency"))
@@ -233,7 +247,7 @@ def context_ngrams(df: DataFrame, text_col: str, context: list[str | None], k: i
     n = len(context)
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     grams = F.explode(ngram_array(toks, n)).alias("gram")
-    out = df.select(grams)
+    out = _spread_text(df, text_col).select(grams)
     parts = F.split(F.col("gram"), " ")
     cond = F.lit(True)
     wildcard_idx = [i for i, c in enumerate(context) if c is None]
