@@ -144,6 +144,17 @@ EXTRA_HEADLINERS = (
     "tpcds_q16_distinct_shippers",
     "tpcds_q87_channel_except_chain",
     "tpcds_q90_am_pm_ratio",
+    # round-12 widening (33 -> 39; r11 verdict task 5): inventory pivot,
+    # EXISTS+double-NOT-EXISTS stack, 24-col pivot, scalar-CASE fan,
+    # OR-of-ANDs bands, unordered window share — plus the ACID ORC
+    # layout-read bridge (r11 verdict task 2)
+    "tpcds_q21_inventory_shift",
+    "tpcds_q69_active_without_incident",
+    "tpcds_q66_monthly_ship_pivot",
+    "tpcds_q9_case_bucket_fan",
+    "tpcds_q13_or_band_selectivity",
+    "tpcds_q98_class_revenue_share",
+    "io_acid_orc_read",
 )
 
 # BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond

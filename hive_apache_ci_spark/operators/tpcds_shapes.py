@@ -46,6 +46,15 @@ Round-11 widening (17 -> 30 shapes; r10 verdict task 1):
 - q87 : EXCEPT chain across channel cust sets      (tpcds_q87_channel_except_chain)
 - q90 : scalar-over-scalar ratio readout           (tpcds_q90_am_pm_ratio)
 
+Round-12 widening (33 -> 39 shapes; r11 verdict task 5):
+
+- q21 : before/after inventory pivot + ratio band  (tpcds_q21_inventory_shift)
+- q69 : EXISTS + double NOT EXISTS demographic agg (tpcds_q69_active_without_incident)
+- q66 : 2-channel union -> 24-col monthly pivot    (tpcds_q66_monthly_ship_pivot)
+- q9  : CASE choosing between scalar subqueries    (tpcds_q9_case_bucket_fan)
+- q13 : OR-of-ANDs cross-table selectivity bands   (tpcds_q13_or_band_selectivity)
+- q98 : share-of-class via unordered window sum    (tpcds_q98_class_revenue_share)
+
 Expressed as shared SQL (one text, both engines — the subqueries-module
 pattern): the *syntax* (ROLLUP, EXISTS-OR, INTERSECT, FULL OUTER) is what
 exercises Catalyst's rewrites (RewritePredicateSubquery / ExistenceJoin,
@@ -1556,3 +1565,256 @@ def tpcds_q90_am_pm_ratio(spark, sf_dir):
     scalar. Scale: two pushed-predicate scans + 1-row broadcasts;
     nothing shuffles."""
     return _sql(spark, sf_dir, _Q90_SQL)
+
+
+# ============================================================================
+# Round-12 widening (33 -> 39 shapes; r11 verdict task 5): the remaining
+# upstream perf-suite plan features not yet signature-matched. q57 is NOT
+# re-added — q47 above IS the q47/q57 deviation twin (same plan, different
+# partition dimension); these six are the genuinely novel features.
+# ============================================================================
+
+# --- q21/q37/q82: inventory before/after pivot inside a date window ---------
+
+_Q21_SQL = """
+WITH inv AS (
+  SELECT l.l_suppkey AS wh, l.l_partkey AS item,
+         sum(CASE WHEN l.l_shipdate <  TIMESTAMP '1998-01-01'
+                  THEN l.l_quantity ELSE 0 END) AS inv_before,
+         sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1998-01-01'
+                  THEN l.l_quantity ELSE 0 END) AS inv_after
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_size BETWEEN 10 AND 40
+    AND l.l_shipdate >= TIMESTAMP '1996-07-01'
+    AND l.l_shipdate <  TIMESTAMP '1999-07-01'
+  GROUP BY l.l_suppkey, l.l_partkey
+)
+SELECT wh, item,
+       CAST(round(inv_before, 2) AS DOUBLE) AS inv_before,
+       CAST(round(inv_after, 2)  AS DOUBLE) AS inv_after
+FROM inv
+WHERE inv_before > 0
+  AND round(inv_after / inv_before + 1e-9, 6) BETWEEN 0.666667 AND 1.5
+ORDER BY wh, item
+LIMIT 100
+"""
+
+
+@query("tpcds_q21_inventory_shift", oracle=_Q21_SQL)
+def tpcds_q21_inventory_shift(spark, sf_dir):
+    """TPC-DS q21/q37/q82 plan signature: the inventory before/after PIVOT
+    — one date-windowed fact scan split by a pivot date into two
+    conditional sums per (warehouse, item), an item-dimension filter join,
+    then a ratio BAND cut (2/3..3/2) and a keyed top-100. The feature vs
+    q39 (stddev cov self-join) is the CASE-pivot inside one aggregation:
+    no self-join, both sides of the pivot come from a single scan pass.
+    Scale: the date window prunes the scan; the (suppkey, partkey) group
+    is the natural shuffle key; the part join broadcasts (dimension).
+    Quantities are integer-valued doubles (exact sums); the ratio cut is
+    6dp-rounded on both engines."""
+    return _sql(spark, sf_dir, _Q21_SQL)
+
+
+# --- q35/q69: EXISTS + double NOT EXISTS demographic aggregate stack --------
+
+_Q69_SQL = """
+SELECT c.c_nationkey, c.c_mktsegment,
+       CAST(count(*) AS BIGINT)               AS n_customers,
+       CAST(round(min(c.c_acctbal), 2) AS DOUBLE) AS min_bal,
+       CAST(round(max(c.c_acctbal), 2) AS DOUBLE) AS max_bal,
+       round(avg(c.c_acctbal) + 1e-9, 4)      AS avg_bal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM events e
+                  WHERE e.user_id = c.c_custkey
+                    AND e.event_type = 'error')
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F')
+GROUP BY c.c_nationkey, c.c_mktsegment
+"""
+
+
+@query("tpcds_q69_active_without_incident", oracle=_Q69_SQL)
+def tpcds_q69_active_without_incident(spark, sf_dir):
+    """TPC-DS q35/q69 plan signature: a dimension row kept by one EXISTS
+    (bought in the store channel) and rejected by TWO NOT EXISTS on other
+    channels (no web error event, no F-status order), then a multi-column
+    demographic GROUP BY carrying a count + min/max/avg stack. Distinct
+    from q10 (OR-of-EXISTS chain — ExistenceJoin): here Catalyst stacks
+    one LeftSemi and two LeftAnti joins on the same custkey before the
+    aggregate. Scale: all three subqueries key by custkey, so AQE shares
+    one exchange side; the agg output is bounded by |nation x segment|."""
+    return _sql(spark, sf_dir, _Q69_SQL)
+
+
+# --- q66: two-channel union -> 24-column monthly CASE pivot ------------------
+
+def _q66_sql() -> str:
+    mons = ["jan", "feb", "mar", "apr", "may", "jun",
+            "jul", "aug", "sep", "oct", "nov", "dec"]
+    cols = []
+    for i, m in enumerate(mons, start=1):
+        cols.append(
+            f"       CAST(round(sum(CASE WHEN mon = {i} THEN "
+            f"CAST(sales AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) "
+            f"END), 2) AS DOUBLE) AS {m}_sales"
+        )
+    for i, m in enumerate(mons, start=1):
+        cols.append(
+            f"       CAST(round(sum(CASE WHEN mon = {i} THEN "
+            f"CAST(net AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) "
+            f"END), 2) AS DOUBLE) AS {m}_net"
+        )
+    body = ",\n".join(cols)
+    return f"""
+WITH chan AS (
+  SELECT s.s_nationkey AS wh, CAST(month(l.l_shipdate) AS INT) AS mon,
+         round(l.l_extendedprice * (1 - l.l_discount) + 1e-9, 2) AS sales,
+         round(l.l_extendedprice * l.l_discount + 1e-9, 2)       AS net
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  UNION ALL
+  SELECT c.c_nationkey AS wh, CAST(month(o.o_orderdate) AS INT) AS mon,
+         round(o.o_totalprice + 1e-9, 2)        AS sales,
+         round(o.o_totalprice * 0.05 + 1e-9, 2) AS net
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT wh,
+{body}
+FROM chan
+GROUP BY wh
+"""
+
+
+_Q66_SQL = _q66_sql()
+
+
+@query("tpcds_q66_monthly_ship_pivot", oracle=_Q66_SQL)
+def tpcds_q66_monthly_ship_pivot(spark, sf_dir):
+    """TPC-DS q66 plan signature: the WIDE conditional pivot — a
+    two-channel UNION ALL (store lineitem via supplier-nation warehouse,
+    catalog orders via customer-nation) feeding ONE hash aggregate with
+    24 CASE-guarded money columns (12 monthly sales + 12 monthly nets).
+    The feature is agg-expression width over a single pass (no Expand, no
+    per-month scans) — the optimizer must carry 24 partial buffers per
+    key. Distinct from q2 (7-column dow pivot whose point is the YoY
+    self-join on the pivoted rows). Scale: both branches prune to one
+    year at the scan; the union shuffles once on the 25-value warehouse
+    key; partial aggregation collapses each map task to |wh| rows."""
+    return _sql(spark, sf_dir, _Q66_SQL)
+
+
+# --- q9: CASE choosing BETWEEN scalar subqueries, 5-bucket fan ---------------
+
+def _q9_bucket(lo: int, hi: int, thresh: float) -> str:
+    return f"""
+  CASE WHEN (SELECT count(*) FROM lineitem
+             WHERE l_quantity BETWEEN {lo} AND {hi})
+            > (SELECT count(*) FROM lineitem) * {thresh}
+       THEN (SELECT round(avg(l_extendedprice) + 1e-9, 4) FROM lineitem
+             WHERE l_quantity BETWEEN {lo} AND {hi})
+       ELSE (SELECT round(avg(l_discount) + 1e-9, 6) FROM lineitem
+             WHERE l_quantity BETWEEN {lo} AND {hi})
+  END AS bucket_{lo}_{hi}"""
+
+
+_Q9_SQL = "SELECT" + ",".join(
+    _q9_bucket(lo, lo + 9, th)
+    for lo, th in ((1, 0.18), (11, 0.22), (21, 0.18), (31, 0.22), (41, 0.18))
+)
+
+
+@query("tpcds_q9_case_bucket_fan", oracle=_Q9_SQL)
+def tpcds_q9_case_bucket_fan(spark, sf_dir):
+    """TPC-DS q9 plan signature: a single-row SELECT whose five output
+    columns are each a CASE that first evaluates a scalar-count subquery
+    against a threshold and then CHOOSES between two further scalar
+    subqueries (avg price vs avg discount over the same quantity band) —
+    15 scalar subqueries over one fact table, with conditional branch
+    selection. Distinct from q88 (a plain fan of 8 independent counts
+    cross-joined): q9's subqueries nest INSIDE an expression, so Catalyst
+    plans them as reusable ScalarSubquery nodes under one project.
+    Scale: each subquery is a pushed-predicate scan + 1-row aggregate;
+    nothing shuffles beyond partial-agg merges. Counts are exact, so the
+    branch choice can never diverge across engines; averages are
+    epsilon-shift rounded."""
+    return _sql(spark, sf_dir, _Q9_SQL)
+
+
+# --- q13/q48: OR-of-ANDs selectivity bands over a 3-way join ----------------
+
+_Q13_SQL = """
+SELECT CAST(count(*) AS BIGINT)             AS n,
+       round(avg(l.l_quantity) + 1e-9, 4)   AS avg_qty,
+       round(avg(o.o_totalprice) + 1e-9, 4) AS avg_price,
+       CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 + 1e-9, 2) AS DECIMAL(18,2))), 2)
+            AS DOUBLE)                      AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE (c.c_mktsegment = 'BUILDING'
+       AND o.o_totalprice BETWEEN 1000 AND 150000
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (c.c_mktsegment = 'MACHINERY'
+       AND o.o_totalprice BETWEEN 50000 AND 300000
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (c.c_mktsegment = 'AUTOMOBILE'
+       AND o.o_totalprice BETWEEN 100000 AND 500000
+       AND l.l_quantity BETWEEN 25 AND 50)
+"""
+
+
+@query("tpcds_q13_or_band_selectivity", oracle=_Q13_SQL)
+def tpcds_q13_or_band_selectivity(spark, sf_dir):
+    """TPC-DS q13/q48 plan signature: a single global readout over a
+    3-way join whose residual predicate is an OR of three AND-bands,
+    each band correlating columns from DIFFERENT join inputs (segment
+    from customer, price from orders, quantity from lineitem). The
+    optimizer cannot push the disjunction to any single scan — only the
+    per-column envelope is pushable — so the bands must survive as a
+    post-join filter; the shape pins that Catalyst still prunes columns
+    and keeps the join order despite the cross-table OR. Scale: joins
+    key on orderkey/custkey as usual; the residual is evaluated
+    streaming, no extra exchange."""
+    return _sql(spark, sf_dir, _Q13_SQL)
+
+
+# --- q98: revenue share via windowed sum over an aggregate -------------------
+
+_Q98_SQL = """
+WITH agg AS (
+  SELECT p.p_type AS class, p.p_brand AS brand,
+         CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   + 1e-9, 2) AS DECIMAL(18,2))), 2)
+              AS DOUBLE) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY p.p_type, p.p_brand
+)
+SELECT class, brand, rev AS revenue,
+       round(rev * 100.0 / sum(rev) OVER (PARTITION BY class) + 1e-9, 4)
+           AS revenueratio
+FROM agg
+"""
+
+
+@query("tpcds_q98_class_revenue_share", oracle=_Q98_SQL)
+def tpcds_q98_class_revenue_share(spark, sf_dir):
+    """TPC-DS q98 plan signature: the SHARE-OF-CLASS readout — a windowed
+    sum(rev) OVER (PARTITION BY class) dividing each (class, brand)
+    aggregate by its class total, i.e. a window directly over an
+    aggregate with NO ordering (whole-partition frame). Distinct from
+    q47 (ordered avg + lag/lead context) and q67 (rank top-k): the
+    unordered full-partition frame lowers to a single WindowExec with no
+    sort-based running state. Scale: the window repartitions by class
+    only after the aggregate has collapsed the fact table to
+    |class x brand| rows; cents-quantized doubles make the share stable
+    to the 4dp round."""
+    return _sql(spark, sf_dir, _Q98_SQL)

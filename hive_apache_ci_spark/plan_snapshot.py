@@ -80,6 +80,13 @@ SNAPSHOT_QUERIES = (
     "tpcds_q16_distinct_shippers",
     "tpcds_q87_channel_except_chain",
     "tpcds_q90_am_pm_ratio",
+    # round 12 corpus widening (r11 verdict task 5)
+    "tpcds_q21_inventory_shift",
+    "tpcds_q69_active_without_incident",
+    "tpcds_q66_monthly_ship_pivot",
+    "tpcds_q9_case_bucket_fan",
+    "tpcds_q13_or_band_selectivity",
+    "tpcds_q98_class_revenue_share",
     # round 9: the text-hint join. (analyze_equi_depth_histogram is NOT
     # snapshot-pinned: its _value_range_shards localCheckpoint embeds a
     # session-state-dependent RDD scan in the plan text; the invariant
