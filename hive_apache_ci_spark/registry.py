@@ -153,6 +153,7 @@ def _ensure_loaded() -> None:
     from .operators import (  # noqa: F401
         acid,
         aggregates,
+        authz,
         extensions,
         hiveql_text,
         joins,

@@ -71,6 +71,16 @@ SF10_QUERIES = [
     "join_fuzzy_blocked",
     "join_salted_skew",
     "join_nullsafe",
+    # round-12 widening (r11 VERDICT task 6): the retrieval family, the
+    # heaviest TPC-DS shapes by r11 bench wall time, one ACID op at 10x
+    # delta volume, and the r12-fixed n-gram shim
+    "search_bm25_topk",
+    "search_hybrid_rrf_indexed",
+    "tpcds_q72_lagged_fulfillment",
+    "tpcds_q64_item_year_resales",
+    "tpcds_q95_multi_supplier",
+    "acid_partitioned_upsert",
+    "hive_ngrams_top",
 ]
 
 TIMEOUT_S = {"sf1": 600.0, "sf10": 1800.0}
@@ -169,7 +179,7 @@ def generate(force: bool = False) -> None:
               SELECT doc_id, lang, source, i,
                      CASE WHEN i = 0 THEN text
                           ELSE regexp_replace(text, '(\\S+)',
-                                              '\\1c' || i, 'g') END AS txt
+                                              '\\1§' || i, 'g') END AS txt
               FROM documents, range({COPIES}) r(i)
             )""",
     )

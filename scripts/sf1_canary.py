@@ -10,7 +10,11 @@ replication with DuckDB:
 - TPC-H tables: 10 copies with key offsets (o_orderkey/o_custkey/... keep
   join integrity; nation/region stay fixed dimensions);
 - documents: each copy applies a VOCABULARY BIJECTION — every token gets
-  a copy-unique suffix (r11. History: a prepended tag left copies at
+  a copy-unique suffix, '§' + copy-id since r12 (the r11 ADVICE caught
+  that a plain 'c' + id suffix can collide with an original token shaped
+  like 'abc1'; '§' is outside the whitespace tokenizer's original
+  vocabulary so renamed tokens can never equal originals).
+  (r11. History: a prepended tag left copies at
   Jaccard ~0.99, so shingle-LSH caught every cross-copy pair and output
   grew QUADRATICALLY in copies — the sf10 canary measured 1.09e9 pairs,
   a 99x output blow-up; a marker interleaved every 3 tokens only got
