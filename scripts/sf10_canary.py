@@ -100,6 +100,9 @@ def generate(force: bool = False) -> None:
         "region nation".split()
     ):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF01}/{t}.parquet'")
+    from scripts.sf1_canary import _assert_bijection_marker_safe
+
+    _assert_bijection_marker_safe(con)
 
     def copy_out(name: str, select_sql: str) -> None:
         con.execute(
@@ -179,7 +182,7 @@ def generate(force: bool = False) -> None:
               SELECT doc_id, lang, source, i,
                      CASE WHEN i = 0 THEN text
                           ELSE regexp_replace(text, '(\\S+)',
-                                              '\\1§' || i, 'g') END AS txt
+                                              '\\1x' || i, 'g') END AS txt
               FROM documents, range({COPIES}) r(i)
             )""",
     )

@@ -10,10 +10,17 @@ replication with DuckDB:
 - TPC-H tables: 10 copies with key offsets (o_orderkey/o_custkey/... keep
   join integrity; nation/region stay fixed dimensions);
 - documents: each copy applies a VOCABULARY BIJECTION — every token gets
-  a copy-unique suffix, '§' + copy-id since r12 (the r11 ADVICE caught
-  that a plain 'c' + id suffix can collide with an original token shaped
-  like 'abc1'; '§' is outside the whitespace tokenizer's original
-  vocabulary so renamed tokens can never equal originals).
+  a copy-unique suffix, 'x' + copy-id since r12 (the r11 ADVICE caught
+  that the old 'c' + id suffix could collide with an original token
+  shaped like 'abc1'. First fix attempt used '§', which is outside any
+  ASCII vocabulary — but it is MULTI-BYTE in UTF-8 and broke the two
+  oracles that rely on the corpus being pure ASCII for byte-vs-char
+  slicing equivalence (multimodal_chunk_bytes, search_spell_correction:
+  464/466 at the first r12 sf1 sweep). The generator's charset is
+  exactly ' a-y' minus 'x' — no digits, no 'x' — so 'x'+digits can never
+  equal an original token; generate() asserts that charset before
+  writing and fails loudly if the upstream testdata generator ever
+  changes).
   (r11. History: a prepended tag left copies at
   Jaccard ~0.99, so shingle-LSH caught every cross-copy pair and output
   grew QUADRATICALLY in copies — the sf10 canary measured 1.09e9 pairs,
@@ -148,6 +155,27 @@ CANARY_QUERIES = [
 ]
 
 
+def _assert_bijection_marker_safe(con, docs_rel: str = "documents") -> None:
+    """The vocabulary bijection's collision-freedom AND the engine's two
+    byte-slicing oracles both rest on the corpus charset: pure ASCII with
+    no 'x' and no digits. Assert it at generation time so an upstream
+    testdata-generator change fails HERE, loudly, instead of surfacing as
+    a mysterious sweep mismatch (r12: the interim '§' marker broke
+    multimodal_chunk_bytes/search_spell_correction byte-vs-char oracle
+    equivalence — 464/466 — before this guard existed)."""
+    n = con.execute(
+        f"SELECT count(*) FROM {docs_rel} "
+        "WHERE regexp_matches(text, '[x0-9]') "
+        "   OR regexp_matches(text, '[^ -~]')"
+    ).fetchone()[0]
+    if n:
+        raise AssertionError(
+            f"{n} document(s) contain 'x', a digit, or non-ASCII — the "
+            "'x'+copy-id bijection marker is no longer collision-safe; "
+            "pick a marker outside the new charset"
+        )
+
+
 def generate(force: bool = False) -> None:
     marker = os.path.join(SF1_DIR, ".complete")
     if os.path.exists(marker) and not force:
@@ -162,6 +190,7 @@ def generate(force: bool = False) -> None:
         "region nation".split()
     ):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF01}/{t}.parquet'")
+    _assert_bijection_marker_safe(con)
 
     def copy_out(name: str, select_sql: str) -> None:
         con.execute(
@@ -251,7 +280,7 @@ def generate(force: bool = False) -> None:
               SELECT doc_id, lang, source, i,
                      CASE WHEN i = 0 THEN text
                           ELSE regexp_replace(text, '(\\S+)',
-                                              '\\1§' || i, 'g') END AS txt
+                                              '\\1x' || i, 'g') END AS txt
               FROM documents, range({COPIES}) r(i)
             )""",
     )
