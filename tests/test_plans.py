@@ -599,3 +599,16 @@ def test_hll_setops_sketch_is_partial_agg(spark):
     HLL fold before the type-keyed exchange)."""
     p = plan(spark, "agg_hll_sketch_setops")
     assert "partial_hll_sketch_agg" in p, p
+
+
+def test_acid_orc_read_is_broadcast_anti_join(spark):
+    """The Hive ACID ORC snapshot read (r12) must lower to ONE multi-path
+    scan of base+insert deltas anti-joined against BROADCAST delete keys —
+    never a shuffled anti join (delete_deltas are compaction-bounded
+    small) and never a cartesian. The scan side must stay a plain ORC
+    relation so base-file pushdown survives."""
+    p = plan(spark, "io_acid_orc_read")
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "orc" in p.lower(), p
