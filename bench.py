@@ -155,6 +155,9 @@ EXTRA_HEADLINERS = (
     "tpcds_q13_or_band_selectivity",
     "tpcds_q98_class_revenue_share",
     "io_acid_orc_read",
+    # round-12 late widening (39 -> 41): rank-join-rank, derived-threshold
+    "tpcds_q44_best_worst_rank_join",
+    "tpcds_q65_below_average_items",
 )
 
 # BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond

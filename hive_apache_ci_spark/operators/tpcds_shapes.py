@@ -54,6 +54,16 @@ Round-12 widening (33 -> 39 shapes; r11 verdict task 5):
 - q9  : CASE choosing between scalar subqueries    (tpcds_q9_case_bucket_fan)
 - q13 : OR-of-ANDs cross-table selectivity bands   (tpcds_q13_or_band_selectivity)
 - q98 : share-of-class via unordered window sum    (tpcds_q98_class_revenue_share)
+- q44 : opposite-order rankings joined on rank     (tpcds_q44_best_worst_rank_join)
+- q65 : threshold from coarser re-aggregation      (tpcds_q65_below_average_items)
+
+(39 -> 41 late in round 12. The ~58 upstream shapes still unmatched are
+feature-REDUNDANT with this corpus — each reduces to a combination of
+the plan features already pinned here (rollup/Expand, window families,
+EXISTS/NOT-EXISTS stacks, INTERSECT/EXCEPT lowering, scalar-subquery
+fans, CASE pivots, non-equi residuals, YoY self-joins, derived
+thresholds, rank joins); adding them would re-test Catalyst paths this
+corpus already gates, with this repo's schema as the only variable.)
 
 Expressed as shared SQL (one text, both engines — the subqueries-module
 pattern): the *syntax* (ROLLUP, EXISTS-OR, INTERSECT, FULL OUTER) is what
@@ -1818,3 +1828,87 @@ def tpcds_q98_class_revenue_share(spark, sf_dir):
     |class x brand| rows; cents-quantized doubles make the share stable
     to the 4dp round."""
     return _sql(spark, sf_dir, _Q98_SQL)
+
+
+# --- q44: best/worst rank self-join (two opposite-order rankings) -----------
+
+_Q44_SQL = """
+WITH perf AS (
+  SELECT l_partkey,
+         round(avg(round(l_extendedprice * (1 - l_discount) + 1e-9, 2))
+               + 1e-9, 4) AS avg_rev
+  FROM lineitem
+  GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, avg_rev,
+         CAST(rank() OVER (ORDER BY avg_rev DESC, l_partkey) AS INT)
+             AS rnk_best,
+         CAST(rank() OVER (ORDER BY avg_rev ASC, l_partkey DESC) AS INT)
+             AS rnk_worst
+  FROM perf
+)
+SELECT b.rnk_best                AS rnk,
+       b.l_partkey               AS best_item,
+       round(b.avg_rev + 1e-9, 4) AS best_avg_rev,
+       w.l_partkey               AS worst_item,
+       round(w.avg_rev + 1e-9, 4) AS worst_avg_rev
+FROM ranked b
+JOIN ranked w ON b.rnk_best = w.rnk_worst
+WHERE b.rnk_best <= 10
+ORDER BY rnk
+"""
+
+
+@query("tpcds_q44_best_worst_rank_join", oracle=_Q44_SQL)
+def tpcds_q44_best_worst_rank_join(spark, sf_dir):
+    """TPC-DS q44 plan signature: TWO opposite-direction rankings of the
+    same aggregate joined ON THE RANK VALUE — the best-vs-worst pairing
+    report. Distinct from q49 (union of ranked subqueries, filtered by
+    OR-of-ranks) and q67 (rank inside rollup partitions): q44's join key
+    IS the rank itself, so the optimizer sees a self-join of two window
+    outputs whose only equi-key is computed by the windows. Scale: the
+    aggregate collapses the fact to |partkey| rows first; both windows
+    are global sorts over that collapsed grain (bounded by the dimension
+    size, not the fact), and the rank<=10 cut broadcasts one side. Ranks
+    order by the 4dp-rounded average + a unique partkey tie-break, so
+    rank values can never diverge across engines."""
+    return _sql(spark, sf_dir, _Q44_SQL)
+
+
+# --- q65: aggregate-derived threshold joined at a finer grain ----------------
+
+_Q65_SQL = """
+WITH sp AS (
+  SELECT CAST(l_suppkey % 10 AS INT) AS store, l_partkey,
+         CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                   + 1e-9, 2) AS DECIMAL(18,2))), 2)
+              AS DOUBLE) AS rev
+  FROM lineitem
+  GROUP BY CAST(l_suppkey % 10 AS INT), l_partkey
+),
+sc AS (
+  SELECT store, round(avg(rev) + 1e-9, 4) AS avg_rev
+  FROM sp
+  GROUP BY store
+)
+SELECT sp.store, sp.l_partkey, sp.rev, sc.avg_rev
+FROM sp
+JOIN sc ON sp.store = sc.store
+WHERE round(sp.rev / sc.avg_rev + 1e-9, 6) <= 0.5
+"""
+
+
+@query("tpcds_q65_below_average_items", oracle=_Q65_SQL)
+def tpcds_q65_below_average_items(spark, sf_dir):
+    """TPC-DS q65 plan signature: a threshold DERIVED from a coarser
+    re-aggregation of the same aggregate — per-(store,item) revenue
+    joined against per-store average revenue, keeping items at <=50% of
+    their store's average. Distinct from q6 (threshold from a DIMENSION
+    table) and q1 (correlated scalar per group): here the threshold side
+    is a second aggregation OF THE FIRST aggregate's output, so Catalyst
+    builds a two-level agg over one exchange and re-joins on the coarse
+    key. Scale: the store-level side is 10 rows (broadcast); the
+    (store,item) grain bounds the join output; the membership cut is
+    6dp-rounded on both engines."""
+    return _sql(spark, sf_dir, _Q65_SQL)

@@ -87,6 +87,8 @@ SNAPSHOT_QUERIES = (
     "tpcds_q9_case_bucket_fan",
     "tpcds_q13_or_band_selectivity",
     "tpcds_q98_class_revenue_share",
+    "tpcds_q44_best_worst_rank_join",
+    "tpcds_q65_below_average_items",
     # round 9: the text-hint join. (analyze_equi_depth_histogram is NOT
     # snapshot-pinned: its _value_range_shards localCheckpoint embeds a
     # session-state-dependent RDD scan in the plan text; the invariant
