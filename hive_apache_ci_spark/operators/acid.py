@@ -125,9 +125,11 @@ class WriterLease:
     - the payload names the holder and an EXPIRY; the holder extends it
       by ``heartbeat()`` (atomic tmp+rename replace);
     - a waiter polls; on finding an EXPIRED lease (crashed holder) it
-      breaks it by renaming the lock to a unique tombstone — rename(2)
-      succeeds for exactly ONE breaker (the loser gets ENOENT and
-      re-polls), so takeover can never go double;
+      breaks it under a break-intent file (O_EXCL serializes breakers)
+      with a re-read + rename-to-tombstone + restore-if-live sequence
+      (see ``_break_expired``), so takeover can never go double — a bare
+      rename is NOT sufficient (it wins once per inode, but a stale
+      breaker could claim a broken-and-RE-CREATED lock);
     - correctness does NOT depend on the lease: the hard-link manifest
       publish stays the one commit arbiter, so even a broken-lease race
       (old holder wakes after expiry, new holder acquired) degrades to
@@ -173,15 +175,64 @@ class WriterLease:
             return None  # vanished or mid-replace: re-poll
 
     def _break_expired(self) -> None:
-        tomb = self.path + f".broken.{uuid.uuid4().hex[:8]}"
+        """Break an EXPIRED lock. rename(2) alone is NOT enough: it wins
+        exactly once per inode, but a stale breaker that read the old
+        expired lock can rename away a lock another breaker already broke
+        and RE-CREATED — killing the new holder's live lease (double
+        takeover, caught by tests/test_mutations.py's 4-thread contend).
+        Two guards close it:
+
+        - a break-intent file (O_EXCL) serializes breakers, and the lock
+          is RE-READ under that role, so only a lock verified expired
+          *now* is claimed (a crashed breaker's intent goes stale after
+          1 s and is swept by the next waiter);
+        - after the rename-claim the tombstone payload is inspected and a
+          live lease restored via link(2) — the same claim-inspect-restore
+          pattern as release() — covering the one legal interleaving left
+          (the original holder heartbeat-extending its expired-but-unbroken
+          lease mid-break), which then degrades to LeaseLostError → OCC.
+        """
+        import time
+
+        intent = self.path + ".break"
         try:
-            os.rename(self.path, tomb)  # exactly one breaker wins
-        except OSError:
-            return
+            fd = os.open(intent, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:  # sweep a crashed breaker's stale intent
+                if time.time() - os.stat(intent).st_mtime > 1.0:
+                    os.unlink(intent)
+            except OSError:
+                pass
+            return  # another breaker is mid-takeover: re-poll
+        os.close(fd)
         try:
-            os.unlink(tomb)
-        except OSError:
-            pass
+            cur = self._read()
+            if cur is None or time.time() <= cur.get("expires", 0):
+                return  # vanished or already re-acquired live: no break
+            tomb = self.path + f".broken.{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(self.path, tomb)
+            except OSError:
+                return
+            try:
+                with open(tomb) as fh:
+                    now = json.load(fh)
+            except (OSError, ValueError):
+                now = None
+            if now is not None and time.time() <= now.get("expires", 0):
+                try:
+                    os.link(tomb, self.path)  # claimed a live lease: restore
+                except OSError:
+                    pass  # a third writer re-created: degrade to OCC
+            try:
+                os.unlink(tomb)
+            except OSError:
+                pass
+        finally:
+            try:
+                os.unlink(intent)
+            except OSError:
+                pass
 
     # -- API ----------------------------------------------------------------
 
@@ -197,7 +248,8 @@ class WriterLease:
             cur = self._read()
             if cur is not None and time.time() > cur.get("expires", 0):
                 self._break_expired()
-                continue  # immediately recontend for the freed slot
+                if time.monotonic() < deadline:
+                    continue  # immediately recontend for the freed slot
             if time.monotonic() >= deadline:
                 who = (cur or {}).get("holder", "unknown")
                 raise LeaseTimeoutError(
