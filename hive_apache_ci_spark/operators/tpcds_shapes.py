@@ -57,13 +57,32 @@ Round-12 widening (33 -> 39 shapes; r11 verdict task 5):
 - q44 : opposite-order rankings joined on rank     (tpcds_q44_best_worst_rank_join)
 - q65 : threshold from coarser re-aggregation      (tpcds_q65_below_average_items)
 
-(39 -> 41 late in round 12. The ~58 upstream shapes still unmatched are
-feature-REDUNDANT with this corpus — each reduces to a combination of
-the plan features already pinned here (rollup/Expand, window families,
-EXISTS/NOT-EXISTS stacks, INTERSECT/EXCEPT lowering, scalar-subquery
-fans, CASE pivots, non-equi residuals, YoY self-joins, derived
-thresholds, rank joins); adding them would re-test Catalyst paths this
-corpus already gates, with this repo's schema as the only variable.)
+Round-12 late batch (41 -> 46): the five remaining shapes with a real
+residual plan-feature delta, each named in its docstring:
+
+- q28 : DISTINCT agg inside EVERY scalar-fan band   (tpcds_q28_distinct_band_fan)
+- q30 : correlated agg-over-agg threshold + detail  (tpcds_q30_above_state_avg_returns)
+- q32 : self-fact correlated threshold, dup filter  (tpcds_q32_excess_discount)
+- q70 : window-derived dim selection -> ROLLUP      (tpcds_q70_ranked_states_rollup)
+- q41 : fact-free dim self-COUNT (COUNT-bug path)   (tpcds_q41_dimension_self_count)
+
+(The ~53 upstream shapes still unmatched are feature-REDUNDANT with
+this corpus — each reduces to a combination of the plan features
+already pinned here (rollup/Expand, window families, EXISTS/NOT-EXISTS
+stacks, INTERSECT/EXCEPT lowering, scalar-subquery fans, CASE pivots,
+non-equi residuals, YoY self-joins, derived thresholds, rank joins,
+correlated-decorrelation incl. the COUNT bug); adding them would
+re-test Catalyst paths this corpus already gates, with this repo's
+schema as the only variable. Per-query redundancy ledger: q3/q42/q52/
+q55/q43 trivial dim groupbys; q7/q26/q27/q18 demographic avgs (+q27
+rollup = q36); q12/q20 = q98 twins; q15/q45/q8 zip bands (q45's
+EXISTS-in-OR = q10); q19/q71 brand/time groupbys; q22 = rollup avg;
+q24 = q23's scalar threshold; q25/q29 = q17; q33/q56/q60/q61 = q5+q14
+combos; q35 = q69; q37/q82 = q21; q38 = q14/q87; q40 = q21+q93;
+q46/q68/q73/q79 = q34; q48/q85 = q13; q50/q62 = q99; q53/q63/q89 =
+q47; q57 = q47; q59 = q2; q76 NULL-key scan counts (no NULL keys in
+this corpus); q77/q80 = q5+q93; q83 = q14-date variant; q84/q91
+lookup chains; q86 = q36; q94 = q16; q96 simple count.)
 
 Expressed as shared SQL (one text, both engines — the subqueries-module
 pattern): the *syntax* (ROLLUP, EXISTS-OR, INTERSECT, FULL OUTER) is what
@@ -1912,3 +1931,239 @@ def tpcds_q65_below_average_items(spark, sf_dir):
     (store,item) grain bounds the join output; the membership cut is
     6dp-rounded on both engines."""
     return _sql(spark, sf_dir, _Q65_SQL)
+
+
+# --- q28: six-band scalar fan with a DISTINCT aggregate per band -------------
+
+def _q28_band(lo, hi, price_lo, price_hi, disc_lo, disc_hi, tax_lo, tax_hi):
+    return f"""
+  SELECT CAST(round(sum(CAST(round(l_extendedprice + 1e-9, 2)
+                              AS DECIMAL(18,2))) / count(*) + 1e-9, 4)
+              AS DOUBLE) AS avg_price,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS ndv
+  FROM lineitem
+  WHERE l_quantity BETWEEN {lo} AND {hi}
+    AND (l_extendedprice BETWEEN {price_lo} AND {price_hi}
+         OR l_discount BETWEEN {disc_lo} AND {disc_hi}
+         OR l_tax BETWEEN {tax_lo} AND {tax_hi})"""
+
+
+_Q28_SQL = f"""
+WITH b1 AS ({_q28_band(1, 8, 1000, 30000, 0.00, 0.02, 0.06, 0.08)}),
+     b2 AS ({_q28_band(9, 16, 20000, 50000, 0.03, 0.05, 0.00, 0.02)}),
+     b3 AS ({_q28_band(17, 24, 40000, 70000, 0.06, 0.08, 0.03, 0.05)}),
+     b4 AS ({_q28_band(25, 32, 60000, 90000, 0.09, 0.10, 0.06, 0.08)}),
+     b5 AS ({_q28_band(33, 40, 1000, 50000, 0.00, 0.04, 0.00, 0.04)}),
+     b6 AS ({_q28_band(41, 50, 50000, 105000, 0.05, 0.10, 0.04, 0.08)})
+SELECT b1.avg_price AS avg1, b1.cnt AS cnt1, b1.ndv AS ndv1,
+       b2.avg_price AS avg2, b2.cnt AS cnt2, b2.ndv AS ndv2,
+       b3.avg_price AS avg3, b3.cnt AS cnt3, b3.ndv AS ndv3,
+       b4.avg_price AS avg4, b4.cnt AS cnt4, b4.ndv AS ndv4,
+       b5.avg_price AS avg5, b5.cnt AS cnt5, b5.ndv AS ndv5,
+       b6.avg_price AS avg6, b6.cnt AS cnt6, b6.ndv AS ndv6
+FROM b1, b2, b3, b4, b5, b6
+"""
+
+
+@query("tpcds_q28_distinct_band_fan", oracle=_Q28_SQL)
+def tpcds_q28_distinct_band_fan(spark, sf_dir):
+    """TPC-DS q28 plan signature: SIX band-restricted one-row aggregates
+    — each carrying a COUNT(DISTINCT) next to plain aggs, each over an
+    OR-of-ranges residual — cross-joined into a single readout row. The
+    delta vs q88 (the pinned scalar-COUNT fan) is the DISTINCT inside
+    every scalar branch: each band plans the single-distinct two-phase
+    rewrite — a 4-level HashAggregate stack whose inner pair re-keys the
+    partial aggregate BY THE DISTINCT COLUMN before the final fold (the
+    multi-distinct Expand flavor is pinned separately in
+    aggregates.py's agg_multi_distinct) — so the plan is a fan of 6
+    independent distinct-agg pipelines folded by AQE into one-row
+    broadcast joins (the allowed scalar-attach BNLJ shape). Scale: each
+    band is one fact scan with its filter pushed down; the distinct
+    re-shuffle is per-band on the distinct column; the final 6-way join
+    is one row per side. Averages divide an
+    exact DECIMAL sum of 2dp-quantized prices by the row count (never a
+    double accumulation), rounded 4dp."""
+    return _sql(spark, sf_dir, _Q28_SQL)
+
+
+# --- q30: return ratio vs 1.2x the coarser-group average, detail top-k -------
+
+_Q30_SQL = """
+WITH ctr AS (
+  SELECT c.c_nationkey AS state, o.o_custkey AS cust,
+         CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   + 1e-9, 2) AS DECIMAL(18,2))), 2)
+              AS DOUBLE) AS total_return
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY c.c_nationkey, o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, c.c_mktsegment, ctr1.total_return
+FROM ctr ctr1
+JOIN customer c ON ctr1.cust = c.c_custkey
+WHERE ctr1.total_return > (
+  SELECT round(avg(ctr2.total_return) * 1.2 + 1e-9, 6)
+  FROM ctr ctr2
+  WHERE ctr2.state = ctr1.state)
+ORDER BY ctr1.total_return DESC, c.c_custkey
+LIMIT 50
+"""
+
+
+@query("tpcds_q30_above_state_avg_returns", oracle=_Q30_SQL)
+def tpcds_q30_above_state_avg_returns(spark, sf_dir):
+    """TPC-DS q30/q81 plan signature: customers whose channel returns
+    exceed 1.2x the AVERAGE over their state, read back at customer
+    detail with a top-k. The delta vs q65 (threshold from a coarser
+    re-aggregation, expressed as an explicit join) is that the coarser
+    aggregate is a CORRELATED scalar subquery over the SAME CTE, so
+    Catalyst must decorrelate agg-over-agg (ctr instantiated twice, the
+    inner one re-grouped by the correlation key) before the detail
+    join-back. Scale: ctr collapses the fact to (state, cust) grain;
+    the decorrelated threshold side is |states| rows (broadcast); the
+    detail join is keyed on custkey. The 1.2x threshold carries the
+    +1e-9 shift and a 6dp round so the strict > cut is identical on
+    both engines; top-k is fully tie-broken by custkey."""
+    return _sql(spark, sf_dir, _Q30_SQL)
+
+
+# --- q32: excess discount vs 1.3x the per-item average, same date window -----
+
+_Q32_SQL = """
+SELECT CAST(coalesce(round(sum(CAST(round(l.l_extendedprice * l.l_discount
+                                          + 1e-9, 2) AS DECIMAL(18,2))), 2),
+                     0.00) AS DOUBLE) AS excess_discount_amount
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand IN ('Brand#3', 'Brand#7', 'Brand#11', 'Brand#19', 'Brand#23')
+  AND l.l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+  AND l.l_discount > (
+    SELECT round(1.3 * avg(l2.l_discount) + 1e-9, 6)
+    FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+      AND l2.l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31')
+"""
+
+
+@query("tpcds_q32_excess_discount", oracle=_Q32_SQL)
+def tpcds_q32_excess_discount(spark, sf_dir):
+    """TPC-DS q32/q92 plan signature: "excess discount" — sum the
+    discount amount of fact rows whose discount exceeds 1.3x the
+    per-item average computed by a scalar subquery CORRELATED ON THE
+    SAME FACT TABLE, with the SAME date window repeated on both sides.
+    The delta vs q1/q30 (correlated threshold over a returns/CTE grain)
+    is the self-fact correlation under a duplicated filter: Catalyst
+    decorrelates to an aggregated self-join in which both branches carry
+    the date-range predicate PUSHED TO THE PARQUET SCAN (expressed as a
+    shipdate BETWEEN, not year(), precisely so it reaches PushedFilters),
+    and the brand filter prunes only the OUTER branch — the classic q32
+    asymmetry. Scale: the inner branch aggregates the date-windowed fact
+    to |partkey| rows (dimension-bounded, broadcastable); the outer scan
+    keeps its brand IN-list and date range at the reader. Threshold is 6dp-rounded with the +1e-9 shift;
+    the summed terms are 2dp-quantized into DECIMAL before accumulation;
+    an empty survivor set reads 0.00 on both engines via coalesce."""
+    return _sql(spark, sf_dir, _Q32_SQL)
+
+
+# --- q70: window-derived dimension selection feeding a ROLLUP ----------------
+
+_Q70_SQL = """
+WITH nat_rev AS (
+  SELECT n.n_regionkey AS region, n.n_nationkey AS nation,
+         CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   + 1e-9, 2) AS DECIMAL(18,2))), 2)
+              AS DOUBLE) AS rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey, n.n_nationkey
+),
+top_nations AS (
+  SELECT region, nation
+  FROM (SELECT region, nation,
+               CAST(rank() OVER (PARTITION BY region
+                                 ORDER BY rev DESC, nation) AS INT) AS rnk
+        FROM nat_rev) t
+  WHERE rnk <= 3
+),
+detail AS (
+  SELECT n.n_regionkey AS region, n.n_nationkey AS nation,
+         round(l.l_extendedprice * (1 - l.l_discount) + 1e-9, 2) AS rev
+  FROM lineitem l
+  JOIN supplier s     ON l.l_suppkey = s.s_suppkey
+  JOIN nation n       ON s.s_nationkey = n.n_nationkey
+  JOIN top_nations tn ON n.n_regionkey = tn.region
+                     AND n.n_nationkey = tn.nation
+),
+rolled AS (
+  SELECT coalesce(CAST(region AS INT), -1) AS region_k,
+         coalesce(CAST(nation AS INT), -1) AS nation_k,
+         CAST(round(sum(CAST(rev AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_rev,
+         CAST(grouping(region) + grouping(nation) AS INT) AS lochierarchy
+  FROM detail
+  GROUP BY ROLLUP(region, nation)
+)
+SELECT region_k, nation_k, total_rev, lochierarchy,
+       CAST(rank() OVER (
+                PARTITION BY lochierarchy,
+                             CASE WHEN lochierarchy = 0 THEN region_k END
+                ORDER BY total_rev DESC, nation_k, region_k) AS INT)
+           AS rank_within_level
+FROM rolled
+ORDER BY lochierarchy DESC, region_k, nation_k
+"""
+
+
+@query("tpcds_q70_ranked_states_rollup", oracle=_Q70_SQL)
+def tpcds_q70_ranked_states_rollup(spark, sf_dir):
+    """TPC-DS q70 plan signature: the ROLLUP's dimension population is
+    itself SELECTED BY A WINDOW — only the top-3 nations per region (by
+    a rank over a pre-aggregate) feed the (region, nation) rollup, which
+    then ranks within each grouping level via GROUPING(). The delta vs
+    q36 (grouping-rank over an unrestricted rollup) is the window-derived
+    semi-filter UPSTREAM of the Expand: Catalyst must plan agg -> window
+    -> filter -> join -> rollup -> window, reusing the supplier/nation
+    join tree on both sides. Scale: nat_rev collapses the fact to
+    |nation| rows before the window (25 rows — the window sort is
+    dimension-bounded); top_nations broadcasts into the detail join; the
+    rollup is one Expand over the filtered detail. Rollup NULL keys are
+    coalesced to -1 sentinels; both ranks carry unique tie-breaks."""
+    return _sql(spark, sf_dir, _Q70_SQL)
+
+
+# --- q41: dimension-only self-correlated COUNT with OR-of-AND bands ----------
+
+_Q41_SQL = """
+SELECT DISTINCT p1.p_name
+FROM part p1
+WHERE p1.p_partkey BETWEEN 0 AND 120
+  AND (SELECT count(*)
+       FROM part p2
+       WHERE p2.p_brand = p1.p_brand
+         AND ((p2.p_size BETWEEN 1 AND 15
+               AND p2.p_type IN ('ECONOMY', 'PROMO'))
+              OR (p2.p_size BETWEEN 30 AND 45
+                  AND p2.p_type IN ('LARGE', 'STANDARD')))) > 0
+ORDER BY p1.p_name
+LIMIT 100
+"""
+
+
+@query("tpcds_q41_dimension_self_count", oracle=_Q41_SQL)
+def tpcds_q41_dimension_self_count(spark, sf_dir):
+    """TPC-DS q41 plan signature: a FACT-FREE query — the dimension
+    filtered by a COUNT(*) scalar subquery correlated on the SAME
+    dimension, with OR-of-AND attribute bands inside the subquery. Two
+    deltas vs the pinned corpus: (1) no fact table at all, so the whole
+    plan is dimension-sized; (2) the correlated COUNT(*) must survive
+    decorrelation with COUNT-bug handling — an empty inner group reads
+    0, not NULL, and `> 0` must exclude it — which Catalyst implements
+    with a left outer join + coalesce around the count. Scale: both
+    sides are the dimension; the partkey band prunes the outer scan at
+    the reader. DISTINCT names make the ORDER BY unique, so the top-100
+    cut is deterministic."""
+    return _sql(spark, sf_dir, _Q41_SQL)

@@ -89,6 +89,12 @@ SNAPSHOT_QUERIES = (
     "tpcds_q98_class_revenue_share",
     "tpcds_q44_best_worst_rank_join",
     "tpcds_q65_below_average_items",
+    # round 12 late batch: residual-delta shapes beyond the 41
+    "tpcds_q28_distinct_band_fan",
+    "tpcds_q30_above_state_avg_returns",
+    "tpcds_q32_excess_discount",
+    "tpcds_q70_ranked_states_rollup",
+    "tpcds_q41_dimension_self_count",
     # round 9: the text-hint join. (analyze_equi_depth_histogram is NOT
     # snapshot-pinned: its _value_range_shards localCheckpoint embeds a
     # session-state-dependent RDD scan in the plan text; the invariant
