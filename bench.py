@@ -158,6 +158,13 @@ EXTRA_HEADLINERS = (
     # round-12 late widening (39 -> 41): rank-join-rank, derived-threshold
     "tpcds_q44_best_worst_rank_join",
     "tpcds_q65_below_average_items",
+    # round-12 closing batch (41 -> 46): residual-delta shapes
+    "tpcds_q28_distinct_band_fan",
+    "tpcds_q30_above_state_avg_returns",
+    "tpcds_q32_excess_discount",
+    "tpcds_q70_ranked_states_rollup",
+    "tpcds_q41_dimension_self_count",
+    "io_zorder_file_skipping",
 )
 
 # BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond

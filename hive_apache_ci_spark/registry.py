@@ -169,7 +169,7 @@ def _ensure_loaded() -> None:
         windows,
     )
     from .functions import expressions, hive_compat_queries  # noqa: F401
-    from .sources import acid_orc, io_roundtrip  # noqa: F401
+    from .sources import acid_orc, io_roundtrip, zorder  # noqa: F401
     from .streaming import timeseries, jobs  # noqa: F401
     from .pipeline import (  # noqa: F401
         corpus,

@@ -1,0 +1,196 @@
+"""Z-order (Morton-curve) clustered parquet layout + min/max file skipping.
+
+The 100 TB scan-reduction technique the TPC-DS corpus can't show at query
+level: cluster a fact table on the MORTON INTERLEAVING of two filter
+columns so that parquet footer min/max statistics prune most FILES for a
+band predicate on EITHER column — the layout analog of Hive's
+``CLUSTERED BY`` buckets (SURVEY §2.2's bucketed-table row pins the
+join-side benefit via io_bucketed_smb_join; this pins the scan-side one,
+which Hive itself only gets per-ORC-stripe). Spark-first mechanics:
+
+- bucket scaling and bit interleaving are pure built-in integer
+  expressions (shiftleft/shiftright/bitwiseAND/OR folded by codegen —
+  no UDF);
+- the layout is ``repartitionByRange(z)`` + ``sortWithinPartitions(z)``,
+  so every output file covers a CONTIGUOUS z-range and the curve's
+  locality bounds how many files a 2-D band predicate can touch
+  (fixing the top k bits of one axis confines the band to 2^k disjoint
+  z-intervals — at 1000 executors the same property holds per-file
+  regardless of file count, which is what makes the layout worth one
+  extra shuffle at write time);
+- the skipping audit reads REAL parquet footers via pyarrow (column
+  chunk min/max per row group), not Spark-internal metrics — the same
+  stats any engine (Trino, DuckDB, Hive-on-ORC's stripe stats) would
+  prune with.
+
+The registered query write-then-reads-back through the z-ordered copy,
+AUDITS in-query that at least a quarter of the files are fully skippable
+for the suppkey band (raises otherwise — the driver-visible contract),
+and returns the band aggregate, which the DuckDB oracle reproduces
+straight off the raw table: the clustered layout must be CONTENT-
+TRANSPARENT. tests/test_zorder.py pins the sharper claim — the same
+band skips strictly more files under z-order than under a single-column
+(partkey-sorted) layout, the case where 1-D clustering degenerates.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..helpers import T, committed, money_sum, run_scratch
+from ..registry import query
+
+#: Bits per axis in the Morton code (2*_BITS-bit z-values; 8 bits/axis =
+#: 256 buckets — finer than any practical file count, coarse enough that
+#: the bucket scaling stays exact in integer arithmetic).
+_BITS = 8
+
+#: Output files for the clustered write at test scale. At production
+#: scale this is ceil(table_bytes / target_file_bytes); the audit's
+#: fraction bound is file-count-independent.
+_N_FILES = 16
+
+
+def zvalue(xb: Column, yb: Column, bits: int = _BITS) -> Column:
+    """Morton-interleave two bucket columns in [0, 2^bits): bit i of x
+    lands at z-bit 2i, bit i of y at z-bit 2i+1 (y owns the high bit of
+    each pair). Pure integer builtins — whole-stage-codegen folds the
+    whole ladder into one projection."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xb, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(yb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def bucketize(c: Column, lo: int, hi: int, bits: int = _BITS) -> Column:
+    """Proportional integer bucket of ``c`` in [lo, hi] onto [0, 2^bits).
+    Exact in BIGINT for any key up to ~2^44 (the product stays below
+    2^53); monotone, so bucket-space bands map back to value-space
+    bands."""
+    n = (1 << bits)
+    return F.floor(((c - F.lit(lo)) * F.lit(n)) / F.lit(hi - lo + 1)).cast("int")
+
+
+def suppkey_band(smin: int, smax: int) -> tuple[int, int]:
+    """The audited band: the 5th of 8 equal-width suppkey slices,
+    half-open [lo, hi) — W = (range) DIV 8 in exact integer arithmetic so
+    the DuckDB oracle derives the identical bounds from min/max alone."""
+    w = (smax - smin + 1) // 8
+    lo = smin + 4 * w
+    return lo, smin + 5 * w
+
+
+def file_skip_stats(files: list[str], column: str, lo: int, hi: int,
+                    ) -> tuple[int, int]:
+    """(n_files, n_fully_skippable) for the half-open band [lo, hi) by
+    parquet footer min/max — a file is skippable iff EVERY row group's
+    [min, max] for ``column`` misses the band (missing stats = not
+    skippable, the conservative reader rule)."""
+    skippable = 0
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.names.index(column)
+        file_skips = md.num_row_groups > 0
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is None or not stats.has_min_max:
+                file_skips = False
+                break
+            if not (stats.max < lo or stats.min >= hi):
+                file_skips = False
+                break
+        skippable += int(file_skips)
+    return len(files), skippable
+
+
+def write_clustered(df: DataFrame, out: str, order_col: str,
+                    n_files: int = _N_FILES) -> None:
+    """Range-partition + locally sort on ``order_col`` and write parquet:
+    each file covers a contiguous slice of the ordering key, which is
+    exactly what makes footer min/max stats selective."""
+    (df.repartitionByRange(n_files, order_col)
+       .sortWithinPartitions(order_col)
+       .write.mode("overwrite").parquet(out))
+
+
+def _key_bounds(li: DataFrame) -> tuple[int, int, int, int]:
+    """(pmin, pmax, smin, smax) — one O(1)-row driver fetch off a full
+    agg (the acid.py duplicate-guard precedent: a 1-row collect is not a
+    driver-side loop)."""
+    r = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    return int(r[0]), int(r[1]), int(r[2]), int(r[3])
+
+
+_ZORDER_ORACLE = """
+WITH b AS (
+  SELECT CAST(min(l_suppkey) AS BIGINT) AS smin,
+         CAST(max(l_suppkey) AS BIGINT) AS smax
+  FROM lineitem
+),
+band AS (
+  SELECT smin + 4 * CAST(floor((smax - smin + 1) / 8.0) AS BIGINT) AS lo,
+         smin + 5 * CAST(floor((smax - smin + 1) / 8.0) AS BIGINT) AS hi
+  FROM b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) + 1e-9, 2)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem, band
+WHERE l_suppkey >= band.lo AND l_suppkey < band.hi
+"""
+
+
+@query("io_zorder_file_skipping", oracle=_ZORDER_ORACLE)
+def io_zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem z-ordered on (partkey, suppkey), audit that parquet
+    footer min/max stats fully skip >=1/4 of the files for a 1/8-width
+    suppkey band (the Morton bound: the band fixes high y-bits, confining
+    it to a few disjoint z-intervals — most contiguous-z files never
+    intersect), then return the band aggregate READ THROUGH THE CLUSTERED
+    COPY. The oracle computes the same aggregate from the raw table, so a
+    pass certifies the layout is content-transparent AND the audit ran.
+    Scale: one extra range shuffle at write time buys every later band
+    scan a file-level prune that no single-column sort gives on the
+    second column (tests/test_zorder.py pins z-order strictly beating a
+    partkey-sorted layout on this band)."""
+    li = T(spark, sf_dir, "lineitem")
+    pmin, pmax, smin, smax = _key_bounds(li)
+    z = zvalue(
+        bucketize(F.col("l_partkey"), pmin, pmax),
+        bucketize(F.col("l_suppkey"), smin, smax),
+    )
+    out = run_scratch("zorder", sf_dir, "lineitem_z")
+    write_clustered(li.withColumn("z", z), out, "z")
+
+    lo, hi = suppkey_band(smin, smax)
+    back = spark.read.parquet(committed(out))
+    n_files, skippable = file_skip_stats(
+        [f.removeprefix("file:") for f in back.inputFiles()],
+        "l_suppkey", lo, hi,
+    )
+    if n_files < 8 or skippable * 4 < n_files:
+        raise AssertionError(
+            f"z-order skipping audit failed: {skippable}/{n_files} files "
+            f"fully skippable for l_suppkey in [{lo}, {hi})"
+        )
+    return (
+        back.where((F.col("l_suppkey") >= lo) & (F.col("l_suppkey") < hi))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            money_sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    + F.lit(1e-9),
+                    2,
+                )
+            ).alias("revenue"),
+        )
+    )
