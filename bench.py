@@ -165,6 +165,7 @@ EXTRA_HEADLINERS = (
     "tpcds_q70_ranked_states_rollup",
     "tpcds_q41_dimension_self_count",
     "io_zorder_file_skipping",
+    "agg_kmv_mergeable_sketch",
 )
 
 # BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond

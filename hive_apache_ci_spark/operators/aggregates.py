@@ -2062,3 +2062,97 @@ def supplier_hhi_concentration(spark, sf_dir):
         .otherwise("unconcentrated")
         .alias("band"),
     )
+
+
+# ---- round 12 closing: KMV mergeable distinct sketch ----------------------
+
+#: KMV sketch size. Error ~ 1/sqrt(k-1) ≈ 18% — the point here is the
+#: MERGE algebra, pinned deterministically, not tight accuracy (Spark's
+#: own approx_count_distinct/HLL is pinned in agg_approx_vs_exact).
+_KMV_K = 32
+
+#: Exact numeric position of an md5 in [0,1): the first 13 hex digits as
+#: a dyadic fraction. Every term is digit * 16^-i with 16^-i a power of
+#: two whose literal round-trips exactly, and the 52-fractional-bit sum
+#: is exactly representable in a double — so BOTH engines compute the
+#: identical IEEE value and the (k-1)/h_k estimate matches to the bit.
+_KMV_FRAC = " + ".join(
+    f"(instr('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16.0 ** -i!r}"
+    for i in range(1, 14)
+)
+
+_KMV_SQL = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS grp, md5(CAST(user_id AS STRING)) AS h
+  FROM events
+),
+ranked AS (
+  SELECT grp, h,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY h) AS INT) AS rn,
+         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n_grp
+  FROM hashed
+),
+sk AS (
+  SELECT grp, h, rn, n_grp FROM ranked WHERE rn <= {_KMV_K}
+),
+per_group AS (
+  SELECT grp,
+         max(n_grp) AS exact_distinct,
+         CASE WHEN max(n_grp) < {_KMV_K} THEN CAST(max(n_grp) AS DOUBLE)
+              ELSE round(({_KMV_K} - 1)
+                         / max(CASE WHEN rn = {_KMV_K}
+                                    THEN {_KMV_FRAC} END) + 1e-9, 4)
+         END AS est_distinct
+  FROM sk
+  GROUP BY grp
+),
+merged AS (
+  SELECT h, CAST(row_number() OVER (ORDER BY h) AS INT) AS rn
+  FROM (SELECT DISTINCT h FROM sk) u
+),
+global_est AS (
+  SELECT CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+              ELSE round(({_KMV_K} - 1)
+                         / max(CASE WHEN rn = {_KMV_K}
+                                    THEN {_KMV_FRAC} END) + 1e-9, 4)
+         END AS est
+  FROM merged
+  WHERE rn <= {_KMV_K}
+)
+SELECT grp,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       est_distinct
+FROM per_group
+UNION ALL
+SELECT 'ALL' AS grp,
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+           AS exact_distinct,
+       (SELECT est FROM global_est) AS est_distinct
+"""
+
+
+@query("agg_kmv_mergeable_sketch", oracle=_KMV_SQL)
+def agg_kmv_mergeable_sketch(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch with a REAL merge:
+    per-group sketches (the k smallest md5 hashes of the key) estimate
+    each group's NDV as (k-1)/h_k, and the GLOBAL estimate is computed
+    from the union of the per-group sketches alone — never rescanning
+    the fact — because the k smallest of a union of per-group k-smallest
+    IS the global k-smallest (the mergeability algebra that lets a
+    1000-executor scan ship 32 hashes per partition instead of the key
+    set; reference parity: Hive's compute_stats NDV sketch per SURVEY
+    §2.4, re-expressed as a deterministic, oracle-checkable KMV).
+    Deterministic by construction: md5 is identical on both engines and
+    the hash's numeric position is an exactly-representable dyadic
+    fraction of its first 13 hex digits, so estimates match bit-for-bit
+    (no approx_count_distinct implementation drift). Scale: the
+    per-group window shuffles keyed on grp over DISTINCT (grp, hash)
+    rows; the merge window sees <= |groups| * k rows (bounded by the
+    sketch algebra, not the fact — the documented global-window
+    exception); each group keeps <= k rows after the rn filter. Exact
+    NDVs ride along per group so the sweep pins both the sketch and its
+    ground truth."""
+    from ..catalog import load_tables
+
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(_KMV_SQL)
