@@ -166,6 +166,7 @@ EXTRA_HEADLINERS = (
     "tpcds_q41_dimension_self_count",
     "io_zorder_file_skipping",
     "agg_kmv_mergeable_sketch",
+    "agg_kmv_sketch_setops",
 )
 
 # BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond

@@ -2076,10 +2076,15 @@ _KMV_K = 32
 #: two whose literal round-trips exactly, and the 52-fractional-bit sum
 #: is exactly representable in a double — so BOTH engines compute the
 #: identical IEEE value and the (k-1)/h_k estimate matches to the bit.
-_KMV_FRAC = " + ".join(
-    f"(instr('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16.0 ** -i!r}"
-    for i in range(1, 14)
-)
+def _kmv_frac(col: str) -> str:
+    return " + ".join(
+        f"(instr('0123456789abcdef', substr({col}, {i}, 1)) - 1)"
+        f" * {16.0 ** -i!r}"
+        for i in range(1, 14)
+    )
+
+
+_KMV_FRAC = _kmv_frac("h")
 
 _KMV_SQL = f"""
 WITH hashed AS (
@@ -2156,3 +2161,78 @@ def agg_kmv_mergeable_sketch(spark, sf_dir):
 
     load_tables(spark, sf_dir, register=True)
     return spark.sql(_KMV_SQL)
+
+
+_KMV_SETOPS_SQL = f"""
+WITH ha AS (
+  SELECT DISTINCT md5(CAST(user_id AS STRING)) AS h
+  FROM events WHERE event_type = 'click'
+),
+hb AS (
+  SELECT DISTINCT md5(CAST(user_id AS STRING)) AS h
+  FROM events WHERE event_type = 'view'
+),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+m AS (
+  SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb) u
+  ORDER BY h LIMIT {_KMV_K}
+),
+mstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_n, max(h) AS m_max FROM m
+),
+rho AS (
+  SELECT CAST(count(*) AS BIGINT) AS both_n
+  FROM m
+  JOIN ska ON m.h = ska.h
+  JOIN skb ON m.h = skb.h
+),
+exact_u AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union
+  FROM (SELECT h FROM ha UNION SELECT h FROM hb) x
+),
+exact_i AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_inter
+  FROM (SELECT h FROM ha INTERSECT SELECT h FROM hb) y
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM ha) AS n_click,
+  (SELECT CAST(count(*) AS BIGINT) FROM hb) AS n_view,
+  exact_u.exact_union,
+  exact_i.exact_inter,
+  round(CAST(exact_i.exact_inter AS DOUBLE) / exact_u.exact_union + 1e-9, 6)
+      AS exact_jaccard,
+  CASE WHEN mstats.m_n < {_KMV_K} THEN CAST(mstats.m_n AS DOUBLE)
+       ELSE round(({_KMV_K} - 1) / ({_kmv_frac("mstats.m_max")}) + 1e-9, 4)
+  END AS est_union,
+  round(CAST(rho.both_n AS DOUBLE) / mstats.m_n + 1e-9, 6) AS est_jaccard,
+  round((CAST(rho.both_n AS DOUBLE) / mstats.m_n)
+        * (CASE WHEN mstats.m_n < {_KMV_K} THEN CAST(mstats.m_n AS DOUBLE)
+                ELSE ({_KMV_K} - 1) / ({_kmv_frac("mstats.m_max")})
+           END) + 1e-9, 4) AS est_inter
+FROM mstats, rho, exact_u, exact_i
+"""
+
+
+@query("agg_kmv_sketch_setops", oracle=_KMV_SETOPS_SQL)
+def agg_kmv_sketch_setops(spark, sf_dir):
+    """KMV sketch SET OPERATIONS (Beyer et al., SIGMOD'07): estimate
+    |A∪B|, Jaccard, and |A∩B| between two channel user sets from their
+    k-minimum-values sketches alone. The merged sketch M (k smallest of
+    the two sketches' union) is a uniform hash-order sample of A∪B, so
+    rho = |M ∩ SA ∩ SB| / |M| estimates the Jaccard and rho * (k-1)/h_k
+    the intersection size — none of it touching the raw sets again.
+    Exact union/intersection/Jaccard ride along as ground truth (the
+    count-based INTERSECT keeps the oracle memory-flat). Scale: every
+    k-smallest is ORDER BY + LIMIT — Spark plans TakeOrderedAndProject
+    (per-partition top-k, merge at the driver of k rows), never a
+    single-partition window; sketch-vs-sketch joins touch <= k rows a
+    side. Deterministic bit-for-bit across engines for the same reason
+    as agg_kmv_mergeable_sketch (exact dyadic hash positions). At
+    sf0.001 both sets are smaller than k, pinning the exact degenerate
+    branch; at sf0.01+ the estimator branch is live — the sweep covers
+    both paths."""
+    from ..catalog import load_tables
+
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(_KMV_SETOPS_SQL)

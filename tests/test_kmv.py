@@ -56,3 +56,31 @@ def test_kmv_matches_python_reference(spark):
     assert abs(got["ALL"][1] - _kmv_estimate(union_of_sketches)) < 1e-9
     # and the estimate is in a sane band around truth (k=32 → ~18% sigma)
     assert 0.4 * len(all_hashes) < got["ALL"][1] < 2.5 * len(all_hashes)
+
+
+def test_kmv_setops_matches_python_reference(spark):
+    """Union/Jaccard/intersection estimates from sketches only, vs the
+    same estimator computed in pure Python from the raw sets."""
+    rows = duckdb.sql(
+        f"SELECT DISTINCT event_type, user_id FROM '{SF_DIR}/events.parquet' "
+        "WHERE event_type IN ('click', 'view')"
+    ).fetchall()
+    sets: dict[str, set[str]] = {"click": set(), "view": set()}
+    for grp, uid in rows:
+        sets[grp].add(hashlib.md5(str(uid).encode()).hexdigest())
+    ska = set(sorted(sets["click"])[:_KMV_K])
+    skb = set(sorted(sets["view"])[:_KMV_K])
+    m = sorted(ska | skb)[:_KMV_K]
+    both = sum(1 for h in m if h in ska and h in skb)
+    if len(m) < _KMV_K:
+        est_union = float(len(m))
+    else:
+        est_union = round((_KMV_K - 1) / _frac(m[-1]) + 1e-9, 4)
+    est_jac = round(both / len(m) + 1e-9, 6)
+
+    r = all_queries()["agg_kmv_sketch_setops"](spark, SF_DIR).collect()[0]
+    assert r.n_click == len(sets["click"]) and r.n_view == len(sets["view"])
+    assert r.exact_union == len(sets["click"] | sets["view"])
+    assert r.exact_inter == len(sets["click"] & sets["view"])
+    assert abs(r.est_union - est_union) < 1e-9
+    assert abs(r.est_jaccard - est_jac) < 1e-9
