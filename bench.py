@@ -167,6 +167,10 @@ EXTRA_HEADLINERS = (
     "io_zorder_file_skipping",
     "agg_kmv_mergeable_sketch",
     "agg_kmv_sketch_setops",
+    "tpcds_q38_channel_intersect_chain",
+    "tpcds_q94_repeat_buyers_no_returns",
+    "tpcds_q57_supplier_sales_deviation",
+    "tpcds_q62_web_ship_lag_bands",
 )
 
 # BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond

@@ -66,7 +66,16 @@ residual plan-feature delta, each named in its docstring:
 - q70 : window-derived dim selection -> ROLLUP      (tpcds_q70_ranked_states_rollup)
 - q41 : fact-free dim self-COUNT (COUNT-bug path)   (tpcds_q41_dimension_self_count)
 
-(The ~53 upstream shapes still unmatched are feature-REDUNDANT with
+Plus the four upstream TWIN COMPLETIONS (46 -> 50) — upstream ships
+these as channel pairs of already-pinned shapes; each is re-keyed or
+re-residualed here and its docstring names the one thing the pair pins:
+
+- q38 : INTERSECT-chain twin of q87's EXCEPT chain  (tpcds_q38_channel_intersect_chain)
+- q94 : q16 twin, EXISTS keyed != NOT EXISTS key    (tpcds_q94_repeat_buyers_no_returns)
+- q57 : q47's deviation re-keyed to supplier dim    (tpcds_q57_supplier_sales_deviation)
+- q62 : q99's lag bands re-keyed (web pair)         (tpcds_q62_web_ship_lag_bands)
+
+(The ~49 upstream shapes still unmatched are feature-REDUNDANT with
 this corpus — each reduces to a combination of the plan features
 already pinned here (rollup/Expand, window families, EXISTS/NOT-EXISTS
 stacks, INTERSECT/EXCEPT lowering, scalar-subquery fans, CASE pivots,
@@ -78,11 +87,11 @@ q55/q43 trivial dim groupbys; q7/q26/q27/q18 demographic avgs (+q27
 rollup = q36); q12/q20 = q98 twins; q15/q45/q8 zip bands (q45's
 EXISTS-in-OR = q10); q19/q71 brand/time groupbys; q22 = rollup avg;
 q24 = q23's scalar threshold; q25/q29 = q17; q33/q56/q60/q61 = q5+q14
-combos; q35 = q69; q37/q82 = q21; q38 = q14/q87; q40 = q21+q93;
-q46/q68/q73/q79 = q34; q48/q85 = q13; q50/q62 = q99; q53/q63/q89 =
-q47; q57 = q47; q59 = q2; q76 NULL-key scan counts (no NULL keys in
+combos; q35 = q69; q37/q82 = q21; q40 = q21+q93;
+q46/q68/q73/q79 = q34; q48/q85 = q13; q50 = q99; q53/q63/q89 =
+q47; q59 = q2; q76 NULL-key scan counts (no NULL keys in
 this corpus); q77/q80 = q5+q93; q83 = q14-date variant; q84/q91
-lookup chains; q86 = q36; q94 = q16; q96 simple count.)
+lookup chains; q86 = q36; q96 simple count.)
 
 Expressed as shared SQL (one text, both engines — the subqueries-module
 pattern): the *syntax* (ROLLUP, EXISTS-OR, INTERSECT, FULL OUTER) is what
@@ -2167,3 +2176,170 @@ def tpcds_q41_dimension_self_count(spark, sf_dir):
     the reader. DISTINCT names make the ORDER BY unique, so the top-100
     cut is deterministic."""
     return _sql(spark, sf_dir, _Q41_SQL)
+
+
+# --- q38: INTERSECT-chain twin of q87's EXCEPT chain -------------------------
+
+_Q38_SQL = """
+WITH store_c AS (
+  SELECT DISTINCT o_custkey AS cust FROM orders
+  WHERE year(o_orderdate) = 1996
+),
+ship_c AS (
+  SELECT DISTINCT o.o_custkey AS cust
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE year(l.l_shipdate) = 1996 AND l.l_returnflag <> 'R'
+),
+web_c AS (
+  SELECT DISTINCT o_custkey AS cust FROM orders
+  WHERE year(o_orderdate) = 1996
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+),
+common AS (
+  SELECT cust FROM store_c
+  INTERSECT
+  SELECT cust FROM ship_c
+  INTERSECT
+  SELECT cust FROM web_c
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_in_all_three
+FROM common s JOIN customer c ON s.cust = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("tpcds_q38_channel_intersect_chain", oracle=_Q38_SQL)
+def tpcds_q38_channel_intersect_chain(spark, sf_dir):
+    """TPC-DS q38 — the INTERSECT-count twin of the pinned q87 EXCEPT
+    chain (upstream ships them as a pair over identical channel CTEs;
+    this corpus completes the pair with DIFFERENT set residuals:
+    kept-lines channel and a two-priority web set). Catalyst lowers the
+    chained INTERSECT to two stacked left SEMI joins
+    (ReplaceIntersectWithSemiJoin) where q87 stacks ANTI joins — the
+    lowering pair is what the twin pins. Scale: identical to q87 — all
+    three DISTINCT sets and both semi joins share the custkey hash."""
+    return _sql(spark, sf_dir, _Q38_SQL)
+
+
+# --- q94: web twin of q16 (EXISTS correlated on a DIFFERENT key) -------------
+
+_Q94_SQL = """
+SELECT CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS distinct_customers,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(round(o.o_totalprice + 1e-9, 2)
+                           AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+  AND o.o_orderpriority = '1-URGENT'
+  AND EXISTS (SELECT 1 FROM orders o2
+              WHERE o2.o_custkey = o.o_custkey
+                AND o2.o_orderkey <> o.o_orderkey
+                AND o2.o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o2.o_orderdate <  TIMESTAMP '1997-07-01')
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = o.o_orderkey
+                    AND l3.l_returnflag = 'R')
+"""
+
+
+@query("tpcds_q94_repeat_buyers_no_returns", oracle=_Q94_SQL)
+def tpcds_q94_repeat_buyers_no_returns(spark, sf_dir):
+    """TPC-DS q94 — the web twin of the pinned q16 (upstream's pair:
+    catalog vs web order counts behind EXISTS + NOT EXISTS). The twin's
+    delta: the EXISTS correlates on a DIFFERENT key than the NOT EXISTS
+    (custkey self-join vs orderkey returns probe), so the two rewritten
+    joins CANNOT share an exchange — the planner must key one semi join
+    by custkey and the anti join by orderkey, where q16 shares the
+    orderkey hash across both. Scale: the custkey-keyed EXISTS side
+    aggregates the date-windowed slice to customer grain before the
+    join; the distinct readout is custkey-keyed partial aggregation."""
+    return _sql(spark, sf_dir, _Q94_SQL)
+
+
+# --- q57: q47's deviation machinery re-keyed to the supplier dimension -------
+
+_Q57_SQL = """
+WITH v1 AS (
+  SELECT n.n_name,
+         CAST(year(o.o_orderdate) AS INT)  AS yr,
+         CAST(month(o.o_orderdate) AS INT) AS mon,
+         round(sum(round(l.l_extendedprice * (1 - l.l_discount)
+                         + 1e-9, 2)), 2) AS sum_sales
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INT),
+           CAST(month(o.o_orderdate) AS INT)
+),
+v2 AS (
+  SELECT n_name, yr, mon, sum_sales,
+         round(avg(sum_sales) OVER (PARTITION BY n_name, yr) + 1e-6, 4)
+             AS avg_monthly,
+         lag(sum_sales)  OVER (PARTITION BY n_name ORDER BY yr, mon)
+             AS prev_sales,
+         lead(sum_sales) OVER (PARTITION BY n_name ORDER BY yr, mon)
+             AS next_sales
+  FROM v1
+)
+SELECT n_name, yr, mon, sum_sales, avg_monthly, prev_sales, next_sales,
+       round(sum_sales - avg_monthly + 1e-6, 2) AS dev
+FROM v2
+WHERE yr BETWEEN 1996 AND 1999
+  AND avg_monthly > 0
+  AND round(abs(sum_sales - avg_monthly) / avg_monthly + 1e-9, 6) > 0.1
+"""
+
+
+@query("tpcds_q57_supplier_sales_deviation", oracle=_Q57_SQL)
+def tpcds_q57_supplier_sales_deviation(spark, sf_dir):
+    """TPC-DS q57 — upstream IS q47 with the partition dimension swapped
+    (call_center for store); this corpus completes the documented pair
+    by re-keying the deviation machinery from the part dimension to the
+    supplier→nation join tree. Same window family on purpose — the twin
+    pins that the (dimension, yr)-keyed window exchange is reused across
+    both window functions regardless of WHICH dimension feeds it. Scale:
+    identical to q47 — one keyed exchange, dimension-grain windows."""
+    return _sql(spark, sf_dir, _Q57_SQL)
+
+
+# --- q62: q99's lag bands re-keyed (web twin) --------------------------------
+
+_Q62_TEMPLATE = """
+SELECT l.l_linestatus,
+       CAST(year(o.o_orderdate) AS INT) AS yr,
+       CAST(sum(CASE WHEN {LAG} <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d30,
+       CAST(sum(CASE WHEN {LAG} > 30 AND {LAG} <= 60 THEN 1 ELSE 0 END)
+            AS BIGINT) AS d60,
+       CAST(sum(CASE WHEN {LAG} > 60 AND {LAG} <= 90 THEN 1 ELSE 0 END)
+            AS BIGINT) AS d90,
+       CAST(sum(CASE WHEN {LAG} > 90 AND {LAG} <= 120 THEN 1 ELSE 0 END)
+            AS BIGINT) AS d120,
+       CAST(sum(CASE WHEN {LAG} > 120 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dmore
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_linestatus, CAST(year(o.o_orderdate) AS INT)
+"""
+
+_Q62_SPARK = _Q62_TEMPLATE.replace(
+    "{LAG}", "datediff(l.l_shipdate, o.o_orderdate)"
+)
+_Q62_ORACLE = _Q62_TEMPLATE.replace(
+    "{LAG}", "date_diff('day', o.o_orderdate, l.l_shipdate)"
+)
+
+
+@query("tpcds_q62_web_ship_lag_bands", oracle=_Q62_ORACLE)
+def tpcds_q62_web_ship_lag_bands(spark, sf_dir):
+    """TPC-DS q62 — the web twin of the pinned q99 lag-band pivot
+    (upstream ships q62/q99 as the web/catalog pair over the same
+    30/60/90/120 bands); completed here with the grouping re-keyed from
+    order priority to (linestatus, year). Same banding on purpose — the
+    pair pins that the CASE-band conditional aggregation is insensitive
+    to the grouping key's cardinality or type. Scale: identical to q99
+    — one orderkey join, one small grouped aggregate."""
+    return _sql(spark, sf_dir, _Q62_SPARK)

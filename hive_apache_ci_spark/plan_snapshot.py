@@ -95,6 +95,10 @@ SNAPSHOT_QUERIES = (
     "tpcds_q32_excess_discount",
     "tpcds_q70_ranked_states_rollup",
     "tpcds_q41_dimension_self_count",
+    "tpcds_q38_channel_intersect_chain",
+    "tpcds_q94_repeat_buyers_no_returns",
+    "tpcds_q57_supplier_sales_deviation",
+    "tpcds_q62_web_ship_lag_bands",
     # round 9: the text-hint join. (analyze_equi_depth_histogram is NOT
     # snapshot-pinned: its _value_range_shards localCheckpoint embeds a
     # session-state-dependent RDD scan in the plan text; the invariant
