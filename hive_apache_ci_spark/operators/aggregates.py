@@ -2112,17 +2112,17 @@ per_group AS (
   GROUP BY grp
 ),
 merged AS (
-  SELECT h, CAST(row_number() OVER (ORDER BY h) AS INT) AS rn
-  FROM (SELECT DISTINCT h FROM sk) u
+  SELECT h FROM (SELECT DISTINCT h FROM sk) u
+  ORDER BY h LIMIT {_KMV_K}
+),
+gk AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_n, max(h) AS h FROM merged
 ),
 global_est AS (
-  SELECT CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
-              ELSE round(({_KMV_K} - 1)
-                         / max(CASE WHEN rn = {_KMV_K}
-                                    THEN {_KMV_FRAC} END) + 1e-9, 4)
+  SELECT CASE WHEN m_n < {_KMV_K} THEN CAST(m_n AS DOUBLE)
+              ELSE round(({_KMV_K} - 1) / ({_KMV_FRAC}) + 1e-9, 4)
          END AS est
-  FROM merged
-  WHERE rn <= {_KMV_K}
+  FROM gk
 )
 SELECT grp,
        CAST(exact_distinct AS BIGINT) AS exact_distinct,
@@ -2152,9 +2152,9 @@ def agg_kmv_mergeable_sketch(spark, sf_dir):
     fraction of its first 13 hex digits, so estimates match bit-for-bit
     (no approx_count_distinct implementation drift). Scale: the
     per-group window shuffles keyed on grp over DISTINCT (grp, hash)
-    rows; the merge window sees <= |groups| * k rows (bounded by the
-    sketch algebra, not the fact — the documented global-window
-    exception); each group keeps <= k rows after the rn filter. Exact
+    rows; the merge is ORDER BY + LIMIT over <= |groups| * k sketch
+    rows — Spark plans TakeOrderedAndProject, no single-partition
+    window; each group keeps <= k rows after the rn filter. Exact
     NDVs ride along per group so the sweep pins both the sketch and its
     ground truth."""
     from ..catalog import load_tables
