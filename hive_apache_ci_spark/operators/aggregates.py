@@ -2147,6 +2147,10 @@ def agg_kmv_mergeable_sketch(spark, sf_dir):
     1000-executor scan ship 32 hashes per partition instead of the key
     set; reference parity: Hive's compute_stats NDV sketch per SURVEY
     §2.4, re-expressed as a deterministic, oracle-checkable KMV).
+    Complements agg_hll_sketch_setops (DataSketches HLL, whose estimates
+    are bound-CHECKED in-plan but not engine-replayable): KMV's estimate
+    IS replayable in DuckDB, so the differential oracle pins the
+    estimator itself, not just its error band.
     Deterministic by construction: md5 is identical on both engines and
     the hash's numeric position is an exactly-representable dyadic
     fraction of its first 13 hex digits, so estimates match bit-for-bit
@@ -2222,6 +2226,10 @@ def agg_kmv_sketch_setops(spark, sf_dir):
     the two sketches' union) is a uniform hash-order sample of A∪B, so
     rho = |M ∩ SA ∩ SB| / |M| estimates the Jaccard and rho * (k-1)/h_k
     the intersection size — none of it touching the raw sets again.
+    A DIFFERENT intersection estimator than agg_hll_sketch_setops'
+    inclusion–exclusion (HLL cannot intersect directly; KMV's merged
+    sketch is a uniform sample, so it can) — and unlike HLL, every
+    number here is replayed bit-for-bit by the DuckDB oracle.
     Exact union/intersection/Jaccard ride along as ground truth (the
     count-based INTERSECT keeps the oracle memory-flat). Scale: every
     k-smallest is ORDER BY + LIMIT — Spark plans TakeOrderedAndProject

@@ -23,6 +23,13 @@ which Hive itself only gets per-ORC-stripe). Spark-first mechanics:
   stats any engine (Trino, DuckDB, Hive-on-ORC's stripe stats) would
   prune with.
 
+Sibling: io_roundtrip.py's io_zorder_layout is the IN-PLAN auditor of
+the same curve (per-bucket key-range report, hash-matched by DuckDB
+computing the identical interleave, no files written). This module is
+the PHYSICAL half — it actually writes the clustered files and reads
+the real footers — so the pair covers both what the optimizer sees and
+what the storage layer delivers.
+
 The registered query write-then-reads-back through the z-ordered copy,
 AUDITS in-query that at least a quarter of the files are fully skippable
 for the suppkey band (raises otherwise — the driver-visible contract),
