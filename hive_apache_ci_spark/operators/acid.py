@@ -174,18 +174,35 @@ class WriterLease:
         except (OSError, ValueError):
             return None  # vanished or mid-replace: re-poll
 
-    def _break_expired(self) -> None:
-        """Break an EXPIRED lock. rename(2) alone is NOT enough: it wins
-        exactly once per inode, but a stale breaker that read the old
-        expired lock can rename away a lock another breaker already broke
-        and RE-CREATED — killing the new holder's live lease (double
+    #: A break-intent older than this is presumed crashed and swept. The
+    #: margin is deliberately >> the breaker's actual work (microseconds)
+    #: AND >> coarse-filesystem mtime granularity (1 s), so a LIVE
+    #: breaker's fresh intent can never read as stale off a truncated
+    #: mtime alone. A breaker genuinely stalled past this bound is
+    #: indistinguishable from a crashed one — exactly like lease expiry
+    #: itself — and that residual interleaving degrades to an ordinary
+    #: OCC conflict (the documented contract), it cannot corrupt data.
+    _INTENT_STALE_S = 2.5
+
+    def _break_expired(self) -> bool:
+        """Break an EXPIRED lock; returns True iff THIS caller renamed
+        the lock away (the slot may now be free — worth recontending
+        immediately). rename(2) alone is NOT enough: it wins exactly
+        once per inode, but a stale breaker that read the old expired
+        lock can rename away a lock another breaker already broke and
+        RE-CREATED — killing the new holder's live lease (double
         takeover, caught by tests/test_mutations.py's 4-thread contend).
-        Two guards close it:
+        Guards:
 
         - a break-intent file (O_EXCL) serializes breakers, and the lock
           is RE-READ under that role, so only a lock verified expired
-          *now* is claimed (a crashed breaker's intent goes stale after
-          1 s and is swept by the next waiter);
+          *now* is claimed; the intent payload names its owner, and the
+          finally-unlink REMOVES ONLY OUR OWN intent (payload check), so
+          a swept-then-recreated intent is never cascade-unlinked from
+          under its new owner;
+        - a crashed breaker's intent is swept after _INTENT_STALE_S
+          (see above for why the bound is safe against mtime
+          granularity);
         - after the rename-claim the tombstone payload is inspected and a
           live lease restored via link(2) — the same claim-inspect-restore
           pattern as release() — covering the one legal interleaving left
@@ -199,21 +216,26 @@ class WriterLease:
             fd = os.open(intent, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             try:  # sweep a crashed breaker's stale intent
-                if time.time() - os.stat(intent).st_mtime > 1.0:
+                if time.time() - os.stat(intent).st_mtime > self._INTENT_STALE_S:
                     os.unlink(intent)
             except OSError:
                 pass
-            return  # another breaker is mid-takeover: re-poll
-        os.close(fd)
+            return False  # another breaker is mid-takeover: re-poll
+        try:
+            os.write(fd, self.holder.encode())
+        finally:
+            os.close(fd)
+        broke = False
         try:
             cur = self._read()
             if cur is None or time.time() <= cur.get("expires", 0):
-                return  # vanished or already re-acquired live: no break
+                return False  # vanished or re-acquired live: no break
             tomb = self.path + f".broken.{uuid.uuid4().hex[:8]}"
             try:
                 os.rename(self.path, tomb)
             except OSError:
-                return
+                return False
+            broke = True
             try:
                 with open(tomb) as fh:
                     now = json.load(fh)
@@ -224,13 +246,18 @@ class WriterLease:
                     os.link(tomb, self.path)  # claimed a live lease: restore
                 except OSError:
                     pass  # a third writer re-created: degrade to OCC
+                broke = False
             try:
                 os.unlink(tomb)
             except OSError:
                 pass
+            return broke
         finally:
-            try:
-                os.unlink(intent)
+            try:  # remove ONLY our own intent — ours may have been swept
+                with open(intent) as fh:  # and the name re-owned meanwhile
+                    mine = fh.read() == self.holder
+                if mine:
+                    os.unlink(intent)
             except OSError:
                 pass
 
@@ -247,9 +274,12 @@ class WriterLease:
                 return self
             cur = self._read()
             if cur is not None and time.time() > cur.get("expires", 0):
-                self._break_expired()
-                if time.monotonic() < deadline:
-                    continue  # immediately recontend for the freed slot
+                if self._break_expired() and time.monotonic() < deadline:
+                    continue  # WE freed the slot: recontend immediately
+                # another breaker owns the takeover (or the break found a
+                # live lease): fall through to the poll sleep — spinning
+                # here would burn a core per waiter until the intent
+                # resolves (review finding, round 12)
             if time.monotonic() >= deadline:
                 who = (cur or {}).get("holder", "unknown")
                 raise LeaseTimeoutError(

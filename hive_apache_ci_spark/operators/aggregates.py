@@ -2185,6 +2185,16 @@ m AS (
 mstats AS (
   SELECT CAST(count(*) AS BIGINT) AS m_n, max(h) AS m_max FROM m
 ),
+uest AS (
+  -- the ONE union-size estimate, unrounded: est_union and est_inter
+  -- both derive from this row so they stay definitionally linked
+  -- (review finding, round 12: the CASE was previously duplicated)
+  SELECT m_n,
+         CASE WHEN m_n < {_KMV_K} THEN CAST(m_n AS DOUBLE)
+              ELSE ({_KMV_K} - 1) / ({_kmv_frac("m_max")})
+         END AS u_raw
+  FROM mstats
+),
 rho AS (
   SELECT CAST(count(*) AS BIGINT) AS both_n
   FROM m
@@ -2206,15 +2216,11 @@ SELECT
   exact_i.exact_inter,
   round(CAST(exact_i.exact_inter AS DOUBLE) / exact_u.exact_union + 1e-9, 6)
       AS exact_jaccard,
-  CASE WHEN mstats.m_n < {_KMV_K} THEN CAST(mstats.m_n AS DOUBLE)
-       ELSE round(({_KMV_K} - 1) / ({_kmv_frac("mstats.m_max")}) + 1e-9, 4)
-  END AS est_union,
-  round(CAST(rho.both_n AS DOUBLE) / mstats.m_n + 1e-9, 6) AS est_jaccard,
-  round((CAST(rho.both_n AS DOUBLE) / mstats.m_n)
-        * (CASE WHEN mstats.m_n < {_KMV_K} THEN CAST(mstats.m_n AS DOUBLE)
-                ELSE ({_KMV_K} - 1) / ({_kmv_frac("mstats.m_max")})
-           END) + 1e-9, 4) AS est_inter
-FROM mstats, rho, exact_u, exact_i
+  round(uest.u_raw + 1e-9, 4) AS est_union,
+  round(CAST(rho.both_n AS DOUBLE) / uest.m_n + 1e-9, 6) AS est_jaccard,
+  round((CAST(rho.both_n AS DOUBLE) / uest.m_n) * uest.u_raw + 1e-9, 4)
+      AS est_inter
+FROM uest, rho, exact_u, exact_i
 """
 
 

@@ -73,10 +73,15 @@ def test_kmv_setops_matches_python_reference(spark):
     m = sorted(ska | skb)[:_KMV_K]
     both = sum(1 for h in m if h in ska and h in skb)
     if len(m) < _KMV_K:
-        est_union = float(len(m))
+        u_raw = float(len(m))
     else:
-        est_union = round((_KMV_K - 1) / _frac(m[-1]) + 1e-9, 4)
+        u_raw = (_KMV_K - 1) / _frac(m[-1])
+    est_union = round(u_raw + 1e-9, 4)
     est_jac = round(both / len(m) + 1e-9, 6)
+    # est_inter derives from the UNROUNDED union estimate — the headline
+    # estimator (HLL can't intersect directly; KMV can), so it gets its
+    # own reference assertion (review finding, round 12)
+    est_inter = round((both / len(m)) * u_raw + 1e-9, 4)
 
     r = all_queries()["agg_kmv_sketch_setops"](spark, SF_DIR).collect()[0]
     assert r.n_click == len(sets["click"]) and r.n_view == len(sets["view"])
@@ -84,3 +89,4 @@ def test_kmv_setops_matches_python_reference(spark):
     assert r.exact_inter == len(sets["click"] & sets["view"])
     assert abs(r.est_union - est_union) < 1e-9
     assert abs(r.est_jaccard - est_jac) < 1e-9
+    assert abs(r.est_inter - est_inter) < 1e-9
