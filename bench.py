@@ -171,6 +171,7 @@ EXTRA_HEADLINERS = (
     "tpcds_q94_repeat_buyers_no_returns",
     "tpcds_q57_supplier_sales_deviation",
     "tpcds_q62_web_ship_lag_bands",
+    "io_hilbert_file_skipping",
 )
 
 # BENCH_TREND.md rule, machine-enforced: best-vs-previous-best drift beyond

@@ -201,3 +201,160 @@ def io_zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# ---- Hilbert curve (round-12 closing): the locality-optimal cousin ---------
+
+def hilbert_step_rows() -> list[tuple[int, int, int, int, int]]:
+    """The Hilbert recurrence as a 32-row finite automaton: state
+    (sw, ca, cb) encodes the accumulated reflect/swap transform — the
+    current coordinates are the original lanes, possibly swapped (sw)
+    and bit-complemented per lane (ca, cb) — so each step needs only
+    the ORIGINAL bit pair plus 3 bits of state. Derived mechanically
+    from the classic reflect-and-swap step; tests/test_zorder.py pins
+    table-driven == reference xy2d exhaustively."""
+    rows = []
+    for st in range(8):
+        sw, ca, cb = (st >> 2) & 1, (st >> 1) & 1, st & 1
+        for bitx in (0, 1):
+            for bity in (0, 1):
+                bx = (bity if sw else bitx) ^ ca
+                by = (bitx if sw else bity) ^ cb
+                digit = (3 * bx) ^ by
+                nsw, nca, ncb = sw, ca, cb
+                if by == 0:
+                    if bx == 1:
+                        nca ^= 1
+                        ncb ^= 1
+                    nsw ^= 1
+                    nca, ncb = ncb, nca
+                rows.append(
+                    (st, bitx, bity, digit, (nsw << 2) | (nca << 1) | ncb)
+                )
+    return rows
+
+
+def with_hilbert(df: DataFrame, xb: Column, yb: Column, out: str = "h",
+                 bits: int = _BITS) -> DataFrame:
+    """Hilbert xy→d index over a 2^bits × 2^bits grid — the clustering
+    curve behind Databricks liquid clustering / Iceberg's hilbert
+    ordering. Unlike Morton, CONSECUTIVE d values are always grid
+    neighbors (unit-step adjacency, pinned exhaustively in
+    tests/test_zorder.py), so a contiguous d-range file covers one
+    connected region with no Morton 'seam jumps' — per-file bounding
+    boxes never wider at the same file count.
+
+    Spark-first formulation: the per-bit reflect-and-swap recurrence is
+    FINITE-STATE, so the automaton runs RELATIONALLY — ``bits``
+    broadcast hash joins against its 32-row transition table, one per
+    bit high→low, folding ``d = d*4 + digit``. (The naive unrolling
+    into nested Column expressions is a trap: each level references
+    x/y/state several times, CollapseProject inlines every reference,
+    and analysis blows up exponentially — measured as a >10 min hang at
+    8 bits. The join form is linear in ``bits``, stays in codegen, and
+    the 32-row build side broadcasts for free.)"""
+    spark = df.sparkSession
+    steps = spark.createDataFrame(
+        hilbert_step_rows(), "st int, bx int, by int, digit int, nst int"
+    )
+    cur = (
+        df.withColumn("_hx", xb)
+        .withColumn("_hy", yb)
+        .withColumn("_hst", F.lit(0))
+        .withColumn(out, F.lit(0).cast("long"))
+    )
+    for i in range(bits - 1, -1, -1):
+        cur = (
+            cur.withColumn(
+                "_hbx", F.shiftright(F.col("_hx"), i).bitwiseAND(F.lit(1))
+            )
+            .withColumn(
+                "_hby", F.shiftright(F.col("_hy"), i).bitwiseAND(F.lit(1))
+            )
+            .join(
+                F.broadcast(steps),
+                (F.col("_hst") == F.col("st"))
+                & (F.col("_hbx") == F.col("bx"))
+                & (F.col("_hby") == F.col("by")),
+            )
+            .withColumn(out, F.col(out) * 4 + F.col("digit"))
+            .withColumn("_hst", F.col("nst"))
+            .drop("st", "bx", "by", "digit", "nst", "_hbx", "_hby")
+        )
+    return cur.drop("_hst", "_hx", "_hy")
+
+
+def partkey_band(pmin: int, pmax: int) -> tuple[int, int]:
+    """The audited band for the Hilbert query: the 5th of 8 equal-width
+    partkey slices (same derivation as suppkey_band, other axis)."""
+    w = (pmax - pmin + 1) // 8
+    lo = pmin + 4 * w
+    return lo, pmin + 5 * w
+
+
+_HILBERT_ORACLE = """
+WITH b AS (
+  SELECT CAST(min(l_partkey) AS BIGINT) AS pmin,
+         CAST(max(l_partkey) AS BIGINT) AS pmax
+  FROM lineitem
+),
+band AS (
+  SELECT pmin + 4 * CAST(floor((pmax - pmin + 1) / 8.0) AS BIGINT) AS lo,
+         pmin + 5 * CAST(floor((pmax - pmin + 1) / 8.0) AS BIGINT) AS hi
+  FROM b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) + 1e-9, 2)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem, band
+WHERE l_partkey >= band.lo AND l_partkey < band.hi
+"""
+
+
+@query("io_hilbert_file_skipping", oracle=_HILBERT_ORACLE)
+def io_hilbert_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem HILBERT-clustered on (partkey, suppkey) and audit
+    footer min/max skipping for a 1/8-width band on the FIRST axis —
+    the complement of io_zorder_file_skipping's second-axis band, so
+    the pair certifies the curve family prunes on EITHER column. Same
+    write/audit/readback contract: >=1/4 of files fully skippable or
+    the query raises; the returned band aggregate is oracled against
+    the raw table (content transparency). Scale: identical to the
+    Morton path — one range shuffle on the curve value at write time;
+    Hilbert's unit-step adjacency gives connected per-file regions, so
+    its per-file bounding boxes are never wider than Morton's at the
+    same file count."""
+    li = T(spark, sf_dir, "lineitem")
+    pmin, pmax, smin, smax = _key_bounds(li)
+    clustered = with_hilbert(
+        li,
+        bucketize(F.col("l_partkey"), pmin, pmax),
+        bucketize(F.col("l_suppkey"), smin, smax),
+    )
+    out = run_scratch("zorder", sf_dir, "lineitem_h")
+    write_clustered(clustered, out, "h")
+
+    lo, hi = partkey_band(pmin, pmax)
+    back = spark.read.parquet(committed(out))
+    n_files, skippable = file_skip_stats(
+        [f.removeprefix("file:") for f in back.inputFiles()],
+        "l_partkey", lo, hi,
+    )
+    if n_files < 8 or skippable * 4 < n_files:
+        raise AssertionError(
+            f"hilbert skipping audit failed: {skippable}/{n_files} files "
+            f"fully skippable for l_partkey in [{lo}, {hi})"
+        )
+    return (
+        back.where((F.col("l_partkey") >= lo) & (F.col("l_partkey") < hi))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            money_sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    + F.lit(1e-9),
+                    2,
+                )
+            ).alias("revenue"),
+        )
+    )
