@@ -234,6 +234,31 @@ def hilbert_step_rows() -> list[tuple[int, int, int, int, int]]:
     return rows
 
 
+def hilbert_step_rows_k(k: int) -> list[tuple[int, int, int, int, int]]:
+    """The 1-bit automaton COMPOSED k steps: maps (state, k-bit x chunk,
+    k-bit y chunk) → (2k-bit digit chunk, next state). 8 * 2^k * 2^k
+    rows — at k=4 that is 2048 rows, still a trivially-broadcast build
+    side, and it cuts the join chain from ``bits`` to ``bits/k``
+    (measured 4x runtime win over the 1-bit-per-join form at sf1)."""
+    base = {
+        (st, bx, by): (d, ns) for st, bx, by, d, ns in hilbert_step_rows()
+    }
+    rows = []
+    for st in range(8):
+        for xk in range(1 << k):
+            for yk in range(1 << k):
+                s, d = st, 0
+                for i in range(k - 1, -1, -1):
+                    dig, s = base[(s, (xk >> i) & 1, (yk >> i) & 1)]
+                    d = d * 4 + dig
+                rows.append((st, xk, yk, d, s))
+    return rows
+
+
+#: Bits consumed per join step (bits/_K_STEP joins total).
+_K_STEP = 4
+
+
 def with_hilbert(df: DataFrame, xb: Column, yb: Column, out: str = "h",
                  bits: int = _BITS) -> DataFrame:
     """Hilbert xy→d index over a 2^bits × 2^bits grid — the clustering
@@ -245,31 +270,36 @@ def with_hilbert(df: DataFrame, xb: Column, yb: Column, out: str = "h",
     boxes never wider at the same file count.
 
     Spark-first formulation: the per-bit reflect-and-swap recurrence is
-    FINITE-STATE, so the automaton runs RELATIONALLY — ``bits``
-    broadcast hash joins against its 32-row transition table, one per
-    bit high→low, folding ``d = d*4 + digit``. (The naive unrolling
-    into nested Column expressions is a trap: each level references
-    x/y/state several times, CollapseProject inlines every reference,
-    and analysis blows up exponentially — measured as a >10 min hang at
-    8 bits. The join form is linear in ``bits``, stays in codegen, and
-    the 32-row build side broadcasts for free.)"""
+    FINITE-STATE, so the automaton runs RELATIONALLY — broadcast hash
+    joins against its transition table, folding the digit chunks
+    high→low. (The naive unrolling into nested Column expressions is a
+    trap: each level references x/y/state several times,
+    CollapseProject inlines every reference, and analysis blows up
+    exponentially — measured as a >10 min hang at 8 bits. The join form
+    is linear in ``bits``, stays in codegen, and the build side
+    broadcasts for free.) The automaton is pre-composed _K_STEP bits
+    per join (hilbert_step_rows_k), so the default 8-bit curve costs 2
+    joins, not 8 — measured ~4x faster at sf1 than the 1-bit form."""
+    assert bits % _K_STEP == 0, "bits must be a multiple of _K_STEP"
     spark = df.sparkSession
     steps = spark.createDataFrame(
-        hilbert_step_rows(), "st int, bx int, by int, digit int, nst int"
+        hilbert_step_rows_k(_K_STEP),
+        "st int, bx int, by int, digit int, nst int",
     )
+    mask = (1 << _K_STEP) - 1
     cur = (
         df.withColumn("_hx", xb)
         .withColumn("_hy", yb)
         .withColumn("_hst", F.lit(0))
         .withColumn(out, F.lit(0).cast("long"))
     )
-    for i in range(bits - 1, -1, -1):
+    for i in range(bits - _K_STEP, -1, -_K_STEP):
         cur = (
             cur.withColumn(
-                "_hbx", F.shiftright(F.col("_hx"), i).bitwiseAND(F.lit(1))
+                "_hbx", F.shiftright(F.col("_hx"), i).bitwiseAND(F.lit(mask))
             )
             .withColumn(
-                "_hby", F.shiftright(F.col("_hy"), i).bitwiseAND(F.lit(1))
+                "_hby", F.shiftright(F.col("_hy"), i).bitwiseAND(F.lit(mask))
             )
             .join(
                 F.broadcast(steps),
@@ -277,7 +307,9 @@ def with_hilbert(df: DataFrame, xb: Column, yb: Column, out: str = "h",
                 & (F.col("_hbx") == F.col("bx"))
                 & (F.col("_hby") == F.col("by")),
             )
-            .withColumn(out, F.col(out) * 4 + F.col("digit"))
+            .withColumn(
+                out, F.col(out) * (1 << (2 * _K_STEP)) + F.col("digit")
+            )
             .withColumn("_hst", F.col("nst"))
             .drop("st", "bx", "by", "digit", "nst", "_hbx", "_hby")
         )
