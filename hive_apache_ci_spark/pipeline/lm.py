@@ -149,23 +149,32 @@ def quality_lm_perplexity(spark, sf_dir):
 def _doc_ppl(spark, sf_dir):
     """Shared per-doc (doc_id, n_tokens, ppl) dataflow — consumed by
     quality_lm_perplexity and the threshold-survival sweep."""
+    from pyspark.sql import Window
+
     from ..helpers import spread
 
     d = spread(T(spark, sf_dir, "documents"), "doc_id")
+    # r12 optimization (guide §2.4): docterm previously fed BOTH the vocab
+    # aggregate and the scoring join — the tokenize explode + (doc, t)
+    # shuffle executed twice, and the join re-shuffled docterm on t next
+    # to vocab's own t-exchange. One localCheckpoint (computed fresh per
+    # invocation) + a sum-over-(PARTITION BY t) window replaces the join:
+    # one tokenize pass and ONE t-exchange total. cnt is the identical
+    # integer sum, so every downstream double is unchanged.
     docterm = (
         _tokens(d)
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
-    vocab = docterm.groupBy("t").agg(F.sum("c").alias("cnt"))
-    stats = vocab.agg(
-        F.sum("cnt").cast("double").alias("total"),
-        F.count(F.lit(1)).cast("double").alias("v"),
+    stats = docterm.agg(
+        F.sum("c").cast("double").alias("total"),
+        F.countDistinct("t").cast("double").alias("v"),
     )
+    dtc = docterm.withColumn("cnt", F.sum("c").over(Window.partitionBy("t")))
     logp = F.log((F.col("cnt") + 1.0) / (F.col("total") + F.col("v")))
     return (
-        docterm.join(vocab, "t")
-        .crossJoin(F.broadcast(stats))
+        dtc.crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_tokens"),

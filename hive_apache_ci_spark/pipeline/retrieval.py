@@ -214,45 +214,60 @@ def search_bm25_topk(spark, sf_dir):
     round-6 shape leaned on InferWindowGroupLimit with nothing pinning
     it; plan-gated in tests/test_plans.py since round 7) — and the rank
     column is derived by a 20-row window AFTER the cut."""
+    # r12 optimization (guide §2.3 "aggregate before you shuffle" / §2.4):
+    # ONE pass over the token explode — per-doc dl and the three per-term
+    # tfs come from a single conditional-pivot aggregate (the old shape
+    # re-ran the explode for dl, tf and df and joined them back). The
+    # doc-grain aggregate is localCheckpointed so the corpus stats (1 row)
+    # and the scoring projection don't each re-run the explode. Bitwise
+    # equivalence with the unchanged oracle: tf/df/dl/n/avgdl are the same
+    # integers, the per-term score expression is operand-for-operand the
+    # old one (a tf=0 term contributes exactly +0.0, just like the old
+    # coalesce over the absent pivot row), terms sum in the same fixed
+    # textual order, and docs with no query term are filtered out exactly
+    # as they were absent from the old pivot.
     toks = _term_rows(spark, sf_dir)
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    tf_cols = [
+        F.count(F.when(F.col("term") == t, F.lit(1))).alias(f"tf_{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dl"), *tf_cols)
+        .localCheckpoint()
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
-    contrib = (
-        tf.join(F.broadcast(df_tab), "term")
-        .join(dl, "doc_id")
+
+    def _term_score(i: int):
+        df_c, tf_c = F.col(f"df_{i}"), F.col(f"tf_{i}")
+        return (
+            F.log(1.0 + (F.col("n") - df_c + 0.5) / (df_c + 0.5))
+            * tf_c
+            * (k1 + 1.0)
+            / (tf_c + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+
+    piv = (
+        per_doc.filter(
+            sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))) > 0
+        )
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
-            "term",
-            (
-                F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * F.col("tf")
-                * (k1 + 1.0)
-                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
-            ).alias("s"),
+            F.round(
+                sum(_term_score(i) for i in range(len(_BM25_TERMS)))
+                + F.lit(1e-9),
+                6,
+            ).alias("score"),
         )
-    )
-    piv = contrib.groupBy("doc_id").agg(
-        F.round(
-            sum(
-                F.coalesce(
-                    F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
-                )
-                for t in _BM25_TERMS
-            )
-            + F.lit(1e-9),
-            6,
-        ).alias("score")
     )
     topk = piv.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
     wo = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -455,11 +470,20 @@ def search_hybrid_rrf(spark, sf_dir):
     discipline) so both engines rank against the identical query vector."""
     from .similarity import dot_fold
 
-    bm = search_bm25_topk(spark, sf_dir).select(
-        F.col("rk").alias("bm_rk"), "doc_id"
+    # localCheckpoint the two tiny arm intermediates (r12 optimization,
+    # guide §3.3 "materialise an intermediate to truncate the plan"): `bm`
+    # (ARM_K rows) feeds both the PRF vector and the fusion join, and `qv`
+    # (1 row) feeds the cosine arm — each reference otherwise instantiates
+    # the whole 14-exchange BM25 dataflow again (measured before-plan:
+    # 32 Exchanges / 20 scans). Intra-query materialization of <=20 rows,
+    # recomputed from parquet on every invocation.
+    bm = (
+        search_bm25_topk(spark, sf_dir)
+        .select(F.col("rk").alias("bm_rk"), "doc_id")
+        .localCheckpoint()
     )
     e = T(spark, sf_dir, "embeddings")
-    qv = _prf_query_vector(bm, e)
+    qv = _prf_query_vector(bm, e).localCheckpoint()
     cos = dot_fold(F.col("embedding"), F.col("qvec")) / (
         F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
         * F.sqrt(dot_fold(F.col("qvec"), F.col("qvec")))
@@ -636,11 +660,18 @@ def search_hybrid_rrf_indexed(spark, sf_dir):
         dot_fold,
     )
 
-    bm = search_bm25_topk(spark, sf_dir).select(
-        F.col("rk").alias("bm_rk"), "doc_id"
+    # Same tiny-intermediate materialization as search_hybrid_rrf (r12):
+    # `bm` is referenced by the PRF vector + fusion, `qv` by the probe
+    # selection, the per-subspace LUT slicing, AND the brute-force recall
+    # comparator — the before-plan instantiated the BM25 subtree so many
+    # times the plan hit 108 Exchanges / 76 scans.
+    bm = (
+        search_bm25_topk(spark, sf_dir)
+        .select(F.col("rk").alias("bm_rk"), "doc_id")
+        .localCheckpoint()
     )
     e = T(spark, sf_dir, "embeddings")
-    qv = _prf_query_vector(bm, e)
+    qv = _prf_query_vector(bm, e).localCheckpoint()
     idx = _ensure_pq_index(spark, sf_dir)
     coarse = spark.read.parquet(os.path.join(idx, "coarse"))
     routing = spark.read.parquet(os.path.join(idx, "routing"))

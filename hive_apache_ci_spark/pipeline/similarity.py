@@ -1863,6 +1863,11 @@ def _ivf_pq_index_frames(spark, sf_dir):
             ).alias("cvec")
         )
         .select(F.col("label").alias("c_label"), "cvec")
+        # r12 optimization: coarse (|labels| rows) feeds BOTH its own
+        # parquet write and routing's broadcast join — without the
+        # checkpoint the full embeddings posexplode + two-shuffle centroid
+        # aggregation executes once per consumer (guide §2.4).
+        .localCheckpoint()
     )
     d2 = F.aggregate(
         F.zip_with(
@@ -1926,10 +1931,29 @@ def _ensure_pq_index(spark, sf_dir: str, rebuild: bool = False) -> str:
     vname = "v_" + uuid.uuid4().hex
     vdir = os.path.join(root, vname)
     coarse, routing, codebook, codes = _ivf_pq_index_frames(spark, sf_dir)
-    coarse.write.mode("overwrite").parquet(os.path.join(vdir, "coarse"))
-    routing.write.mode("overwrite").parquet(os.path.join(vdir, "routing"))
-    codebook.write.mode("overwrite").parquet(os.path.join(vdir, "codebook"))
-    codes.write.mode("overwrite").parquet(os.path.join(vdir, "codes"))
+    # r12 optimization (guide §2.6 "overlap independent jobs"): the four
+    # index writes share no lineage that still executes (cent/assign are
+    # localCheckpointed by _pq_train, coarse above), so submit them from a
+    # small thread pool — the tail tasks of one write back-fill cores the
+    # next would leave idle. FIFO scheduling keeps this deterministic;
+    # _SUCCESS is only written after every future resolves.
+    from concurrent.futures import ThreadPoolExecutor
+
+    frames = (
+        ("coarse", coarse),
+        ("routing", routing),
+        ("codebook", codebook),
+        ("codes", codes),
+    )
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(
+            pool.map(
+                lambda nf: nf[1]
+                .write.mode("overwrite")
+                .parquet(os.path.join(vdir, nf[0])),
+                frames,
+            )
+        )
     open(os.path.join(vdir, "_SUCCESS"), "w").close()
     prev = _resolve_pq_index(root)  # re-resolve: racing builders may have flipped
     ptr = os.path.join(root, "LATEST")
