@@ -87,12 +87,31 @@ def merge_into_upsert(spark, sf_dir):
             .alias("s_op"),
         )
     )
-    new_rows = (
-        src.filter((F.col("s_custkey") % 10 == 0) & (F.col("s_op") == "U"))
-        .withColumn("s_custkey", F.col("s_custkey") + 10000000)
-        .withColumn("s_op", F.lit("I"))
+    # r12 optimization (guide §2.4): the old `src UNION ALL new_rows` form
+    # instantiated the orders scan + aggregate twice (Catalyst does not
+    # dedupe the subtrees). Identical rows in ONE pass: each src row
+    # explodes into itself plus — iff it qualifies as a synthetic insert —
+    # its custkey-shifted 'I' copy. Same multiset, no re-scan, no
+    # materialization (scale-safe at any corpus size).
+    row = F.struct(
+        F.col("s_custkey"), F.col("s_newbal"), F.col("s_op")
     )
-    source = src.unionByName(new_rows)
+    shifted = F.struct(
+        (F.col("s_custkey") + 10000000).alias("s_custkey"),
+        F.col("s_newbal"),
+        F.lit("I").alias("s_op"),
+    )
+    source = (
+        src.select(
+            F.explode(
+                F.when(
+                    (F.col("s_custkey") % 10 == 0) & (F.col("s_op") == "U"),
+                    F.array(row, shifted),
+                ).otherwise(F.array(row))
+            ).alias("r")
+        )
+        .select("r.s_custkey", "r.s_newbal", "r.s_op")
+    )
     j = t.join(source, t["c_custkey"] == source["s_custkey"], "full_outer")
     return (
         # 'D' rows vanish whether matched (DELETE) or not (no insert);

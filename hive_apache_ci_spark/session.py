@@ -48,6 +48,22 @@ RUNTIME_CONFS: dict[str, str] = {
     # Runtime-settable so externally-created (driver) sessions get the tuned
     # parallelism too; AQE coalesces down, so this is an upper bound.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Join strategy (r12 optimization, guide §3.1): allow shuffled-hash
+    # join wherever the planner's size conditions hold instead of always
+    # sorting both sides (A/B at sf0.1: 0.27-0.86x, median ~0.5x, on the
+    # 12 join-heavy TPC-DS shapes; results hash-identical — strategy never
+    # changes content). Production posture: SHJ spills gracefully since
+    # Spark 3.2, AQE's local-map threshold below bounds the runtime
+    # SMJ->SHJ rewrite to builds that provably fit one map's output, and
+    # bucketed/SMB paths pin SMJ via hint('merge') regardless. Both knobs
+    # env-tunable; set SPARK_GRAFT_PREFER_SMJ=true to restore the old
+    # planner bias on memory-constrained clusters.
+    "spark.sql.join.preferSortMergeJoin": os.environ.get(
+        "SPARK_GRAFT_PREFER_SMJ", "false"
+    ),
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
+        "SPARK_GRAFT_SHJ_LOCALMAP", str(64 * 1024 * 1024)
+    ),
     # Scan-split sizing: the testdata files are single-digit-MB parquet, so
     # the 128 MB default yields 1-3 splits and leaves 32 cores idle on every
     # scan-heavy stage (measured: q1 0.53s→0.41s, minhash 1.6s→1.3s at
