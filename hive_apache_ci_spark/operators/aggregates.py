@@ -2160,11 +2160,38 @@ def agg_kmv_mergeable_sketch(spark, sf_dir):
     rows — Spark plans TakeOrderedAndProject, no single-partition
     window; each group keeps <= k rows after the rn filter. Exact
     NDVs ride along per group so the sweep pins both the sketch and its
-    ground truth."""
+    ground truth.
+
+    r12 optimization: the hashed/sk CTEs are multiply referenced and
+    Spark re-instantiates each reference, re-scanning events; the engine
+    computes the distinct (grp, h) relation once per invocation
+    (localCheckpoint, view `kmv_hashed`) and runs the same algebra over
+    it. The one raw-events readout (exact global count(DISTINCT
+    user_id)) still scans events — it is not derivable from the hashed
+    relation without assuming md5 collision-freedom."""
     from ..catalog import load_tables
+    from ..helpers import T
 
     load_tables(spark, sf_dir, register=True)
-    return spark.sql(_KMV_SQL)
+    hashed = (
+        T(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("grp"),
+            F.md5(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    hashed.createOrReplaceTempView("kmv_hashed")
+    engine_sql = _KMV_SQL.replace(
+        """hashed AS (
+  SELECT DISTINCT event_type AS grp, md5(CAST(user_id AS STRING)) AS h
+  FROM events
+),""",
+        """hashed AS (SELECT grp, h FROM kmv_hashed),""",
+    )
+    assert "kmv_hashed" in engine_sql  # replace() must have hit
+    return spark.sql(engine_sql)
 
 
 _KMV_SETOPS_SQL = f"""
@@ -2245,8 +2272,42 @@ def agg_kmv_sketch_setops(spark, sf_dir):
     as agg_kmv_mergeable_sketch (exact dyadic hash positions). At
     sf0.001 both sets are smaller than k, pinning the exact degenerate
     branch; at sf0.01+ the estimator branch is live — the sweep covers
-    both paths."""
+    both paths.
+
+    r12 optimization (guide §2.4): Spark re-instantiates un-materialized
+    CTEs per reference, so the self-contained text scanned events 24
+    times (ha/hb/ska/skb/m each consumed 2-3x). The engine computes the
+    distinct (grp, h) relation ONCE per invocation (localCheckpoint —
+    recomputed from parquet every run), registers it as `kmv_evh`, and
+    evaluates the same set-op algebra against it; the oracle keeps the
+    self-contained text and every value matches bit-for-bit (identical
+    hash sets in, identical dyadic-fraction arithmetic out)."""
     from ..catalog import load_tables
+    from ..helpers import T
 
     load_tables(spark, sf_dir, register=True)
-    return spark.sql(_KMV_SETOPS_SQL)
+    evh = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("event_type").alias("grp"),
+            F.md5(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    evh.createOrReplaceTempView("kmv_evh")
+    engine_sql = _KMV_SETOPS_SQL.replace(
+        """ha AS (
+  SELECT DISTINCT md5(CAST(user_id AS STRING)) AS h
+  FROM events WHERE event_type = 'click'
+),
+hb AS (
+  SELECT DISTINCT md5(CAST(user_id AS STRING)) AS h
+  FROM events WHERE event_type = 'view'
+),""",
+        """ha AS (SELECT h FROM kmv_evh WHERE grp = 'click'),
+hb AS (SELECT h FROM kmv_evh WHERE grp = 'view'),""",
+    )
+    assert "kmv_evh" in engine_sql  # replace() must have hit
+    return spark.sql(engine_sql)

@@ -889,6 +889,49 @@ WHERE return_rank <= 10 OR currency_rank <= 10
 """
 
 
+# Round-12 optimization (guide §2.4 window/shuffle fusion): the original
+# text ranks each channel INSIDE its union branch — six no-partition
+# windows, each a single-partition exchange + sort stage (the 50-row sorts
+# are free; the six stage waves are not). Ranking within a channel over
+# the union, PARTITION BY channel, is value-identical (same rows, same
+# ordering keys, same rank function per channel group) and needs ONE
+# channel exchange feeding two sorts. Oracle keeps the ranked-branch text.
+_Q49_ENGINE_SQL = _Q49_SQL.replace(
+    """ranked AS (
+  SELECT 'store' AS channel, item, return_ratio, currency_ratio,
+         rank() OVER (ORDER BY return_ratio, item)   AS return_rank,
+         rank() OVER (ORDER BY currency_ratio, item) AS currency_rank
+  FROM store_r
+  UNION ALL
+  SELECT 'catalog', item, return_ratio, currency_ratio,
+         rank() OVER (ORDER BY return_ratio, item),
+         rank() OVER (ORDER BY currency_ratio, item)
+  FROM catalog_r
+  UNION ALL
+  SELECT 'web', item, return_ratio, currency_ratio,
+         rank() OVER (ORDER BY return_ratio, item),
+         rank() OVER (ORDER BY currency_ratio, item)
+  FROM web_r
+)""",
+    """unioned AS (
+  SELECT 'store' AS channel, item, return_ratio, currency_ratio FROM store_r
+  UNION ALL
+  SELECT 'catalog', item, return_ratio, currency_ratio FROM catalog_r
+  UNION ALL
+  SELECT 'web', item, return_ratio, currency_ratio FROM web_r
+),
+ranked AS (
+  SELECT channel, item, return_ratio, currency_ratio,
+         rank() OVER (PARTITION BY channel
+                      ORDER BY return_ratio, item)   AS return_rank,
+         rank() OVER (PARTITION BY channel
+                      ORDER BY currency_ratio, item) AS currency_rank
+  FROM unioned
+)""",
+)
+assert "PARTITION BY channel" in _Q49_ENGINE_SQL  # replace() must have hit
+
+
 @query("tpcds_q49_worst_return_ratios", oracle=_Q49_SQL)
 def tpcds_q49_worst_return_ratios(spark, sf_dir):
     """TPC-DS q49 plan signature (round 9): per-channel return-ratio and
@@ -898,9 +941,11 @@ def tpcds_q49_worst_return_ratios(spark, sf_dir):
     subqueries shape (rank computed BELOW the union and the filter above
     it, so Catalyst cannot push the filter into the window). Ratios are
     6dp-rounded BEFORE ranking on both engines; each rank carries the
-    item tie-break. Each channel's windows are tiny (50 buckets) — the
-    heavy work is the three channel aggregates, each one scan."""
-    return _sql(spark, sf_dir, _Q49_SQL)
+    item tie-break. The oracle keeps the branch-local windows; the engine
+    ranks the union PARTITION BY channel (_Q49_ENGINE_SQL) — identical
+    per-channel ranks, six single-partition window stages fused into one
+    exchange + two sorts."""
+    return _sql(spark, sf_dir, _Q49_ENGINE_SQL)
 
 
 # --- q17: three-fact composite-key chain + stddev family (round 9) ---------
@@ -1126,6 +1171,13 @@ GROUP BY o.o_custkey
 ORDER BY net_paid, c_custkey
 LIMIT 100
 """
+
+
+# Round-12 optimization attempt, REVERTED: folding the returns LEFT JOIN
+# into a per-row CASE assumed (l_orderkey, l_linenumber) is unique in
+# lineitem — the differential oracle showed it is NOT in this synthetic
+# corpus (the join legitimately fans out; oracle rows went negative where
+# a line matched several 'R' rows). The join form stays.
 
 
 @query("tpcds_q93_net_after_returns", oracle=_Q93_SQL)

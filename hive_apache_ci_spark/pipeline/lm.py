@@ -787,8 +787,14 @@ def quality_kn_bigram_perplexity(spark, sf_dir):
         .select("doc_id", F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2"))
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
-    bc = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("double").alias("cb")
+    # r12 optimization: bc is consumed by ctx, cont, tt AND the scoring
+    # join — four references, each re-running the bigram explode + (w1,w2)
+    # shuffle. One localCheckpoint (bigram-type grain, vocab-bounded;
+    # recomputed from parquet per invocation) cuts those to one pass.
+    bc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("cb"))
+        .localCheckpoint()
     )
     ctx = bc.groupBy("w1").agg(
         F.sum("cb").alias("ct"), F.count(F.lit(1)).cast("double").alias("nf")
