@@ -126,6 +126,10 @@ _RULES: tuple[tuple[re.Pattern[str], str], ...] = (
     (re.compile(r"@[0-9a-f]{6,}"), "@ADDR"),
     # run-scratch ids that leak into view names if a query registers temps
     (re.compile(r"run-[0-9a-f]{12}"), "run-ID"),
+    # localCheckpoint scans embed a session-global RDD counter
+    # (MapPartitionsRDD[26] in a fresh session, [8] mid-suite) — r12, the
+    # checkpointed-arm plans (search_bm25_topk) made this reachable
+    (re.compile(r"RDD\[\d+\]"), "RDD[NL]"),
 )
 
 
