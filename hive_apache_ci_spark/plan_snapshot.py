@@ -130,6 +130,10 @@ _RULES: tuple[tuple[re.Pattern[str], str], ...] = (
     # (MapPartitionsRDD[26] in a fresh session, [8] mid-suite) — r12, the
     # checkpointed-arm plans (search_bm25_topk) made this reachable
     (re.compile(r"RDD\[\d+\]"), "RDD[NL]"),
+    # ... and an environment-dependent Java callsite (renders as
+    # `NativeMethodAccessorImpl.java:0` under some JVMs, `<unknown>:0`
+    # under others) — r13, normalize the whole callsite token
+    (re.compile(r"localCheckpoint at [^,]+"), "localCheckpoint at <SITE>"),
 )
 
 

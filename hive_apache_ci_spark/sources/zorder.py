@@ -126,9 +126,39 @@ def write_clustered(df: DataFrame, out: str, order_col: str,
 
 
 def _key_bounds(li: DataFrame) -> tuple[int, int, int, int]:
-    """(pmin, pmax, smin, smax) — one O(1)-row driver fetch off a full
-    agg (the acid.py duplicate-guard precedent: a 1-row collect is not a
-    driver-side loop)."""
+    """(pmin, pmax, smin, smax) off the parquet FOOTER min/max — a
+    driver-side metadata read of the same row-group statistics the
+    skipping audit trusts, replacing a full-table agg scan (r13, guide
+    §6: the layout already paid for these stats; INT64 min/max are exact
+    and null-skipping, matching F.min/F.max on the no-NULL keys). Falls
+    back to the one-row Spark agg (the acid.py duplicate-guard
+    precedent) if any row group lacks stats."""
+    paths = [f.removeprefix("file:") for f in li.inputFiles()]
+    lo: list[int | None] = [None, None]
+    hi: list[int | None] = [None, None]
+    ok = bool(paths)
+    for path in paths:
+        if not ok:
+            break
+        md = pq.ParquetFile(path).metadata
+        names = md.schema.names
+        if "l_partkey" not in names or "l_suppkey" not in names:
+            ok = False
+            break
+        idxs = (names.index("l_partkey"), names.index("l_suppkey"))
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for j, ci in enumerate(idxs):
+                st = row.column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo[j] = st.min if lo[j] is None else min(lo[j], st.min)
+                hi[j] = st.max if hi[j] is None else max(hi[j], st.max)
+            if not ok:
+                break
+    if ok and lo[0] is not None and lo[1] is not None:
+        return int(lo[0]), int(hi[0]), int(lo[1]), int(hi[1])
     r = li.agg(
         F.min("l_partkey"), F.max("l_partkey"),
         F.min("l_suppkey"), F.max("l_suppkey"),
@@ -255,8 +285,43 @@ def hilbert_step_rows_k(k: int) -> list[tuple[int, int, int, int, int]]:
     return rows
 
 
-#: Bits consumed per join step (bits/_K_STEP joins total).
+#: Bits consumed per join step (bits/_K_STEP joins total) — kept for the
+#: hilbert_step_rows_k composition test; the query path no longer joins.
 _K_STEP = 4
+
+#: Per-process memo of the PURE CONSTANT byte LUT (a function of `bits`
+#: alone — no data, no session state; same class of constant as the
+#: automaton tables above, just pre-evaluated).
+_BYTE_LUT: dict[int, bytes] = {}
+
+
+def hilbert_lut_bytes(bits: int = _BITS) -> bytes:
+    """The full xy→d Hilbert map over the 2^bits × 2^bits grid, encoded
+    as one fixed-width big-endian byte string: entry (x, y) lives at
+    byte offset (x * 2^bits + y) * W, W = ceil(2*bits/8). 8 bits →
+    65536 entries × 2 bytes = a 128 KiB BINARY literal — one scalar
+    constant in the plan (ships once per stage in the task binary),
+    versus the r12 form's two broadcast-hash-join probes per row.
+    BINARY, not a hex STRING, deliberately: Substring over BinaryType is
+    an O(len) arraycopy, while UTF8String.substring walks every char up
+    to the start offset — O(position) per row, measured as a hang."""
+    if bits in _BYTE_LUT:
+        return _BYTE_LUT[bits]
+    base = {
+        (st, bx, by): (d, ns) for st, bx, by, d, ns in hilbert_step_rows()
+    }
+    n = 1 << bits
+    width = (2 * bits + 7) // 8
+    parts = []
+    for x in range(n):
+        for y in range(n):
+            s, d = 0, 0
+            for i in range(bits - 1, -1, -1):
+                dig, s = base[(s, (x >> i) & 1, (y >> i) & 1)]
+                d = d * 4 + dig
+            parts.append(d.to_bytes(width, "big"))
+    _BYTE_LUT[bits] = b"".join(parts)
+    return _BYTE_LUT[bits]
 
 
 def with_hilbert(df: DataFrame, xb: Column, yb: Column, out: str = "h",
@@ -269,51 +334,32 @@ def with_hilbert(df: DataFrame, xb: Column, yb: Column, out: str = "h",
     connected region with no Morton 'seam jumps' — per-file bounding
     boxes never wider at the same file count.
 
-    Spark-first formulation: the per-bit reflect-and-swap recurrence is
-    FINITE-STATE, so the automaton runs RELATIONALLY — broadcast hash
-    joins against its transition table, folding the digit chunks
-    high→low. (The naive unrolling into nested Column expressions is a
-    trap: each level references x/y/state several times,
-    CollapseProject inlines every reference, and analysis blows up
-    exponentially — measured as a >10 min hang at 8 bits. The join form
-    is linear in ``bits``, stays in codegen, and the build side
-    broadcasts for free.) The automaton is pre-composed _K_STEP bits
-    per join (hilbert_step_rows_k), so the default 8-bit curve costs 2
-    joins, not 8 — measured ~4x faster at sf1 than the 1-bit form."""
-    assert bits % _K_STEP == 0, "bits must be a multiple of _K_STEP"
-    spark = df.sparkSession
-    steps = spark.createDataFrame(
-        hilbert_step_rows_k(_K_STEP),
-        "st int, bx int, by int, digit int, nst int",
+    Spark-first formulation (r13, guide §3/§2.4 — r12 VERDICT task 3):
+    the whole curve is a PURE PROJECTION — a fixed-width BINARY LUT
+    literal indexed by (x, y), decoded with substr + hex + conv, all
+    whole-stage codegen, ZERO joins. History of the shape: the naive
+    nested-CASE unrolling blows up analysis exponentially (each level
+    re-references x/y/state and CollapseProject inlines every copy —
+    measured >10 min hang at 8 bits); r12 ran the automaton relationally
+    as 2 broadcast-hash joins (linear, but the sampling pass and the
+    shuffle pass each paid 2 join probes per row plus 2 build-side
+    broadcasts per invocation); r13 folds the 2^(2*bits)-entry composed
+    automaton into one 2^(2*bits)·W-byte binary literal — a single
+    scalar constant the optimizer never duplicates, costing one O(W)
+    byte-slice + hex + conv per row. (Two near-misses documented: an
+    array<int> literal needs one py4j `lit` call per element in PySpark;
+    a hex STRING literal makes Substring walk O(offset) UTF-8 chars per
+    row — measured as a hang. Binary substr is an arraycopy.)
+    Exhaustive equivalence with the reference xy2d is pinned in
+    tests/test_zorder.py."""
+    n = 1 << bits
+    width = (2 * bits + 7) // 8
+    lut = hilbert_lut_bytes(bits)
+    idx = (xb.cast("long") * n + yb.cast("long")) * width + 1
+    return df.withColumn(
+        out,
+        F.conv(F.hex(F.lit(lut).substr(idx, F.lit(width))), 16, 10).cast("long"),
     )
-    mask = (1 << _K_STEP) - 1
-    cur = (
-        df.withColumn("_hx", xb)
-        .withColumn("_hy", yb)
-        .withColumn("_hst", F.lit(0))
-        .withColumn(out, F.lit(0).cast("long"))
-    )
-    for i in range(bits - _K_STEP, -1, -_K_STEP):
-        cur = (
-            cur.withColumn(
-                "_hbx", F.shiftright(F.col("_hx"), i).bitwiseAND(F.lit(mask))
-            )
-            .withColumn(
-                "_hby", F.shiftright(F.col("_hy"), i).bitwiseAND(F.lit(mask))
-            )
-            .join(
-                F.broadcast(steps),
-                (F.col("_hst") == F.col("st"))
-                & (F.col("_hbx") == F.col("bx"))
-                & (F.col("_hby") == F.col("by")),
-            )
-            .withColumn(
-                out, F.col(out) * (1 << (2 * _K_STEP)) + F.col("digit")
-            )
-            .withColumn("_hst", F.col("nst"))
-            .drop("st", "bx", "by", "digit", "nst", "_hbx", "_hby")
-        )
-    return cur.drop("_hst", "_hx", "_hy")
 
 
 def partkey_band(pmin: int, pmax: int) -> tuple[int, int]:
