@@ -2164,11 +2164,19 @@ def agg_kmv_mergeable_sketch(spark, sf_dir):
 
     r12 optimization: the hashed/sk CTEs are multiply referenced and
     Spark re-instantiates each reference, re-scanning events; the engine
-    computes the distinct (grp, h) relation once per invocation
-    (localCheckpoint, view `kmv_hashed`) and runs the same algebra over
-    it. The one raw-events readout (exact global count(DISTINCT
-    user_id)) still scans events — it is not derivable from the hashed
-    relation without assuming md5 collision-freedom."""
+    materializes once per invocation and runs the same algebra over the
+    materialized relation. r13 moves the cut ONE STAGE LATER (r12
+    VERDICT task 6's sibling fix): checkpointing `hashed` still re-ran
+    the rank window once per sk reference (per_group AND merged), so the
+    engine now checkpoints `sk` itself — the ≤|groups|·k-row post-window
+    sketch — and `hashed` collapses to a single-reference pipeline
+    (scan → distinct → window → checkpoint, one barrier instead of two,
+    one window pass instead of three). The one raw-events readout (exact
+    global count(DISTINCT user_id)) still scans events — it is not
+    derivable from the hashed relation without assuming md5
+    collision-freedom."""
+    from pyspark.sql import Window
+
     from ..catalog import load_tables
     from ..helpers import T
 
@@ -2180,17 +2188,34 @@ def agg_kmv_mergeable_sketch(spark, sf_dir):
             F.md5(F.col("user_id").cast("string")).alias("h"),
         )
         .distinct()
+    )
+    w_grp = Window.partitionBy("grp")
+    sk = (
+        hashed.withColumn(
+            "rn", F.row_number().over(w_grp.orderBy("h")).cast("int")
+        )
+        .withColumn("n_grp", F.count(F.lit(1)).over(w_grp).cast("bigint"))
+        .filter(F.col("rn") <= _KMV_K)
         .localCheckpoint()
     )
-    hashed.createOrReplaceTempView("kmv_hashed")
+    sk.createOrReplaceTempView("kmv_sk")
     engine_sql = _KMV_SQL.replace(
-        """hashed AS (
+        f"""hashed AS (
   SELECT DISTINCT event_type AS grp, md5(CAST(user_id AS STRING)) AS h
   FROM events
+),
+ranked AS (
+  SELECT grp, h,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY h) AS INT) AS rn,
+         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n_grp
+  FROM hashed
+),
+sk AS (
+  SELECT grp, h, rn, n_grp FROM ranked WHERE rn <= {_KMV_K}
 ),""",
-        """hashed AS (SELECT grp, h FROM kmv_hashed),""",
+        """sk AS (SELECT grp, h, rn, n_grp FROM kmv_sk),""",
     )
-    assert "kmv_hashed" in engine_sql  # replace() must have hit
+    assert "kmv_sk" in engine_sql  # replace() must have hit
     return spark.sql(engine_sql)
 
 
@@ -2276,38 +2301,85 @@ def agg_kmv_sketch_setops(spark, sf_dir):
 
     r12 optimization (guide §2.4): Spark re-instantiates un-materialized
     CTEs per reference, so the self-contained text scanned events 24
-    times (ha/hb/ska/skb/m each consumed 2-3x). The engine computes the
-    distinct (grp, h) relation ONCE per invocation (localCheckpoint —
-    recomputed from parquet every run), registers it as `kmv_evh`, and
-    evaluates the same set-op algebra against it; the oracle keeps the
-    self-contained text and every value matches bit-for-bit (identical
-    hash sets in, identical dyadic-fraction arithmetic out)."""
+    times (ha/hb/ska/skb/m each consumed 2-3x); r12 checkpointed the
+    distinct (grp, h) relation, which left 24 RDD re-scans of it plus a
+    stop-the-world materialization barrier — the one sentinel-normalized
+    bench regression of the round (r12 VERDICT task 6).
+
+    r13 restructure: ONE groupBy(h) pass over events builds the per-hash
+    membership table (h, in_click, in_view) — checkpointed once — from
+    which EVERYTHING derives: the four exact stats are one aggregate
+    over it (n_click = Σ in_click, exact_union = count, exact_inter =
+    Σ both — the same hash-set counts the oracle's UNION/INTERSECT
+    compute), and each sketch is a 32-row TakeOrdered over a filter,
+    checkpointed so the ≤32-row set-op algebra (m/mstats/uest/rho —
+    textually unchanged from the oracle) never re-instantiates anything
+    bigger. Values are bit-identical: same hash sets in, same integer
+    counts, same dyadic-fraction arithmetic out. All materializations
+    recompute from parquet per invocation."""
     from ..catalog import load_tables
     from ..helpers import T
 
     load_tables(spark, sf_dir, register=True)
-    evh = (
+    ghx = (
         T(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "view"))
-        .select(
-            F.col("event_type").alias("grp"),
-            F.md5(F.col("user_id").cast("string")).alias("h"),
+        .groupBy(F.md5(F.col("user_id").cast("string")).alias("h"))
+        .agg(
+            F.max(F.col("event_type") == "click").alias("a"),
+            F.max(F.col("event_type") == "view").alias("b"),
         )
-        .distinct()
         .localCheckpoint()
     )
-    evh.createOrReplaceTempView("kmv_evh")
+    stats = ghx.agg(
+        F.sum(F.col("a").cast("int")).cast("bigint").alias("n_click"),
+        F.sum(F.col("b").cast("int")).cast("bigint").alias("n_view"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+        F.sum((F.col("a") & F.col("b")).cast("int"))
+        .cast("bigint")
+        .alias("exact_inter"),
+    )
+    stats.createOrReplaceTempView("kmv_stats")
+    ska = (
+        ghx.filter("a").select("h").orderBy("h").limit(_KMV_K).localCheckpoint()
+    )
+    skb = (
+        ghx.filter("b").select("h").orderBy("h").limit(_KMV_K).localCheckpoint()
+    )
+    ska.createOrReplaceTempView("kmv_ska")
+    skb.createOrReplaceTempView("kmv_skb")
     engine_sql = _KMV_SETOPS_SQL.replace(
-        """ha AS (
+        f"""ha AS (
   SELECT DISTINCT md5(CAST(user_id AS STRING)) AS h
   FROM events WHERE event_type = 'click'
 ),
 hb AS (
   SELECT DISTINCT md5(CAST(user_id AS STRING)) AS h
   FROM events WHERE event_type = 'view'
-),""",
-        """ha AS (SELECT h FROM kmv_evh WHERE grp = 'click'),
-hb AS (SELECT h FROM kmv_evh WHERE grp = 'view'),""",
+),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),""",
+        """ska AS (SELECT h FROM kmv_ska),
+skb AS (SELECT h FROM kmv_skb),""",
+    ).replace(
+        """exact_u AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union
+  FROM (SELECT h FROM ha UNION SELECT h FROM hb) x
+),
+exact_i AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_inter
+  FROM (SELECT h FROM ha INTERSECT SELECT h FROM hb) y
+)""",
+        """exact_u AS (SELECT exact_union FROM kmv_stats),
+exact_i AS (SELECT exact_inter FROM kmv_stats)""",
+    ).replace(
+        "(SELECT CAST(count(*) AS BIGINT) FROM ha) AS n_click",
+        "(SELECT n_click FROM kmv_stats) AS n_click",
+    ).replace(
+        "(SELECT CAST(count(*) AS BIGINT) FROM hb) AS n_view",
+        "(SELECT n_view FROM kmv_stats) AS n_view",
     )
-    assert "kmv_evh" in engine_sql  # replace() must have hit
+    for marker in ("kmv_ska", "kmv_skb", "kmv_stats"):
+        assert marker in engine_sql, marker  # replace() must have hit
+    assert " ha " not in engine_sql and " hb " not in engine_sql
     return spark.sql(engine_sql)

@@ -722,12 +722,19 @@ def search_hybrid_rrf_indexed(spark, sf_dir):
         .agg(F.round(F.sum("pd2") + F.lit(1e-12), 8).alias("adc_d2"))
     )
     wsem = Window.orderBy("adc_d2", "doc_id")
+    # r13 (r12 VERDICT task 4): `sem` is referenced by BOTH the fusion
+    # join and the recall audit — un-materialized, each reference
+    # re-instantiated the whole probe→cands→codes→ADC arm (the r12 after-
+    # plan still carried 38 Exchanges / 18 parquet scans, two copies of
+    # the arm). localCheckpoint the ≤ARM_K-row rank list once (recomputed
+    # from parquet every invocation, same discipline as `bm`/`qv`).
     sem = (
         adc.select(F.col("vec_id").alias("doc_id"), "adc_d2")
         .orderBy("adc_d2", "doc_id")
         .limit(_RRF_ARM_K)
         .withColumn("vec_rk", F.row_number().over(wsem))
         .select("doc_id", "vec_rk")
+        .localCheckpoint()
     )
     cos = dot_fold(F.col("embedding"), F.col("qvec")) / (
         F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
