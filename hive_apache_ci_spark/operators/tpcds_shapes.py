@@ -280,13 +280,42 @@ GROUP BY p.p_brand
 """
 
 
+# _Q14_ENGINE_SQL equivalence: the oracle's 3-way INTERSECT of DISTINCT
+# l_partkey sets (per returnflag) is exactly the set of partkeys that have
+# at least one row of EACH flag — one GROUP BY l_partkey with three
+# presence maxes computes the same membership (pure set algebra, no
+# uniqueness assumption; a NULL partkey behaves identically in both forms
+# because the IN filter rejects NULL either way). 4 lineitem scans +
+# 3 distinct exchanges + 2 semi-join exchanges collapse to 2 scans +
+# 1 grouped exchange (guide §2.4).
+_Q14_ENGINE_SQL = """
+WITH cross_items AS (
+  SELECT l_partkey AS item
+  FROM lineitem
+  GROUP BY l_partkey
+  HAVING max(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) = 1
+     AND max(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) = 1
+     AND max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 1
+)
+SELECT /*+ BROADCAST(p) */ p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_sales,
+       CAST(round(sum(CAST(round(l.l_extendedprice + 1e-9, 2) AS DECIMAL(18,2))), 2) AS DOUBLE) AS sales
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_partkey IN (SELECT item FROM cross_items)
+GROUP BY p.p_brand
+"""
+
+
 @query("tpcds_q14_cross_channel_items", oracle=_Q14_SQL)
 def tpcds_q14_cross_channel_items(spark, sf_dir):
     """TPC-DS q14 shape: items present in ALL channels (3-way INTERSECT ->
     chained semi joins after ReplaceIntersectWithSemiJoin) used as an IN
     filter on the fact scan, then brand-level aggregation behind a
-    broadcast dimension join."""
-    return _sql(spark, sf_dir, _Q14_SQL)
+    broadcast dimension join. The engine runs the single-scan presence-
+    flags rewrite (_Q14_ENGINE_SQL, r13) — the q95-style fold of the
+    INTERSECT chain into one aggregate."""
+    return _sql(spark, sf_dir, _Q14_ENGINE_SQL)
 
 
 # --- q47: window over aggregate, deviation from period average -------------
@@ -484,7 +513,16 @@ def tpcds_q23_frequent_buyers(spark, sf_dir):
     scalar-subquery-over-aggregate signature) jointly gate the fact scan
     via two IN filters, then segment-level totals. Catalyst lowers the two
     INs to semi joins and the scalar max to a one-row broadcast; all
-    thresholds are exact BIGINT/DECIMAL arithmetic so every SF fires."""
+    thresholds are exact BIGINT/DECIMAL arithmetic so every SF fires.
+
+    r13 note (measured negative, guide §1): item_counts/cust_spend are
+    re-instantiated per CTE reference (lineitem 3x, orders 3x), and a
+    localCheckpoint-both variant (the q23 KMV pattern) removed the extra
+    scans (plan Exchange 18->7, scans 17->6) but A/B-measured ~6% SLOWER
+    at sf0.1 AND ~11% slower at sf1 (interleaved, min/arm: sf0.1
+    1.19->1.27 s, sf1 2.24->2.50 s) — the two materialization barriers on
+    dimension-sized aggregates cost more than the saved fact scans at
+    these scales. Reverted; plans/r13/tpcds_q23_* keep the evidence."""
     return _sql(spark, sf_dir, _Q23_SQL)
 
 
