@@ -45,9 +45,11 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 # SparkSession object (a dead session drops its entry; a recycled wrapper
 # merely re-reads the footer once) and strongly by (sf_dir realpath, table,
 # file identity) — the file's (mtime_ns, size) is part of the key so
-# regenerated testdata can never serve a stale plan. Entries also confirm
-# the session still answers before reuse (a stopped-and-recreated JVM would
-# otherwise surface as a dead-plan error).
+# regenerated testdata can never serve a stale plan. There is NO explicit
+# session-liveness probe before reuse (r12 ADVICE): a stopped session's
+# entry dies with its weak key, and a plan reused across a stop/recreate
+# of the same wrapper object surfaces as an immediate dead-plan error on
+# the next action rather than wrong results.
 _PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )

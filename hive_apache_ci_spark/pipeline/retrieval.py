@@ -13,6 +13,14 @@ that at 100 TB:
   reuse the same exchange;
 - posting lists are truncated with a *windowed* row_number BEFORE the
   collect, so per-term state is bounded even for stop-word-frequency terms
+
+r12 ADVICE note: several operators here cut multiply-referenced subtrees
+with ``localCheckpoint()``, which is EAGER — merely *constructing* those
+query DataFrames (e.g. for plan snapshotting or ``explain``) runs the
+checkpointed sub-jobs and pins their results in executor storage for the
+session. That is the intended trade (the checkpoint is re-computed from
+parquet on every invocation, so nothing is cached across runs), but
+callers that only want a plan should expect construction-time Spark jobs.
   (a bare ``collect_list`` would buffer every posting for hot terms);
 - corpus-level scalars (N, avgdl) are single-row aggregates joined in by
   broadcast; the per-term df table is vocabulary-sized (≪ corpus, zipfian)
